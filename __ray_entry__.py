@@ -1,44 +1,685 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship parse→enrich→route→aggregate pipeline at sf0.001.
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Determinism rules shared by every query/oracle pair (SURVEY §7.4):
+- routing/sampling = integer hash ``(id*2654435761+12345)%m`` (BIGINT-safe),
+- money sums = exact BIGINT cents (``CAST(ROUND(v*100) AS BIGINT)``),
+- ratios = exact-int divisions (bit-identical doubles in numpy and DuckDB),
+- similarity scores = float64, rounded to 6 dp after ranking.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --------------------------------------------------------------------------
+# query implementations (Ray Data)
+# --------------------------------------------------------------------------
+
+def _q_tokenize(sf_dir: str):
+    """The mandated token table (input_hint shape): doc_id, tokens, n_tok, source."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    return tokenized_documents(sf_dir)
+
+
+def _q_route_counts(sf_dir: str):
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents, sink_counts
+    return sink_counts(routed_documents(sf_dir))
+
+
+def _q_route_agg_by_source(sf_dir: str):
+    from cardinalhq_otel_collector_ray.pipelines import aggregate_by_source, routed_documents
+    return aggregate_by_source(routed_documents(sf_dir))
+
+
+def _events_ms(sf_dir: str, extra: list[str] = []):
+    """events with ts_ms (epoch ms) and value_cents (exact BIGINT) columns."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    ds = read_table(sf_dir, "events")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        ms = pc.divide(us, 1000)  # int64 floor-division for non-negative us
+        batch = batch.append_column("ts_ms", ms)
+        cents = pa.array(np.round(batch["value"].to_numpy(zero_copy_only=False) * 100.0)
+                         .astype(np.int64))
+        return batch.append_column("value_cents", cents)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_interval_agg_events(sf_dir: str):
+    """C2 interval groupby-aggregate: 60 s event-time tumbling windows."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import interval_aggregate
+    ds = _events_ms(sf_dir)
+    agg = interval_aggregate(ds, ts_col="ts_ms", interval_ms=60_000,
+                             keys=["event_type"], value_col="value_cents",
+                             out_ts_col="interval_ms")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "interval_ms": batch["interval_ms"],
+            "n": batch["agg_count"].cast(pa.int64()),
+            "sum_cents": batch["agg_sum"].cast(pa.int64()),
+            "min_cents": batch["agg_min"].cast(pa.int64()),
+            "max_cents": batch["agg_max"].cast(pa.int64()),
+        })
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_aggregate_absorb(sf_dir: str):
+    """C1+C3: marked records ('purchase'/'error') are absorbed into 60 s
+    aggregates and re-emitted at interval start; unmarked pass through."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import (
+        interval_aggregate, split_marked)
+    ds = _events_ms(sf_dir)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "error"]))
+        return batch.append_column("agg_mark", m)
+    ds = ds.map_batches(mark, batch_format="pyarrow")
+    passthrough, absorbed = split_marked(ds, "agg_mark")
+
+    agg = interval_aggregate(absorbed, ts_col="ts_ms", interval_ms=60_000,
+                             keys=["event_type"], value_col="value_cents",
+                             out_ts_col="ts_ms")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["agg"] * batch.num_rows),
+            "name": batch["event_type"],
+            "ts_ms": batch["ts_ms"],
+            "value_cents": batch["agg_sum"].cast(pa.int64()),
+            "n": batch["agg_count"].cast(pa.int64()),
+        })
+
+    def pass_fmt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["pass"] * batch.num_rows),
+            "name": batch["event_type"],
+            "ts_ms": batch["ts_ms"],
+            "value_cents": batch["value_cents"],
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+    emitted = agg.map_batches(emit, batch_format="pyarrow")
+    passed = passthrough.map_batches(pass_fmt, batch_format="pyarrow")
+    return passed.union(emitted)
+
+
+def _q_summary_split(sf_dir: str):
+    """C4 explode: 10-min summaries per event_type → .count/.sum/.min/.max/
+    .quantile.50 metric rows (reference quantile naming goldens)."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import interval_aggregate
+    from cardinalhq_otel_collector_ray.stages.summarysplit import summarysplit_stage
+    ds = _events_ms(sf_dir)
+    summaries = interval_aggregate(ds, ts_col="ts_ms", interval_ms=600_000,
+                                   keys=["event_type"], value_col="value_cents",
+                                   out_ts_col="ts_ms")
+
+    def to_summary_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        qs = pa.array(
+            [[{"q": 0.0, "v": float(mn)}, {"q": 0.5, "v": float(av)},
+              {"q": 1.0, "v": float(mx)}]
+             for mn, av, mx in zip(batch["agg_min"].to_pylist(),
+                                    batch["agg_avg"].to_pylist(),
+                                    batch["agg_max"].to_pylist())],
+            type=pa.list_(pa.struct([("q", pa.float64()), ("v", pa.float64())])))
+        return pa.table({
+            "name": batch["event_type"],
+            "ts": batch["ts_ms"],
+            "start_ts": pa.array(np.zeros(n, dtype=np.int64)),  # 0 → fallback rule
+            "count": batch["agg_count"].cast(pa.uint64()),
+            "sum": batch["agg_sum"].cast(pa.float64()),
+            "quantiles": qs,
+        })
+    summary_rows = summaries.map_batches(to_summary_rows, batch_format="pyarrow")
+    exploded = summarysplit_stage(summary_rows)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        vi = batch["value_i"].to_numpy(zero_copy_only=False)
+        vd = batch["value_d"].to_numpy(zero_copy_only=False)
+        is_count = pc.equal(batch["mtype"], "sum").to_numpy(zero_copy_only=False)
+        # .count rows carry the count; gauge rows carry floor(value) cents
+        # (floor, not round: numpy rounds half-to-even, SQL half-away — floor
+        # is identical in both engines)
+        val = np.where(is_count, vi, np.floor(np.nan_to_num(vd)).astype(np.int64))
+        return pa.table({
+            "name": batch["name"],
+            "ts_ms": batch["ts"],
+            "start_ts_ms": batch["start_ts"],
+            "mtype": batch["mtype"],
+            "value_cents": pa.array(val.astype(np.int64)),
+        })
+    return exploded.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_enrich_customer_events(sf_dir: str):
+    """C9 broadcast-dictionary enrichment: events.user_id → customer attrs."""
+    from cardinalhq_otel_collector_ray.stages.enrich import enrich_stage
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+    table = {int(k): {"c_name": n, "c_mktsegment": m}
+             for k, n, m in zip(cust["c_custkey"].to_pylist(),
+                                 cust["c_name"].to_pylist(),
+                                 cust["c_mktsegment"].to_pylist())}
+    ds = _events_ms(sf_dir)
+    enriched = enrich_stage(ds, table, "user_id", miss_value=None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "user_id", "c_name", "c_mktsegment"])
+    return enriched.map_batches(project, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import exact_dedup_stats
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_stats(ds, content_col="text", id_col="doc_id")
+
+
+def _q_quality(sf_dir: str):
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import quality_stats
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return quality_stats(ds)
+
+
+def _q_langid(sf_dir: str):
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import langid_scores
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return langid_scores(ds)
+
+
+def _q_fingerprint(sf_dir: str):
+    """Drain/template analog: group by the first-8-token fingerprint."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.textstats import sql_prefix_fingerprint
+    ds = sql_prefix_fingerprint(tokenized_documents(sf_dir))
+    agg = grouped_aggregate(ds, keys=["fingerprint"], value_col="n_tok")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"fingerprint": batch["fingerprint"],
+                         "n_docs": batch["agg_count"].cast(pa.int64()),
+                         "sum_tokens": batch["agg_sum"].cast(pa.int64())})
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_sessionize(sf_dir: str):
+    from cardinalhq_otel_collector_ray.stages.temporal import sessionize
+    ds = _events_ms(sf_dir).select_columns(["user_id", "ts_ms"])
+    return sessionize(ds, key="user_id", ts_col="ts_ms", gap_ms=1_800_000)
+
+
+def _q_cumulative_delta(sf_dir: str):
+    from cardinalhq_otel_collector_ray.stages.temporal import cumulative_to_delta
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "ts_ms", "value_cents"])
+    out = cumulative_to_delta(ds, keys=["user_id", "event_type"],
+                              ts_col="ts_ms", value_col="value_cents",
+                              out="delta_cents")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "delta_cents"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_logdedup(sf_dir: str):
+    from cardinalhq_otel_collector_ray.stages.temporal import interval_dedup
+    ds = _events_ms(sf_dir).select_columns(["event_id", "event_type", "ts_ms"])
+    out = interval_dedup(ds, keys=["event_type"], ts_col="ts_ms",
+                         interval_ms=3_600_000, tiebreak_cols=["event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"_interval": "interval_ms"})
+        return df[["event_type", "interval_ms", "event_id", "dedup_count"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_knn(sf_dir: str):
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.similarity import knn_brute_force
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    queries = {int(v): e for v, e in pairs[:10]}  # 10 smallest vec_ids
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, queries, "embedding", "vec_id", k=5)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id": "neighbor_id"})[
+            ["qid", "neighbor_id", "rank", "score"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_wordset_jaccard(sf_dir: str):
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import wordset_jaccard_pairs
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.9)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """Rows-only check (LSH is approximate — no exact SQL oracle)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import minhash_lsh_pairs
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.8)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """Rows-only check (SimHash bit pattern has no SQL equivalent)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import simhash_pairs
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import embedding_neardup_pairs
+    ds = read_table(sf_dir, "embeddings")
+    return embedding_neardup_pairs(ds, "embedding", "vec_id", "label",
+                                   threshold=0.35)
+
+
+def _q_multimodal(sf_dir: str):
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.multimodal import (
+        attach_binary_payload, decode_stage)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = attach_binary_payload(ds)
+    ds = decode_stage(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "width", "height", "mode"])
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    """q1-style two-phase grouped aggregate over the biggest table (exact
+    BIGINT-cents sums so value-hash parity is exact)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"])
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                           * 100.0).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pa.array(qty.astype(np.int64)),
+            "price_cents": pa.array(price_c),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        part = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("one", "sum")])
+        return part.rename_columns(["l_returnflag", "l_linestatus",
+                                    "_q", "_p", "_n"])
+    from ray.data.aggregate import Sum
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("_q", alias_name="sum_qty"),
+        Sum("_p", alias_name="sum_price_cents"),
+        Sum("_n", alias_name="n"))
+    return agg
+
+
+def _q_count_by_type(sf_dir: str):
+    """countconnector analog: records → count metrics."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    ds = _events_ms(sf_dir)
+    agg = grouped_aggregate(ds, keys=["event_type"], value_col="value_cents")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "n": batch["agg_count"].cast(pa.int64()),
+                         "sum_cents": batch["agg_sum"].cast(pa.int64())})
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_sample(sf_dir: str):
+    """Deterministic 10% probabilistic sampler over events."""
+    from cardinalhq_otel_collector_ray.stages.sample import probabilistic_sample
+    ds = _events_ms(sf_dir).select_columns(["event_id", "event_type", "ts_ms"])
+    return probabilistic_sample(ds, "event_id", 10)
+
+
+def _q_transform(sf_dir: str):
+    """OTTL-ish transform chain: replace_pattern (redaction) + hash + rename."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.transform import (
+        hash_column, rename_columns, replace_pattern)
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    ds = replace_pattern(ds, "props", r"\d+", "#", out="props_redacted")
+    ds = hash_column(ds, "event_id", "event_hash")
+    ds = rename_columns(ds, {"props": "props_raw"})
+    return ds
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: parse→enrich→route→aggregate; returns
+    the per-sink count table (small, stable schema)."""
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents, sink_counts
+    return sink_counts(routed_documents("/root/testdata/sf0.001")).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "tokenize": _q_tokenize,
+        "route_counts": _q_route_counts,
+        "route_agg_by_source": _q_route_agg_by_source,
+        "interval_agg_events": _q_interval_agg_events,
+        "aggregate_absorb": _q_aggregate_absorb,
+        "summary_split": _q_summary_split,
+        "enrich_customer_events": _q_enrich_customer_events,
+        "dedup_exact": _q_dedup_exact,
+        "quality_stats": _q_quality,
+        "langid": _q_langid,
+        "fingerprint_groups": _q_fingerprint,
+        "sessionize": _q_sessionize,
+        "cumulative_delta": _q_cumulative_delta,
+        "logdedup_events": _q_logdedup,
+        "knn_bruteforce": _q_knn,
+        "wordset_jaccard": _q_wordset_jaccard,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_decode": _q_multimodal,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "count_by_type": _q_count_by_type,
+        "sample_events": _q_sample,
+        "transform_chain": _q_transform,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Shared SQL fragments -----------------------------------------------------
+
+_SQL_TOKENS = r"""
+WITH vocab AS (
+  SELECT w AS word, CAST(row_number() OVER (ORDER BY w) - 1 AS INTEGER) AS tid
+  FROM (SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents) WHERE w <> ''
+), exploded AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+  FROM documents
+), tok AS (
+  SELECT e.doc_id, list(v.tid ORDER BY e.pos) AS tokens,
+         CAST(count(*) AS INTEGER) AS n_tok
+  FROM exploded e JOIN vocab v ON e.w = v.word
+  GROUP BY e.doc_id
+)
+"""
+
+_SQL_ROUTED = r"""
+WITH parsed AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) AS src_num,
+         regexp_extract(text, '^(\w+)', 1) AS head_word,
+         CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), routed AS (
+  SELECT *,
+    CASE
+      WHEN src_num % 10 = 7 THEN 'quarantine'
+      WHEN head_word = 'slow' THEN 'errors'
+      WHEN (doc_id * 2654435761 + 12345) % 1000 < 100 THEN 'sampled'
+      ELSE 'main'
+    END AS route
+  FROM parsed
+)
+"""
+
+_SQL_EVENTS = r"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, props,
+         epoch_us(ts) // 1000 AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize": _SQL_TOKENS + r"""
+SELECT CAST(t.doc_id AS VARCHAR) AS doc_id, t.tokens, t.n_tok, d.source
+FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+""",
+        "route_counts": _SQL_ROUTED + r"""
+SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM routed GROUP BY route
+""",
+        "route_agg_by_source": _SQL_ROUTED + r"""
+SELECT route, source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM routed GROUP BY route, source
+""",
+        "interval_agg_events": _SQL_EVENTS + r"""
+SELECT event_type, (ts_ms // 60000) * 60000 AS interval_ms,
+       count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+       min(value_cents) AS min_cents, max(value_cents) AS max_cents
+FROM ev GROUP BY event_type, interval_ms
+""",
+        "aggregate_absorb": _SQL_EVENTS + r"""
+SELECT 'pass' AS kind, event_type AS name, ts_ms,
+       value_cents, CAST(1 AS BIGINT) AS n
+FROM ev WHERE event_type NOT IN ('purchase', 'error')
+UNION ALL
+SELECT 'agg' AS kind, event_type AS name,
+       (ts_ms // 60000) * 60000 AS ts_ms,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents, count(*) AS n
+FROM ev WHERE event_type IN ('purchase', 'error')
+GROUP BY event_type, (ts_ms // 60000) * 60000
+""",
+        "summary_split": _SQL_EVENTS + r""", summ AS (
+  SELECT event_type, (ts_ms // 600000) * 600000 AS iv,
+         count(*) AS cnt, CAST(sum(value_cents) AS BIGINT) AS s,
+         min(value_cents) AS mn, max(value_cents) AS mx,
+         CAST(sum(value_cents) AS BIGINT) / CAST(count(*) AS DOUBLE) AS av
+  FROM ev GROUP BY event_type, iv
+)
+SELECT event_type || '.count' AS name, iv AS ts_ms, iv AS start_ts_ms,
+       'sum' AS mtype, cnt AS value_cents FROM summ
+UNION ALL
+SELECT event_type || '.sum', iv, iv, 'gauge', CAST(floor(s) AS BIGINT) FROM summ
+UNION ALL
+SELECT event_type || '.min', iv, iv, 'gauge', CAST(floor(mn) AS BIGINT) FROM summ
+UNION ALL
+SELECT event_type || '.max', iv, iv, 'gauge', CAST(floor(mx) AS BIGINT) FROM summ
+UNION ALL
+SELECT event_type || '.quantile.50', iv, iv, 'gauge', CAST(floor(av) AS BIGINT) FROM summ
+""",
+        "enrich_customer_events": r"""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+        "dedup_exact": r"""
+SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "quality_stats": r"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars_obs,
+         string_split_regex(text, '\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(words) AS BIGINT) AS n_words,
+       CAST(n_chars_obs AS BIGINT) AS n_chars_obs,
+       COALESCE(list_aggregate(list_transform(words, x -> CAST(length(x) AS DOUBLE)), 'sum'), 0)
+         / greatest(length(words), 1) AS mean_word_len,
+       CAST(length(list_filter(words, x -> x IN
+         ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+         / greatest(length(words), 1) AS stopword_ratio
+FROM w
+""",
+        "langid": r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(length(list_filter(words, x -> x IN
+      ('der','die','das','und','ist','in','den','von','zu','mit'))) AS DOUBLE)
+      / greatest(length(words), 1) AS score_de,
+    CAST(length(list_filter(words, x -> x IN
+      ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+      / greatest(length(words), 1) AS score_en,
+    CAST(length(list_filter(words, x -> x IN
+      ('el','la','de','que','y','en','un','es','se','no'))) AS DOUBLE)
+      / greatest(length(words), 1) AS score_es,
+    CAST(length(list_filter(words, x -> x IN
+      ('le','la','de','et','est','en','un','une','que','pour'))) AS DOUBLE)
+      / greatest(length(words), 1) AS score_fr
+  FROM w
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+       WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+       WHEN score_es >= score_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s
+""",
+        "fingerprint_groups": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
+, fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN pos <= 8
+             THEN CAST(e2.tid AS BIGINT) * CAST(round(pow(31, pos - 1)) AS BIGINT)
+             ELSE 0 END) AS fingerprint
+  FROM (SELECT e.doc_id, e.pos, v.tid FROM exploded e
+        JOIN vocab v ON e.w = v.word) e2
+  GROUP BY doc_id
+), ntok AS (SELECT doc_id, n_tok FROM tokq)
+SELECT CAST(f.fingerprint AS BIGINT) AS fingerprint, count(*) AS n_docs,
+       CAST(sum(CAST(n.n_tok AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM fp f JOIN ntok n ON f.doc_id = n.doc_id
+GROUP BY f.fingerprint
+""",
+        "sessionize": _SQL_EVENTS + r""", flagged AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+                   > 1800000 OR
+                   lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), sess AS (
+  SELECT user_id, ts_ms,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts_ms) AS session_start,
+       max(ts_ms) AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+        "cumulative_delta": _SQL_EVENTS + r"""
+SELECT event_id,
+       value_cents - lag(value_cents) OVER
+         (PARTITION BY user_id, event_type ORDER BY ts_ms) AS delta_cents
+FROM ev
+""",
+        "logdedup_events": _SQL_EVENTS + r""", ranked AS (
+  SELECT event_type, (ts_ms // 3600000) * 3600000 AS interval_ms,
+         event_id, ts_ms,
+         row_number() OVER (PARTITION BY event_type, (ts_ms // 3600000)
+                            ORDER BY ts_ms, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type, (ts_ms // 3600000)) AS dedup_count
+  FROM ev
+)
+SELECT event_type, interval_ms, event_id, dedup_count
+FROM ranked WHERE rn = 1
+""",
+        "knn_bruteforce": r"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE q.qid <> e.vec_id
+), ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+        "wordset_jaccard": r"""
+WITH ws AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split_regex(text, '\s+'))) AS w
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ws GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ws a JOIN ws b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+""",
+        "embedding_neardup": r"""
+WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+        "multimodal_decode": r"""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS width,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS height,
+       'FAKE' AS mode
+FROM documents
+""",
+        "lineitem_pricing": r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "count_by_type": _SQL_EVENTS + r"""
+SELECT event_type, count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents
+FROM ev GROUP BY event_type
+""",
+        "sample_events": _SQL_EVENTS + r"""
+SELECT event_id, event_type, ts_ms FROM ev
+WHERE (event_id * 2654435761 + 12345) % 1000 < 100
+""",
+        "transform_chain": r"""
+SELECT event_id, regexp_replace(props, '\d+', '#', 'g') AS props_redacted,
+       (event_id * 2654435761 + 12345) % 1000003 AS event_hash,
+       props AS props_raw
+FROM events
+""",
+    }

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness — the feedback loop for 100 TB efficiency.
+
+Headline: the flagship parse→enrich→route→aggregate pipeline over the
+mandated token-table shape, replicated deterministically from
+``$GRAFT_SF_DIR/documents.parquet`` to ~1M sequences (the sf tables are
+small; replication multiplies volume without synthesizing new content —
+each copy gets a distinct doc_id offset so routing/sampling stay exact).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "sequences": n, "tokens": t,
+   "seq_per_sec": ..., "tok_per_sec": ...}
+
+``--scaling`` runs the headline twice in fresh subprocesses (8 and 32
+CPUs) on the same input and reports scaling efficiency — the sandbox
+substitute for the N vs 4N cluster-size criterion (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("GRAFT_REPLICATION", "200"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def replicated_docs(sf_dir: str, replication: int):
+    """documents × replication as a Dataset of `replication` blocks.
+
+    The base table is small (sf tables), so it is broadcast once via
+    ``ray.put``; each task materializes one offset copy — at real scale
+    this stage is simply ``read_parquet`` over many files.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    n = base.num_rows
+    ref = ray.put(base)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        out = []
+        for r in batch["id"].to_pylist():
+            ids = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) + r * n)
+            out.append(t.set_column(0, "doc_id", ids))
+        return pa.concat_tables(out)
+
+    return (ray.data.range(replication, override_num_blocks=replication)
+            .map_batches(expand, batch_format="pyarrow", batch_size=1)), n
+
+
+def run_headline(sf_dir: str, num_cpus: int, replication: int) -> dict:
+    _init_ray(num_cpus)
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.pipelines import (
+        aggregate_by_source, routed_from_docs)
+    from cardinalhq_otel_collector_ray.sources import build_vocab
+
+    vocab = build_vocab(sf_dir)
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source"])
+    sources = sorted(set(base["source"].to_pylist()))
+
+    docs, n_base = replicated_docs(sf_dir, replication)
+    conc = max(2, num_cpus // 4)
+    t0 = time.perf_counter()
+    routed = routed_from_docs(docs, vocab, sources, concurrency=conc)
+    agg = aggregate_by_source(routed).to_pandas()
+    wall = time.perf_counter() - t0
+    sequences = int(agg["n_rows"].sum())
+    tokens = int(agg["sum_tokens"].sum())
+    return {"wall_sec": wall, "sequences": sequences, "tokens": tokens,
+            "seq_per_sec": sequences / wall, "tok_per_sec": tokens / wall,
+            "sinks": len(agg["route"].unique())}
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Per-query wall times for a representative operator subset."""
+    import __ray_entry__ as entrymod
+    names = ["tokenize", "route_counts", "interval_agg_events",
+             "lineitem_pricing", "dedup_exact", "quality_stats",
+             "fingerprint_groups", "knn_bruteforce", "minhash_lsh_pairs",
+             "sessionize", "logdedup_events", "count_by_type"]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            # consume streaming — count() avoids driver materialization
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--headline-only",
+                 f"--cpus={cpus}"],
+                capture_output=True, text=True, timeout=3000)
+            line = proc.stdout.strip().split("\n")[-1]
+            results[cpus] = json.loads(line)
+        eff = (results[32]["seq_per_sec"] / (4 * results[8]["seq_per_sec"]))
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3),
+            "throughput_8": results[8]["seq_per_sec"],
+            "throughput_32": results[32]["seq_per_sec"],
+            "tok_per_sec_8": results[8]["tok_per_sec"],
+            "tok_per_sec_32": results[32]["tok_per_sec"],
+            "sf_dir": SF_DIR, "replication": REPLICATION,
+        }))
+        return
+
+    cpus = NUM_CPUS
+    for a in sys.argv:
+        if a.startswith("--cpus="):
+            cpus = int(a.split("=")[1])
+
+    headline = run_headline(SF_DIR, cpus, REPLICATION)
+    if "--headline-only" in sys.argv:
+        print(json.dumps({"seq_per_sec": headline["seq_per_sec"],
+                          "tok_per_sec": headline["tok_per_sec"],
+                          "wall_sec": headline["wall_sec"]}))
+        import ray
+        ray.shutdown()
+        return
+
+    queries = run_queries(SF_DIR)
+    print(json.dumps({
+        "metric": "e2e_parse_enrich_route_aggregate_wall",
+        "value": round(headline["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": cpus,
+        "sequences": headline["sequences"],
+        "tokens": headline["tokens"],
+        "seq_per_sec": round(headline["seq_per_sec"], 1),
+        "tok_per_sec": round(headline["tok_per_sec"], 1),
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

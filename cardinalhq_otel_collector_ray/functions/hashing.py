@@ -1,0 +1,75 @@
+"""Deterministic, SQL-expressible and vectorized hash/sampling primitives.
+
+Two families:
+
+1. **Oracle-safe hashes** (``mulhash``, ``hashmod_keep``) — pure integer
+   arithmetic that DuckDB can reproduce exactly with BIGINT math, used for
+   deterministic routing / probabilistic sampling so per-sink routed-row
+   counts are bit-for-bit reproducible (the reference routes on wall-clock
+   randomness, ``exporter/awss3exporter/internal/upload/partition.go:104-115``;
+   we deliberately make routing a pure function of the data — SURVEY §7.4).
+
+2. **Internal 64-bit hashes** (``stable_str_hash64``, ``poly_hash64``) —
+   fast vectorized fingerprints for grouping keys (dedup, LSH bands,
+   template fingerprints). Never exposed in oracle-checked output columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Knuth multiplicative constant; products stay < 2^63 for ids < ~3.4e9 so the
+# identical expression runs in DuckDB BIGINT without overflow:
+#   (id * 2654435761 + SALT) % MOD
+MUL = 2654435761
+SALT = 12345
+MOD = 1_000_003
+
+
+def mulhash(ids: np.ndarray, salt: int = SALT, mod: int = MOD) -> np.ndarray:
+    """SQL-equivalent: ``(id * 2654435761 + salt) % mod``  (BIGINT math)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    return (ids * np.int64(MUL) + np.int64(salt)) % np.int64(mod)
+
+
+def hashmod_keep(ids: np.ndarray, percent: int, salt: int = SALT) -> np.ndarray:
+    """Deterministic hash-mod sampler: keep ~percent% of rows.
+
+    SQL-equivalent predicate: ``(id * 2654435761 + salt) % 1000 < percent*10``.
+    Mirrors probabilisticsamplerprocessor semantics (hash-based % sampling,
+    reference distribution/components.go:137) but reproducibly.
+    """
+    return mulhash(ids, salt=salt, mod=1000) < percent * 10
+
+
+def stable_str_hash64(values) -> np.ndarray:
+    """Deterministic (cross-process) 64-bit hash of a string array.
+
+    Uses pandas' SipHash-based ``hash_array`` with its fixed default key —
+    stable across workers and runs, vectorized in C. Internal use only
+    (grouping/fingerprint keys); not reproducible in SQL.
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr).astype(np.uint64)
+
+
+def poly_hash64(mat: np.ndarray, base: int = 1099511628211) -> np.ndarray:
+    """Rolling polynomial hash over each row of an int matrix (uint64 wrap).
+
+    Used for token-prefix fingerprints (drain/template-mining analog,
+    reference distribution/components.go:124 ``drainprocessor``).
+    """
+    h = np.zeros(mat.shape[0], dtype=np.uint64)
+    b = np.uint64(base)
+    off = np.uint64(1469598103934665603)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            h = h * b + mat[:, j].astype(np.uint64) + off
+    return h
+
+
+def combine_hash64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Order-dependent combine of two uint64 hash arrays (uint64 wrap)."""
+    with np.errstate(over="ignore"):
+        return h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + h2.astype(np.uint64)

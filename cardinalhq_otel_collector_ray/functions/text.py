@@ -1,0 +1,93 @@
+"""Vectorized text kernels shared by parse / tokenize / dedup stages.
+
+All kernels are Arrow/numpy-vectorized over whole batches — no Python loop
+over rows in any hot path (the reference's per-record pdata walks, e.g.
+``exporter/awss3exporter/body_marshaler.go:27-42``, become columnar kernels
+here per SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def split_words(col: pa.Array) -> pa.Array:
+    """``list<string>`` of whitespace-split words, vectorized (RE2 in C++)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.split_pattern_regex(col, pattern=r"\s+")
+
+
+def list_offsets_values(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(offsets int64[n+1], flat values) of a ListArray — zero-copy views."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return offsets, arr.values
+
+
+def map_words_to_ids(words_list: pa.Array, vocab: dict[str, int],
+                     unk_id: int = -1) -> pa.Array:
+    """Map a ``list<string>`` word array to ``list<int32>`` token ids.
+
+    Vectorized via dictionary-encoding: the flat word values are
+    dict-encoded (C++), then only the (tiny) dictionary is looked up in
+    ``vocab`` with a Python loop, and indices are remapped with ``np.take``.
+    Cost is O(total_words) C work + O(|batch dictionary|) Python work.
+    """
+    offsets, values = list_offsets_values(words_list)
+    if len(values) == 0:
+        return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                        pa.array([], type=pa.int32()))
+    enc = pc.dictionary_encode(values)
+    dict_words = enc.dictionary.to_pylist()
+    lut = np.fromiter((vocab.get(w, unk_id) for w in dict_words),
+                      dtype=np.int32, count=len(dict_words))
+    indices = enc.indices.to_numpy(zero_copy_only=False)
+    token_ids = lut[indices]
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(token_ids, type=pa.int32()))
+
+
+def char_shingles_u64(texts: list[str] | np.ndarray, k: int = 4
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char shingles of every text as uint64 codes, batch-vectorized.
+
+    Returns ``(doc_boundaries, shingle_codes)`` where ``doc_boundaries`` is
+    the int64 start offset of each doc's shingles in ``shingle_codes``
+    (length n_docs+1). Texts are concatenated once; k-wide sliding windows
+    are taken with ``np.lib.stride_tricks``; windows crossing document
+    boundaries are masked out. No per-row Python loop.
+    """
+    n = len(texts)
+    enc = [t.encode("utf-8", "ignore")[:4096] for t in texts]  # cap pathological rows
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(enc) + b"\x00" * k, dtype=np.uint8)
+    total = int(lens.sum())
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    if total == 0:
+        return starts, np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(buf[: total + k - 1], k)
+    # polynomial code of each window (uint64 wrap is fine for hashing)
+    codes = np.zeros(win.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            codes = codes * np.uint64(1099511628211) + win[:, j].astype(np.uint64)
+    # number of valid shingles per doc: max(len - k + 1, 0)
+    n_sh = np.maximum(lens - (k - 1), 0)
+    sh_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=sh_starts[1:])
+    keep = np.zeros(win.shape[0], dtype=bool)
+    # valid window index ranges per doc: [starts[i], starts[i] + n_sh[i])
+    idx = np.arange(win.shape[0], dtype=np.int64)
+    doc_of = np.searchsorted(starts, idx, side="right") - 1
+    keep = idx < (starts[doc_of] + n_sh[doc_of])
+    return sh_starts, codes[keep]
+
+
+STOPWORDS_EN = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+)

@@ -1,0 +1,138 @@
+"""Declarative pipeline specs — the collector-config-YAML analog.
+
+The reference wires named components into per-signal pipelines via YAML
+(``examples/local-debug/debug-all-signals.yaml:1-26``; SURVEY §2.5). Here a
+pipeline is a plain dict (JSON/YAML-loadable) compiled into a lazy Ray Data
+op chain:
+
+    spec = {
+      "source": {"kind": "parquet", "table": "documents",
+                 "columns": ["doc_id", "text", "source"]},
+      "stages": [
+        {"kind": "parse_regex", "column": "text",
+         "pattern": "^(?P<head_word>\\w+)"},
+        {"kind": "flag_regex", "column": "text", "pattern": "\\bslow\\b",
+         "out": "has_slow"},
+        {"kind": "enrich", "key": "source", "table": {...}},
+        {"kind": "sample", "id_column": "doc_id", "percent": 10},
+        {"kind": "drop_where", "column": "has_slow", "equals": True},
+        {"kind": "replace_pattern", "column": "text", "pattern": "\\d+",
+         "replacement": "#"},
+        {"kind": "select", "columns": [...]},
+      ],
+    }
+    ds = compile_pipeline(spec, sf_dir)
+
+Unknown stage kinds raise at compile time (the collector's config
+validation analog). Stages compose lazily — nothing executes until a sink
+or consumption call.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.parquet import read_table
+from ..stages import enrich, parse, route, sample, transform
+
+StageFn = Callable[[ray.data.Dataset, dict], ray.data.Dataset]
+
+
+def _s_parse_regex(ds, cfg):
+    return parse.parse_stage(ds, [parse.ParseRule(cfg["column"], cfg["pattern"])],
+                             concurrency=cfg.get("concurrency", 2))
+
+
+def _s_flag_regex(ds, cfg):
+    return parse.flag_substring(ds, cfg["column"], cfg["pattern"], cfg["out"])
+
+
+def _s_enrich(ds, cfg):
+    return enrich.enrich_stage(ds, cfg["table"], cfg["key"],
+                               concurrency=cfg.get("concurrency", 2),
+                               miss_value=cfg.get("miss_value"))
+
+
+def _s_stamp(ds, cfg):
+    return enrich.stamp_columns(ds, cfg["values"])
+
+
+def _s_sample(ds, cfg):
+    return sample.probabilistic_sample(ds, cfg["id_column"], cfg["percent"],
+                                       salt=cfg.get("salt", 12345))
+
+
+def _s_drop_where(ds, cfg):
+    col, val = cfg["column"], cfg["equals"]
+    return sample.drop_where(ds, lambda t: pc.equal(t[col], val))
+
+
+def _s_replace_pattern(ds, cfg):
+    return transform.replace_pattern(ds, cfg["column"], cfg["pattern"],
+                                     cfg["replacement"], out=cfg.get("out"))
+
+
+def _s_rename(ds, cfg):
+    return transform.rename_columns(ds, cfg["mapping"])
+
+
+def _s_delete(ds, cfg):
+    return transform.delete_columns(ds, cfg["columns"])
+
+
+def _s_hash(ds, cfg):
+    return transform.hash_column(ds, cfg["column"], cfg["out"])
+
+
+def _s_select(ds, cfg):
+    return ds.select_columns(cfg["columns"])
+
+
+def _s_route(ds, cfg):
+    rules = []
+    for r in cfg["rules"]:
+        if r["kind"] == "equals":
+            col, val, sink = r["column"], r["value"], r["sink"]
+            rules.append(route.RouteRule(
+                sink, lambda t, c=col, v=val: pc.equal(t[c], v).to_numpy(
+                    zero_copy_only=False)))
+        elif r["kind"] == "sample":
+            rules.append(route.sample_rule(r["sink"], r["id_column"],
+                                           r["percent"], salt=r.get("salt", 12345)))
+        else:
+            raise ValueError(f"unknown route rule kind: {r['kind']}")
+    return route.route_stage(ds, rules, default_sink=cfg.get("default", "default"))
+
+
+_STAGES: dict[str, StageFn] = {
+    "parse_regex": _s_parse_regex,
+    "flag_regex": _s_flag_regex,
+    "enrich": _s_enrich,
+    "stamp": _s_stamp,
+    "sample": _s_sample,
+    "drop_where": _s_drop_where,
+    "replace_pattern": _s_replace_pattern,
+    "rename": _s_rename,
+    "delete": _s_delete,
+    "hash": _s_hash,
+    "select": _s_select,
+    "route": _s_route,
+}
+
+
+def compile_pipeline(spec: dict[str, Any], sf_dir: str) -> ray.data.Dataset:
+    src = spec["source"]
+    if src["kind"] != "parquet":
+        raise ValueError(f"unknown source kind: {src['kind']}")
+    ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
+    for i, st in enumerate(spec.get("stages", [])):
+        kind = st.get("kind")
+        if kind not in _STAGES:
+            raise ValueError(f"stage {i}: unknown kind {kind!r}; "
+                             f"known: {sorted(_STAGES)}")
+        ds = _STAGES[kind](ds, st)
+    return ds

@@ -1,0 +1,132 @@
+"""Partitioned object-store sink with lineage + resume (awss3exporter analog).
+
+Reproduces the reference's S3 sink layout semantics
+(``exporter/awss3exporter/internal/upload/partition.go:59-134``):
+
+- strftime partition dirs, default ``year=%Y/month=%m/day=%d/hour=%H/minute=%M``
+  (``factory.go:59``), with a configurable timezone (``s3_writer.go:124-132``)
+- object name ``<file_prefix><signal>_<unique>.<format>``
+
+with two deliberate determinism changes (SURVEY §7.4):
+
+- the partition timestamp is a **fixed run timestamp** passed by the
+  caller, never wall clock (the reference uses ``clock.Now``,
+  ``writer.go:111`` — that breaks exact-count conformance across retries);
+- the unique key is the **partition id** (hash-bucket of the row key),
+  never a random int/UUID (``partition.go:104-133``), so a retried task
+  overwrites the same file instead of duplicating it.
+
+Execution shape: rows get a ``_pid = mulhash(key) % num_partitions``
+column; each (sink, pid) group is written by one task as one Parquet file
+(atomic tmp+rename), emitting one ManifestEntry — the notify analog (C8).
+On resume, completed (sink, pid) partitions are filtered out BEFORE the
+shuffle, so finished work costs nothing.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions.hashing import mulhash
+from ..state.manifest import Manifest, ManifestEntry
+
+DEFAULT_PARTITION_FORMAT = "year=%Y/month=%m/day=%d/hour=%H/minute=%M"
+
+
+def partition_dir(run_ts: float, fmt: str = DEFAULT_PARTITION_FORMAT,
+                  tz=timezone.utc) -> str:
+    """strftime partition dir from the fixed run timestamp
+    (partition.go:81-87 with the timezone rule of s3_writer.go:124-132)."""
+    return datetime.fromtimestamp(run_ts, tz).strftime(fmt)
+
+
+class PartitionedSink:
+    def __init__(self, root: str, run_ts: float, *,
+                 num_partitions: int = 16, signal: str = "logs",
+                 file_prefix: str = "", partition_format: str = DEFAULT_PARTITION_FORMAT,
+                 tz=timezone.utc):
+        self.root = root
+        self.run_ts = run_ts
+        self.num_partitions = num_partitions
+        self.signal = signal
+        self.file_prefix = file_prefix
+        self.time_dir = partition_dir(run_ts, partition_format, tz)
+        self.manifest = Manifest(root)
+
+    def object_path(self, sink: str, pid: int) -> str:
+        fname = f"{self.file_prefix}{self.signal}_{pid:05d}.parquet"
+        return os.path.join(self.root, f"sink={sink}", self.time_dir, fname)
+
+    def write(self, ds: ray.data.Dataset, *, key_col: str,
+              route_col: str = "route", tokens_len_col: str | None = None,
+              resume: bool = True) -> list[ManifestEntry]:
+        """Write every sink's rows as num_partitions deterministic files.
+
+        Returns the manifest entries written THIS run (skipped partitions
+        are not re-listed; use ``manifest.completed()`` for the full index).
+        """
+        done = self.manifest.completed() if resume else {}
+        if not resume:
+            self.manifest.reset()
+        npart = self.num_partitions
+
+        def add_pid(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col]
+            if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+                ids = pd.util.hash_array(np.asarray(keys.to_pylist(), dtype=object))
+                ids = (ids % np.uint64(2**31)).astype(np.int64)
+            else:
+                ids = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+            pid = mulhash(ids, mod=npart)
+            return batch.append_column("_pid", pa.array(pid))
+
+        with_pid = ds.map_batches(add_pid, batch_format="pyarrow")
+
+        if done:
+            done_keys = {(e.sink, int(e.partition_id.rsplit("/", 1)[1])) for e in done.values()}
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                routes = np.asarray(batch[route_col].to_pylist(), dtype=object)
+                pids = batch["_pid"].to_numpy(zero_copy_only=False)
+                mask = np.asarray([(r, int(p)) not in done_keys
+                                   for r, p in zip(routes, pids)])
+                return batch.filter(pa.array(mask))
+            with_pid = with_pid.map_batches(drop_done, batch_format="pyarrow")
+
+        sink_self = self
+
+        def write_group(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame({"partition_id": [], "sink": [], "path": [],
+                                     "rows": [], "bytes": [], "tokens": []})
+            sink = g[route_col].iloc[0]
+            pid = int(g["_pid"].iloc[0])
+            path = sink_self.object_path(sink, pid)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            # deterministic row order within the file for byte-stable output
+            g = g.sort_values(key_col, kind="mergesort").drop(columns=["_pid"])
+            tmp = path + ".tmp"
+            table = pa.Table.from_pandas(g, preserve_index=False)
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)  # atomic: readers never see partial files
+            tokens = int(g[tokens_len_col].sum()) if tokens_len_col else 0
+            return pd.DataFrame({"partition_id": [f"{sink}/{pid}"], "sink": [sink],
+                                 "path": [path], "rows": [len(g)],
+                                 "bytes": [os.path.getsize(path)], "tokens": [tokens]})
+
+        result = with_pid.groupby([route_col, "_pid"]).map_groups(
+            write_group, batch_format="pandas")
+        entries = [ManifestEntry(partition_id=r.partition_id, sink=r.sink,
+                                 path=r.path, rows=int(r.rows),
+                                 bytes=int(r.bytes), tokens=int(r.tokens))
+                   for r in result.to_pandas().itertuples()]
+        for e in entries:
+            self.manifest.record(e)
+        return entries

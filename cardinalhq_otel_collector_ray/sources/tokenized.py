@@ -1,0 +1,79 @@
+"""Tokenized-sequence source: documents → (doc_id, tokens, n_tok, source).
+
+Produces the mandated input shape from BASELINE.json ``input_hint``
+(``doc_id:string, tokens:array<int32>, n_tok:int32, source:string``)
+deterministically from the driver-supplied ``documents`` table — no external
+data. Token id = rank of the word in the sorted global vocabulary, which a
+SQL oracle reproduces with ``row_number() OVER (ORDER BY word) - 1``.
+
+At 100 TB the vocabulary is a *fixed broadcast artifact* (a BPE vocab of
+~50k entries), exactly like the reference's broadcast enrichment dictionary
+(``extension/chqauthextension/serverauth.go:132-136``): built / loaded once,
+``ray.put`` once, read by every tokenizer actor in ``__init__``. Here we
+build it with a distributed distinct-word pass (per-batch word sets →
+tiny union), which is the same shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.text import map_words_to_ids, split_words
+from .parquet import read_table
+
+
+def build_vocab(sf_dir: str) -> dict[str, int]:
+    """Global sorted-word vocabulary. Distributed distinct: per-batch
+    dictionary-encode (C++) → per-batch unique word lists (small) →
+    driver-side union. Only distinct words per batch reach the driver."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        uniq = words.values.unique() if len(words) else pa.array([], pa.string())
+        return pa.table({"word": uniq})
+
+    parts = ds.map_batches(batch_distinct, batch_format="pyarrow")
+    vocab_words = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        vocab_words.update(b["word"].to_pylist())
+    vocab_words.discard("")
+    return {w: i for i, w in enumerate(sorted(vocab_words))}
+
+
+class Tokenizer:
+    """Actor-pool tokenizer: vocab fetched once per actor in __init__."""
+
+    def __init__(self, vocab_ref, keep_text: bool = False):
+        self.vocab = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        self.keep_text = keep_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        tokens = map_words_to_ids(words, self.vocab)
+        n_tok = pa.array(np.diff(tokens.offsets.to_numpy(zero_copy_only=False)).astype(np.int32))
+        doc_id = batch["doc_id"].cast(pa.string())
+        cols = {"doc_id": doc_id, "tokens": tokens,
+                "n_tok": n_tok, "source": batch["source"]}
+        if self.keep_text:
+            cols["text"] = batch["text"]
+        return pa.table(cols)
+
+
+def tokenized_documents(sf_dir: str, vocab: dict[str, int] | None = None,
+                        concurrency: int | None = None,
+                        keep_text: bool = False) -> ray.data.Dataset:
+    """The canonical token table as a streaming Dataset."""
+    if vocab is None:
+        vocab = build_vocab(sf_dir)
+    vocab_ref = ray.put(vocab)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    # Pool sized to leave CPUs for the read stage (an actor pool that
+    # reserves every CPU starves the reader and the pipeline serializes).
+    return ds.map_batches(Tokenizer, fn_constructor_args=(vocab_ref,),
+                          fn_constructor_kwargs={"keep_text": keep_text},
+                          batch_format="pyarrow", batch_size=8192,
+                          concurrency=concurrency or 2)

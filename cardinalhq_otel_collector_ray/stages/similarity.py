@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (ANN for training-data dedup
+/ retrieval). Baseline: brute-force cosine top-k — one numpy matmul per
+batch against a broadcast, pre-normalized query matrix (``ray.put`` once;
+each actor reads it in ``__init__``, never re-shipped per batch). Scale
+path: LSH-bucketed variant (random-hyperplane signs) that prunes candidates
+to matching buckets before the exact rerank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    return mat / np.maximum(n, 1e-30)[:, None]
+
+
+class BruteForceScorer:
+    """Per-batch exact cosine scores: emits (qid, id, score) for every
+    (query, row) pair that survives a coarse ``min_score`` prune; the final
+    global top-k is a tiny per-qid combine."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str,
+                 min_score: float = -1.0):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = np.asarray(sorted(q))
+        self.qmat = _normalize(np.stack([np.asarray(q[k], dtype=np.float64) for k in self.qids]))
+        self.vec_col, self.id_col, self.min_score = vec_col, id_col, min_score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        vecs = batch[self.vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+        dim = offsets[1] - offsets[0]
+        flat = vecs.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        m = _normalize(flat.reshape(len(ids), dim))
+        sim = self.qmat @ m.T                      # (n_q, n_rows)
+        qi, ri = np.nonzero(sim >= self.min_score)
+        return pa.table({"qid": pa.array(self.qids[qi]),
+                         "id": pa.array(ids[ri]),
+                         "score": pa.array(sim[qi, ri])})
+
+
+def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
+                    id_col: str, k: int, concurrency: int = 2,
+                    exclude_self: bool = True) -> ray.data.Dataset:
+    """Exact top-k cosine neighbors per query.
+
+    Deterministic ranking: (score desc, id asc) tie-break; scores rounded
+    to 6 dp AFTER ranking for float-parity with a SQL oracle.
+    """
+    qref = ray.put(queries)
+    scored = ds.map_batches(BruteForceScorer,
+                            fn_constructor_args=(qref, vec_col, id_col),
+                            batch_format="pyarrow", concurrency=concurrency)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["qid"] != g["id"]]
+        g = g.sort_values(["score", "id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
+                     score=np.round(g["score"].to_numpy(), 6))
+        return g
+
+    return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: bucket = sign-bit pattern of ``nbits``
+    projections. Emits (id, bucket) plus the vector for in-bucket rerank —
+    the scale path that avoids scoring every row against every query."""
+
+    def __init__(self, dim: int, nbits: int = 8, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((nbits, dim))
+        self.nbits = nbits
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        signs = (self.planes @ mat.T) > 0
+        out = np.zeros(mat.shape[0], dtype=np.int64)
+        for b in range(self.nbits):
+            out |= signs[b].astype(np.int64) << b
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = batch["embedding"]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+        dim = offsets[1] - offsets[0]
+        m = vecs.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        return batch.append_column("bucket", pa.array(self.bucket_of(_normalize(m))))
+
+
+def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
+            k: int, dim: int, nbits: int = 8, seed: int = 11,
+            concurrency: int = 2) -> ray.data.Dataset:
+    """LSH-pruned ANN: score only rows whose bucket matches a query bucket.
+    Approximate (recall < 1); the brute-force operator is the exactness
+    baseline."""
+    bucketer = LshBucketer(dim, nbits=nbits, seed=seed)
+    qids = np.asarray(sorted(queries))
+    qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids]))
+    qbuckets = bucketer.bucket_of(qmat)
+    wanted = {}
+    for qid, b in zip(qids, qbuckets):
+        wanted.setdefault(int(b), []).append(qid)
+    wref = ray.put((wanted, {int(q): qmat[i] for i, q in enumerate(qids)}))
+
+    class Scorer:
+        def __init__(self):
+            self.wanted, self.qvecs = ray.get(wref)
+            self.bucketer = LshBucketer(dim, nbits=nbits, seed=seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            vecs = batch[vec_col]
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+            d = offsets[1] - offsets[0]
+            m = _normalize(vecs.values.to_numpy(zero_copy_only=False)
+                           .astype(np.float64).reshape(-1, d))
+            buckets = self.bucketer.bucket_of(m)
+            out_q, out_id, out_s = [], [], []
+            for b, qlist in self.wanted.items():
+                mask = buckets == b
+                if not mask.any():
+                    continue
+                sub = m[mask]; sids = ids[mask]
+                for qid in qlist:
+                    s = sub @ self.qvecs[int(qid)]
+                    out_q.append(np.full(len(sids), qid))
+                    out_id.append(sids); out_s.append(s)
+            if not out_q:
+                return pa.table({"qid": pa.array([], pa.int64()),
+                                 "id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                             "id": pa.array(np.concatenate(out_id)),
+                             "score": pa.array(np.concatenate(out_s))})
+
+    scored = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["qid"] != g["id"]]
+        g = g.sort_values(["score", "id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
+                        score=np.round(g["score"].to_numpy(), 6))
+
+    return scored.groupby("qid").map_groups(topk, batch_format="pandas")

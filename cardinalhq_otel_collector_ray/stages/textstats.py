@@ -1,0 +1,137 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+These extend the reference's decorate/fingerprint stage (drain template
+mining, ``distribution/components.go:124``; decorator stage in
+``docs/flow/flow.dot:27-104``) with the text-quality operators a 100 TB
+training-data pipeline needs. All kernels are Arrow/numpy vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import poly_hash64
+from ..functions.text import list_offsets_values, split_words
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# SQL-reproducible: membership tests over fixed word lists.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit"),
+    "fr": ("le", "la", "de", "et", "est", "en", "un", "une", "que", "pour"),
+}
+
+
+def _word_stats(batch: pa.Table, text_col: str):
+    words = split_words(batch[text_col])
+    offsets, values = list_offsets_values(words)
+    n_words = np.diff(offsets)
+    return words, offsets, values, n_words
+
+
+def quality_stats(ds: ray.data.Dataset, text_col: str = "text",
+                  id_cols: tuple[str, ...] = ("doc_id",)) -> ray.data.Dataset:
+    """Quality-scoring columns: n_words, n_chars_obs, mean_word_len,
+    stopword_ratio (EN list), alpha_ratio. Vectorized via reduceat over the
+    flattened word values."""
+    stop = set(LANG_STOPWORDS["en"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words, offsets, values, n_words = _word_stats(batch, text_col)
+        text = batch[text_col]
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        wlen = pc.utf8_length(values).to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = offsets[:-1]
+        safe = np.maximum(n_words, 1).astype(np.float64)
+        sum_wlen = np.add.reduceat(np.append(wlen, 0.0), np.minimum(starts, len(wlen)))
+        sum_wlen[n_words == 0] = 0.0
+        is_stop = pc.is_in(values, value_set=pa.array(sorted(stop))).to_numpy(zero_copy_only=False)
+        sum_stop = np.add.reduceat(np.append(is_stop.astype(np.float64), 0.0),
+                                   np.minimum(starts, len(is_stop)))
+        sum_stop[n_words == 0] = 0.0
+        out = batch.select([c for c in id_cols if c in batch.column_names])
+        out = out.append_column("n_words", pa.array(n_words.astype(np.int64)))
+        out = out.append_column("n_chars_obs", pa.array(n_chars))
+        out = out.append_column("mean_word_len", pa.array(sum_wlen / safe))
+        out = out.append_column("stopword_ratio", pa.array(sum_stop / safe))
+        return out
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def langid_scores(ds: ray.data.Dataset, text_col: str = "text",
+                  id_cols: tuple[str, ...] = ("doc_id",)) -> ray.data.Dataset:
+    """Stopword-list language scores + argmax prediction (n-gram-heuristic
+    language ID). Deterministic tie-break: first language in sorted order."""
+    langs = sorted(LANG_STOPWORDS)
+    sets = {lang: pa.array(sorted(LANG_STOPWORDS[lang])) for lang in langs}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words, offsets, values, n_words = _word_stats(batch, text_col)
+        starts = offsets[:-1]
+        safe = np.maximum(n_words, 1).astype(np.float64)
+        out = batch.select([c for c in id_cols if c in batch.column_names])
+        scores = []
+        for lang in langs:
+            hit = pc.is_in(values, value_set=sets[lang]).to_numpy(zero_copy_only=False)
+            s = np.add.reduceat(np.append(hit.astype(np.float64), 0.0),
+                                np.minimum(starts, len(hit)))
+            s[n_words == 0] = 0.0
+            ratio = s / safe
+            scores.append(ratio)
+            out = out.append_column(f"score_{lang}", pa.array(ratio))
+        mat = np.stack(scores, axis=1)
+        pred = np.asarray(langs, dtype=object)[np.argmax(mat, axis=1)]
+        pred[mat.max(axis=1) == 0.0] = "und"
+        out = out.append_column("lang_pred", pa.array(pred, type=pa.string()))
+        return out
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_prefix_fingerprint(ds: ray.data.Dataset, tokens_col: str = "tokens",
+                             k: int = 8, out: str = "fingerprint") -> ray.data.Dataset:
+    """Drain/template-mining analog: fingerprint = polynomial hash of the
+    first ``k`` token ids (pad with -1). int64 output (uint64 bit-cast)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(offsets) - 1
+        mat = np.full((n, k), -1, dtype=np.int64)
+        lens = np.minimum(np.diff(offsets), k)
+        # gather first-k via one flat fancy-index (no row loop)
+        rows = np.repeat(np.arange(n), lens)
+        pos = np.concatenate([np.arange(l) for l in lens]) if n else np.empty(0, np.int64)
+        mat[rows, pos] = values[np.repeat(offsets[:-1], lens) + pos]
+        fp = poly_hash64(mat).view(np.int64)
+        return batch.append_column(out, pa.array(fp))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_prefix_fingerprint(ds: ray.data.Dataset, tokens_col: str = "tokens",
+                           k: int = 8, out: str = "fingerprint") -> ray.data.Dataset:
+    """Oracle-safe variant: fingerprint = sum(token[i] * 31^i, i<k) in BIGINT
+    (missing positions contribute 0) — reproducible in SQL."""
+    powers = np.array([31 ** i for i in range(k)], dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(offsets) - 1
+        mat = np.zeros((n, k), dtype=np.int64)
+        lens = np.minimum(np.diff(offsets), k)
+        rows = np.repeat(np.arange(n), lens)
+        pos = np.concatenate([np.arange(l) for l in lens]) if n else np.empty(0, np.int64)
+        mat[rows, pos] = values[np.repeat(offsets[:-1], lens) + pos]
+        fp = (mat * powers[None, :]).sum(axis=1)
+        return batch.append_column(out, pa.array(fp))
+    return ds.map_batches(fn, batch_format="pyarrow")

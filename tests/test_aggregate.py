@@ -1,0 +1,80 @@
+"""Aggregation goldens transcribed from the reference tests.
+
+- G1 (processor/aggregationprocessor/metrics_test.go:70-116): 3 marked sum
+  datapoints 1.0+2.0+3.0, same tags, same interval → exactly ONE output row
+  with value 6.0, timestamp = interval start.
+- C1 absorb-filter: unmarked rows pass through untouched.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from cardinalhq_otel_collector_ray.stages.aggregate import (
+    grouped_aggregate, interval_aggregate, split_marked, with_interval)
+
+
+def _metric_ds():
+    t = pa.table({
+        "name": ["test", "test", "test", "other"],
+        "ts_ms": [10_500, 11_500, 12_500, 10_500],
+        "value": [1.0, 2.0, 3.0, 99.0],
+        "agg_mark": [True, True, True, False],
+        "tag_foo": ["bar", "bar", "bar", "bar"],
+    })
+    return ray.data.from_arrow(t)
+
+
+def test_golden_sum_1_2_3_is_6():
+    ds = _metric_ds()
+    _, absorbed = split_marked(ds, "agg_mark")
+    out = interval_aggregate(absorbed, ts_col="ts_ms", interval_ms=10_000,
+                             keys=["name", "tag_foo"], value_col="value")
+    df = out.to_pandas()
+    assert len(df) == 1  # exactly one emitted datapoint
+    row = df.iloc[0]
+    assert row["agg_sum"] == 6.0
+    assert row["agg_count"] == 3
+    assert row["agg_avg"] == 2.0
+    assert row["ts_ms"] == 10_000  # interval start (aggregate.go:64-67)
+
+
+def test_absorb_passthrough_untouched():
+    ds = _metric_ds()
+    passthrough, absorbed = split_marked(ds, "agg_mark")
+    pdf = passthrough.to_pandas()
+    assert len(pdf) == 1 and pdf.iloc[0]["name"] == "other"
+    assert pdf.iloc[0]["value"] == 99.0
+    assert absorbed.count() == 3
+
+
+def test_interval_bucketing():
+    arr = pa.array([0, 9_999, 10_000, 19_999, 20_000])
+    iv = with_interval(arr, 10_000)
+    assert iv.to_pylist() == [0, 0, 10_000, 10_000, 20_000]
+
+
+def test_two_phase_grouped_aggregate_matches_naive():
+    rng = np.random.default_rng(3)
+    n = 10_000
+    t = pa.table({"k": rng.integers(0, 17, n), "v": rng.integers(0, 100, n)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = grouped_aggregate(ds, keys=["k"], value_col="v").to_pandas()
+    naive = t.to_pandas().groupby("k")["v"].agg(["sum", "count"]).reset_index()
+    merged = out.merge(naive, on="k")
+    assert (merged["agg_sum"] == merged["sum"]).all()
+    assert (merged["agg_count"] == merged["count"]).all()
+
+
+def test_multiple_intervals_and_keys():
+    t = pa.table({
+        "name": ["a", "a", "a", "b"],
+        "ts_ms": [0, 10_000, 5_000, 0],
+        "value": [1.0, 10.0, 2.0, 7.0],
+    })
+    out = interval_aggregate(ray.data.from_arrow(t), ts_col="ts_ms",
+                             interval_ms=10_000, keys=["name"], value_col="value")
+    df = out.to_pandas().sort_values(["name", "ts_ms"]).reset_index(drop=True)
+    assert df[["name", "ts_ms", "agg_sum"]].values.tolist() == [
+        ["a", 0, 3.0], ["a", 10_000, 10.0], ["b", 0, 7.0]]

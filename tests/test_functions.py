@@ -1,0 +1,71 @@
+"""Pure-kernel tests (no Ray needed beyond the session fixture)."""
+
+import numpy as np
+import pyarrow as pa
+
+from cardinalhq_otel_collector_ray.functions.hashing import (
+    combine_hash64, hashmod_keep, mulhash, poly_hash64, stable_str_hash64)
+from cardinalhq_otel_collector_ray.functions.tags import (
+    canonical_tagstring, split_sections)
+from cardinalhq_otel_collector_ray.functions.text import (
+    char_shingles_u64, map_words_to_ids, split_words)
+
+
+def test_mulhash_matches_sql_semantics():
+    ids = np.array([0, 1, 42, 10**6], dtype=np.int64)
+    expect = [(i * 2654435761 + 12345) % 1_000_003 for i in ids]
+    assert mulhash(ids).tolist() == expect
+
+
+def test_hashmod_keep_fraction():
+    ids = np.arange(100_000, dtype=np.int64)
+    frac = hashmod_keep(ids, 10).mean()
+    assert 0.08 < frac < 0.12
+
+
+def test_stable_str_hash_deterministic():
+    a = stable_str_hash64(["foo", "bar", "foo"])
+    assert a[0] == a[2] and a[0] != a[1]
+    # stability across calls (same process) and shape
+    assert stable_str_hash64(["foo"])[0] == a[0]
+
+
+def test_poly_hash_orders():
+    m1 = np.array([[1, 2, 3]], dtype=np.int64)
+    m2 = np.array([[3, 2, 1]], dtype=np.int64)
+    assert poly_hash64(m1)[0] != poly_hash64(m2)[0]
+    assert combine_hash64(np.array([1]), np.array([2]))[0] != \
+           combine_hash64(np.array([2]), np.array([1]))[0]
+
+
+def test_canonical_tagstring_order_insensitive():
+    a = canonical_tagstring({"b": "2", "a": "1"})
+    b = canonical_tagstring({"a": "1", "b": "2"})
+    assert a == b
+
+
+def test_split_sections():
+    # aggregate.go:121-147 section prefixes
+    tags = {"resource.host": "h1", "instrumentation.lib": "l",
+            "metric.path": "/x", "metadata.metric.name": "m", "plain": "v"}
+    s = split_sections(tags)
+    assert s["resource"] == {"host": "h1"}
+    assert s["scope"] == {"lib": "l"}
+    assert s["metadata"] == {"metric.name": "m"}
+    assert s["datapoint"] == {"path": "/x", "plain": "v"}
+
+
+def test_split_words_and_map():
+    col = pa.array(["a b c", "b b", ""])
+    words = split_words(col)
+    vocab = {"a": 0, "b": 1, "c": 2}
+    toks = map_words_to_ids(words, vocab)
+    assert toks.to_pylist()[:2] == [[0, 1, 2], [1, 1]]
+
+
+def test_char_shingles():
+    starts, codes = char_shingles_u64(["abcd", "ab", "abcde"], k=4)
+    # doc0: 1 shingle, doc1: 0 (too short), doc2: 2
+    assert starts.tolist() == [0, 1, 1, 3]
+    assert len(codes) == 3
+    assert codes[0] == codes[1]  # "abcd" shingle shared with doc2's first

@@ -1,0 +1,87 @@
+"""Driver-style conformance: every queries() entry with an oracle_sql()
+entry must match DuckDB exactly (row count + order-insensitive values).
+
+This mirrors the driver's CORRECTNESS gate so breakage shows up in
+``pytest`` before a round ends.
+"""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize list/array columns to tuples so they sort/compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v)
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, sf_dir, con):
+    assert name in QUERIES, f"oracle_sql has {name} but queries() does not"
+    ours = _canon(_to_pandas(QUERIES[name](sf_dir)))
+    theirs = _canon(con.execute(ORACLES[name]).fetchdf())
+    if len(ours) == 0 and len(theirs) == 0:
+        return
+    assert list(ours.columns) == list(theirs.columns), (
+        f"{name}: columns {list(ours.columns)} != {list(theirs.columns)}")
+    assert len(ours) == len(theirs), (
+        f"{name}: rows {len(ours)} != {len(theirs)}")
+    for col in ours.columns:
+        av, bv = ours[col].tolist(), theirs[col].tolist()
+        mism = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv))
+                if not _values_equal(x, y)]
+        assert not mism, f"{name}.{col}: first mismatches {mism[:5]}"
+
+
+def test_all_queries_run(sf_dir):
+    """Queries without an oracle (approximate ops) must still execute."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = _to_pandas(fn(sf_dir))
+        assert df is not None and df.shape[0] >= 0, name

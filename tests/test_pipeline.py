@@ -1,0 +1,94 @@
+"""Flagship pipeline end-to-end: token passthrough equality, sink layout,
+manifest lineage, resume-skip (FIXTURES.md F5/F6)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from cardinalhq_otel_collector_ray.pipelines import (
+    routed_documents, run_to_sinks, sink_counts)
+from cardinalhq_otel_collector_ray.sources import build_vocab, tokenized_documents
+
+RUN_TS = 1706078400.0  # 2024-01-24T06:40:00Z — partition_test.go golden time
+
+
+def test_tokens_pass_through_byte_identical(sf_dir):
+    """North-rule invariant: tokens survive parse/enrich/route unchanged."""
+    vocab = build_vocab(sf_dir)
+    base = tokenized_documents(sf_dir, vocab=vocab).to_pandas()
+    routed = routed_documents(sf_dir, vocab=vocab).to_pandas()
+    b = base.set_index("doc_id")["tokens"]
+    r = routed.set_index("doc_id")["tokens"]
+    assert set(b.index) == set(r.index)
+    for did in b.index:
+        assert list(b[did]) == list(r[did]), did
+
+
+def test_route_partition_counts_sum_to_total(sf_dir):
+    counts = sink_counts(routed_documents(sf_dir)).to_pandas()
+    total_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert counts["n_rows"].sum() == total_docs
+    assert set(counts["route"]) <= {"main", "errors", "sampled", "quarantine"}
+
+
+@pytest.fixture()
+def out_root(tmp_path):
+    return str(tmp_path / "sinks")
+
+
+def test_sink_layout_and_manifest(sf_dir, out_root):
+    sink, entries = run_to_sinks(sf_dir, out_root, run_ts=RUN_TS,
+                                 num_partitions=4)
+    # strftime partition dirs from the FIXED run timestamp (partition.go:59-115)
+    files = glob.glob(os.path.join(
+        out_root, "sink=*", "year=2024", "month=01", "day=24", "hour=06",
+        "minute=40", "logs_*.parquet"))
+    assert files, "expected strftime-partitioned parquet files"
+    # manifest rows (notify analog) cover every written file
+    manifest_paths = {e.path for e in sink.manifest.completed().values()}
+    assert set(files) <= manifest_paths
+    # row counts in manifest match files
+    for e in sink.manifest.completed().values():
+        assert pq.read_metadata(e.path).num_rows == e.rows
+    # total rows across sinks == input rows
+    total = sum(e.rows for e in sink.manifest.completed().values())
+    assert total == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def test_resume_skips_completed_partitions(sf_dir, out_root):
+    sink, entries = run_to_sinks(sf_dir, out_root, run_ts=RUN_TS,
+                                 num_partitions=4)
+    full_manifest = {e.partition_id: e for e in sink.manifest.completed().values()}
+
+    # simulate a crash: drop the last 2 manifest lines + their files
+    lines = open(sink.manifest.path).read().strip().split("\n")
+    keep, lost = lines[:-2], lines[-2:]
+    with open(sink.manifest.path, "w") as f:
+        f.write("\n".join(keep) + "\n")
+    for line in lost:
+        os.remove(json.loads(line)["path"])
+
+    sink2, entries2 = run_to_sinks(sf_dir, out_root, run_ts=RUN_TS,
+                                   num_partitions=4, resume=True)
+    # only the lost partitions were rewritten
+    assert {e.partition_id for e in entries2} == {
+        json.loads(l)["partition_id"] for l in lost}
+    # final manifest is equivalent to the uninterrupted run
+    final = {e.partition_id: e for e in sink2.manifest.completed().values()}
+    assert final.keys() == full_manifest.keys()
+    for pid, e in final.items():
+        assert e.rows == full_manifest[pid].rows
+        assert os.path.exists(e.path)
+
+
+def test_rerun_without_resume_is_idempotent(sf_dir, out_root):
+    sink, _ = run_to_sinks(sf_dir, out_root, run_ts=RUN_TS, num_partitions=4)
+    rows1 = {e.partition_id: e.rows for e in sink.manifest.completed().values()}
+    sink2, _ = run_to_sinks(sf_dir, out_root, run_ts=RUN_TS, num_partitions=4,
+                            resume=False)
+    rows2 = {e.partition_id: e.rows for e in sink2.manifest.completed().values()}
+    assert rows1 == rows2
