@@ -14,7 +14,21 @@ import os
 import ray.data
 
 
+TARGET_BLOCK_BYTES = 16 << 20  # split reads into ~16 MiB blocks
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                filter=None, **kwargs) -> ray.data.Dataset:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if "override_num_blocks" not in kwargs:
+        # Ray's default parallelism heuristic (≈2× CPUs) oversplits small
+        # files into dozens of near-empty blocks; every downstream stage and
+        # shuffle then pays per-task overhead ~15× the useful compute.
+        # Split by actual bytes instead, with a floor of 8 blocks for
+        # non-tiny files so downstream groupby/map_groups stages keep
+        # shuffle parallelism. Large inputs: size ≫ TARGET_BLOCK_BYTES, so
+        # the byte-based count dominates and matches Ray's own splitting.
+        size = os.path.getsize(path)
+        by_bytes = max(1, -(-size // TARGET_BLOCK_BYTES))
+        kwargs["override_num_blocks"] = max(by_bytes, 8) if size >= (1 << 20) else by_bytes
     return ray.data.read_parquet(path, columns=columns, filter=filter, **kwargs)

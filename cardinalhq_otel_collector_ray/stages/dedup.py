@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import stable_str_hash64
@@ -51,19 +52,30 @@ def exact_dedup(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data
 
 def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
     """Per distinct content: (content, keep_id=min(id), n_copies).
-    SQL-equivalent: ``SELECT content, min(id), count(*) GROUP BY content``."""
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = stable_str_hash64(batch[content_col].to_pylist()).view(np.int64)
-        return batch.append_column("_chash", pa.array(h))
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        stats = g.groupby(content_col, sort=False)[id_col].agg(["min", "count"]).reset_index()
-        return pd.DataFrame({content_col: stats[content_col],
-                             "keep_id": stats["min"],
-                             "n_copies": stats["count"].astype(np.int64)})
+    Fully C++ two-phase: per-block pyarrow ``group_by(content)`` partials →
+    global ``groupby(hash, content)`` Min/Sum — no per-group Python calls.
+    The 64-bit hash leads the shuffle key so the sort is int-dominated; the
+    content column rides along for exactness (collisions can't merge
+    distinct contents).
+    SQL-equivalent: ``SELECT content, min(id), count(*) GROUP BY content``.
+    """
+    from ray.data.aggregate import Min, Sum
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("_chash").map_groups(per_group, batch_format="pandas")
+    def precombine(batch: pa.Table) -> pa.Table:
+        part = batch.select([content_col, id_col]).group_by([content_col]) \
+            .aggregate([(id_col, "min"), (id_col, "count")])
+        part = part.rename_columns([content_col, "_pmin", "_pn"])
+        h = stable_str_hash64(part[content_col].to_pylist()).view(np.int64)
+        return part.append_column("_chash", pa.array(h))
+
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    agg = partials.groupby(["_chash", content_col]).aggregate(
+        Min("_pmin", alias_name="keep_id"), Sum("_pn", alias_name="n_copies"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return batch.select([content_col, "keep_id", "n_copies"])
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -132,42 +144,155 @@ class MinHasher:
         })
 
 
+def _hot_bucket_filter(index: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """Keep only rows whose ``key`` value occurs ≥2 times globally.
+
+    Candidate buckets are RARE (near-dups are the exception), so instead of
+    shuffling every index row into a python-call-per-group ``map_groups``
+    (~80k empty groups for 5k docs), count buckets with a cheap two-phase
+    C++ aggregate, pull the (tiny) hot-key set to the driver, broadcast it,
+    and vectorized-filter. Turns the expensive stage into
+    O(#actual candidates). Falls back gracefully: worst case (everything
+    duplicated) the filter keeps everything.
+    """
+    import ray as _ray
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        part = batch.select([key]).group_by([key]).aggregate([(key, "count")])
+        return part.rename_columns([key, "_n"])
+
+    from ray.data.aggregate import Sum
+    counts = (index.map_batches(count_batch, batch_format="pyarrow")
+              .groupby(key).aggregate(Sum("_n", alias_name="n")))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)), batch_format="pyarrow")
+    hot_keys = np.sort(np.concatenate(
+        [b[key].to_numpy(zero_copy_only=False)
+         for b in hot.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, dtype=np.int64)]))
+    ref = _ray.put(hot_keys)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        hk = _ray.get(ref)
+        pos = np.searchsorted(hk, keys)
+        pos = np.minimum(pos, max(len(hk) - 1, 0))
+        mask = len(hk) > 0 and hk[pos] == keys
+        if isinstance(mask, bool):
+            mask = np.zeros(len(keys), dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    return index.map_batches(filt, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
-                      k_shingle: int = 4, num_perm: int = 64, bands: int = 16,
+                      k_shingle: int = 6, num_perm: int = 64, bands: int = 8,
                       threshold: float = 0.7, max_bucket: int = 2000,
                       seed: int = 7, concurrency: int = 2) -> ray.data.Dataset:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
-    shingle → minhash → band → bucket ``groupby(band, band_hash)`` →
-    within-bucket pairs → signature-estimated Jaccard filter → global pair
-    dedup (a pair found in several bands collapses to one row).
+    shingle → minhash → band → hot-bucket prefilter (see
+    ``_hot_bucket_filter``) → bucket groupby → within-bucket pairs →
+    signature-estimated Jaccard filter → global pair dedup (a pair found in
+    several bands collapses to one row).
     """
-    index = ds.map_batches(
-        MinHasher, fn_constructor_args=(text_col, id_col),
-        fn_constructor_kwargs=dict(k_shingle=k_shingle, num_perm=num_perm,
-                                   bands=bands, seed=seed),
-        batch_format="pyarrow", concurrency=concurrency)
+    hasher = MinHasher(text_col, id_col, k_shingle=k_shingle,
+                       num_perm=num_perm, bands=bands, seed=seed)
+    index = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    # The index is consumed twice (bucket counts, then the filtered pair
+    # pass) and is tiny relative to the input (ids + band keys + sigs) —
+    # materialize so the shingle/minhash work runs ONCE.
+    index = index.materialize()
+    index = _hot_bucket_filter(index, "band_hash")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > max_bucket:  # skip degenerate/hot buckets
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.drop_duplicates(subset=["id"]).sort_values("id", kind="mergesort")
+    # Pair generation is partitioned by band_hash % P (NOT per bucket):
+    # one Python call per partition, runs of equal band_hash swept with
+    # numpy — avoids a Ray dispatch per bucket when templated corpora put
+    # most rows in hot buckets.
+    def est_jaccard(sigs: np.ndarray, pa_pos: np.ndarray,
+                    pb_pos: np.ndarray) -> np.ndarray:
+        # column loop: gathers stay 1-D and cache-resident instead of
+        # materializing two (n_pairs × num_perm) matrices
+        acc = np.zeros(len(pa_pos), dtype=np.int32)
+        for j in range(sigs.shape[1]):
+            col = sigs[:, j]
+            acc += col[pa_pos] == col[pb_pos]
+        return acc / float(sigs.shape[1])
+
+    pairs = _bucketed_pairs(index, "band_hash", sig_col="sig", sig_kind="binary",
+                            max_bucket=max_bucket,
+                            verify=est_jaccard,
+                            verdict_col="est_jaccard",
+                            keep=lambda v: v >= threshold,
+                            num_perm=num_perm)
+
+    from ray.data.aggregate import Max
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def _bucketed_pairs(index: ray.data.Dataset, key: str, *, sig_col: str,
+                    sig_kind: str, max_bucket: int, verify, verdict_col: str,
+                    keep, num_perm: int = 0,
+                    partitions: int = 64) -> ray.data.Dataset:
+    """Vectorized within-bucket pair generation over hash partitions.
+
+    ``index`` rows: (id, <key>, sig: binary). Partition = key % partitions;
+    inside one partition, rows are sorted by key, equal-key runs found with
+    one ``np.unique``, triu pair indices emitted per run (numpy), and
+    ``verify(sig_a, sig_b)`` evaluated on the stacked signature matrix in
+    ONE vectorized call per partition.
+    """
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column("_part", pa.array(
+            (k.astype(np.uint64) % np.uint64(partitions)).astype(np.int32)))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "id"], kind="mergesort").drop_duplicates(
+            subset=[key, "id"])
+        keys = g[key].to_numpy()
         ids = g["id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        n = len(ids)
-        ia, ib = np.triu_indices(n, k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "est_jaccard": est[keep]})
+        if sig_kind == "binary":
+            sigs = np.frombuffer(b"".join(g[sig_col]), dtype=np.uint64).reshape(
+                len(g), num_perm) if len(g) else np.empty((0, num_perm), np.uint64)
+        else:  # int64 scalar signature
+            sigs = g[sig_col].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
+        _, starts = np.unique(keys, return_index=True)
+        bounds = np.append(starts, len(keys))
+        ia_all, ib_all = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            ia_all.append(ia + s); ib_all.append(ib + s)
+        if not ia_all:
+            empty = pd.Series([], dtype=ids.dtype if len(ids) else "int64")
+            return pd.DataFrame({"id_a": empty, "id_b": empty,
+                                 verdict_col: pd.Series([], dtype="float64")})
+        ia = np.concatenate(ia_all); ib = np.concatenate(ib_all)
+        # A pair hit in k bands/chunks appears k times — verify each pair
+        # ONCE. Map candidate positions to first-occurrence-per-id, then
+        # unique the (posA, posB) pair set (templated corpora see ~bands×
+        # dedup factors here).
+        uids, first_pos = np.unique(ids, return_index=True)
+        pa_pos = first_pos[np.searchsorted(uids, ids[ia])]
+        pb_pos = first_pos[np.searchsorted(uids, ids[ib])]
+        lo = np.minimum(pa_pos, pb_pos); hi = np.maximum(pa_pos, pb_pos)
+        packed = np.unique(lo.astype(np.uint64) << np.uint64(32) | hi.astype(np.uint64))
+        pa_pos = (packed >> np.uint64(32)).astype(np.int64)
+        pb_pos = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        v = verify(sigs, pa_pos, pb_pos)
+        mask = keep(v)
+        a_ids, b_ids = ids[pa_pos[mask]], ids[pb_pos[mask]]
+        # canonical id order (position order ≠ id order after the key sort)
+        return pd.DataFrame({"id_a": np.minimum(a_ids, b_ids),
+                             "id_b": np.maximum(a_ids, b_ids),
+                             verdict_col: np.asarray(v, dtype=np.float64)[mask]})
 
-    pairs = index.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair, batch_format="pandas")
+    return (index.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(partition_pairs, batch_format="pandas"))
 
 
 # ------------------------------------------------------------------- SimHash
@@ -211,37 +336,38 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
         h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n = len(h)
-        chunk_idx = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk_idx = np.tile(np.arange(4, dtype=np.int64), n)
         hh = np.repeat(h, 4)
         shift = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
         chunk_val = ((hh >> shift) & np.uint64(0xFFFF)).astype(np.int64)
+        # single combined bucket key: (chunk << 16) | chunk_val
+        bkey = (chunk_idx << 16) | chunk_val
         return pa.table({"id": pa.array(np.repeat(ids, 4)),
-                         "chunk": pa.array(chunk_idx),
-                         "chunk_val": pa.array(chunk_val),
+                         "bkey": pa.array(bkey),
                          "simhash": pa.array(np.repeat(h.view(np.int64), 4))})
 
     index = hashed.map_batches(explode_chunks, batch_format="pyarrow")
+    index = index.materialize()  # consumed twice (counts + filtered pairs)
+    index = _hot_bucket_filter(index, "bkey")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > max_bucket:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.drop_duplicates(subset=["id"]).sort_values("id", kind="mergesort")
-        ids = g["id"].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = h[ia] ^ h[ib]
+    def hamming(sigs: np.ndarray, pa_pos: np.ndarray,
+                pb_pos: np.ndarray) -> np.ndarray:
+        col = sigs[:, 0]
+        x = col[pa_pos] ^ col[pb_pos]
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "hamming": ham[keep]})
+        return ham
 
-    pairs = index.groupby(["chunk", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas")
+    pairs = _bucketed_pairs(index, "bkey", sig_col="simhash", sig_kind="int64",
+                            max_bucket=max_bucket, verify=hamming,
+                            verdict_col="hamming",
+                            keep=lambda v: v <= max_hamming)
+
+    from ray.data.aggregate import Min
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ------------------------------------------------- word-set Jaccard (exact)
