@@ -377,6 +377,115 @@ def _q_transform(sf_dir: str):
     return ds
 
 
+def _q_delta_to_rate(sf_dir: str):
+    """deltatorate (components.go:123): value per second within key stream."""
+    from cardinalhq_otel_collector_ray.stages.temporal import delta_to_rate
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "ts_ms", "value_cents"])
+    out = delta_to_rate(ds, keys=["user_id", "event_type"], ts_col="ts_ms",
+                        value_col="value_cents", out="rate")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rate"] = df["rate"].round(6)
+        return df[["event_id", "rate"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_unroll_tokens(sf_dir: str):
+    """unrollprocessor (components.go:147): explode a list column → one row
+    per element with its position."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    ds = tokenized_documents(sf_dir)
+
+    def unroll(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values
+        n_per = np.diff(offsets)
+        doc_ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=object), n_per)
+        pos = np.concatenate([np.arange(1, k + 1) for k in n_per]) \
+            if len(n_per) else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.string()),
+                         "pos": pa.array(pos.astype(np.int64)),
+                         "token": values.cast(pa.int32())})
+    return ds.map_batches(unroll, batch_format="pyarrow")
+
+
+def _q_join_broadcast(sf_dir: str):
+    """Broadcast join: orders ⋈ customer (small side broadcast, no shuffle)."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.join import broadcast_join
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["total_cents"] = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return df[["o_orderkey", "o_custkey", "c_mktsegment", "total_cents"]]
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def _q_join_bucketed(sf_dir: str):
+    """Partitioned hash join of two LARGE tables: lineitem ⋈ orders,
+    aggregated per order-priority (co-partitioning groupby shuffle)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.join import bucketed_hash_join
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
+                        batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, on="o_orderkey", num_buckets=32)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "qty": pa.array(q)})
+    qint = joined.map_batches(to_int, batch_format="pyarrow")
+    agg = grouped_aggregate(qint, keys=["o_orderpriority"], value_col="qty")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "sum_qty": batch["agg_sum"].cast(pa.int64()),
+                         "n_lines": batch["agg_count"].cast(pa.int64())})
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_knn_lsh(sf_dir: str):
+    """Rows-only: LSH-bucketed ANN (approximate — no exact SQL oracle)."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.similarity import knn_lsh
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    queries = {int(v): e for v, e in pairs[:10]}
+    dim = len(pairs[0][1])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, queries, "embedding", "vec_id", k=5, dim=dim)
+
+
+def _q_parse_props(sf_dir: str):
+    """Regex field extraction from a JSON-ish props column (filelog
+    regex_parser analog) — RE2 in both engines."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.parse import ParseRule, parse_stage
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    ds = parse_stage(ds, [ParseRule("props", r'"k":\s*(?P<k_str>\d+)')])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "k_val": batch["k_str"].cast(pa.int64())})
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -414,6 +523,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_by_type": _q_count_by_type,
         "sample_events": _q_sample,
         "transform_chain": _q_transform,
+        "delta_to_rate": _q_delta_to_rate,
+        "unroll_tokens": _q_unroll_tokens,
+        "join_broadcast": _q_join_broadcast,
+        "join_bucketed": _q_join_bucketed,
+        "knn_lsh": _q_knn_lsh,
+        "parse_props": _q_parse_props,
     }
 
 
@@ -422,11 +537,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _SQL_TOKENS = r"""
 WITH vocab AS (
   SELECT w AS word, CAST(row_number() OVER (ORDER BY w) - 1 AS INTEGER) AS tid
-  FROM (SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS w
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
         FROM documents) WHERE w <> ''
 ), exploded AS (
-  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
-         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
 ), tok AS (
   SELECT e.doc_id, list(v.tid ORDER BY e.pos) AS tokens,
@@ -441,7 +556,7 @@ WITH parsed AS (
   SELECT doc_id, source,
          CAST(substr(source, 4) AS BIGINT) AS src_num,
          regexp_extract(text, '^(\w+)', 1) AS head_word,
-         CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents
 ), routed AS (
   SELECT *,
@@ -525,7 +640,7 @@ FROM documents GROUP BY text
         "quality_stats": r"""
 WITH w AS (
   SELECT doc_id, length(text) AS n_chars_obs,
-         string_split_regex(text, '\s+') AS words
+         string_split(text, ' ') AS words
   FROM documents
 )
 SELECT doc_id,
@@ -540,7 +655,7 @@ FROM w
 """,
         "langid": r"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
 ), s AS (
   SELECT doc_id,
     CAST(length(list_filter(words, x -> x IN
@@ -632,7 +747,7 @@ FROM ranked WHERE rank <= 5
 """,
         "wordset_jaccard": r"""
 WITH ws AS (
-  SELECT doc_id, lang, unnest(list_distinct(string_split_regex(text, '\s+'))) AS w
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
   FROM documents
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM ws GROUP BY doc_id
@@ -680,6 +795,35 @@ WHERE (event_id * 2654435761 + 12345) % 1000 < 100
 SELECT event_id, regexp_replace(props, '\d+', '#', 'g') AS props_redacted,
        (event_id * 2654435761 + 12345) % 1000003 AS event_hash,
        props AS props_raw
+FROM events
+""",
+        "delta_to_rate": _SQL_EVENTS + r"""
+SELECT event_id,
+       round(value_cents /
+             ((ts_ms - lag(ts_ms) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts_ms)) / 1000.0), 6) AS rate
+FROM ev
+""",
+        "unroll_tokens": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
+SELECT CAST(e.doc_id AS VARCHAR) AS doc_id, CAST(e.pos AS BIGINT) AS pos,
+       v.tid AS token
+FROM exploded e JOIN vocab v ON e.w = v.word
+""",
+        "join_broadcast": r"""
+SELECT o_orderkey, o_custkey, c_mktsegment,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+""",
+        "join_bucketed": r"""
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        "parse_props": r"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
 FROM events
 """,
     }

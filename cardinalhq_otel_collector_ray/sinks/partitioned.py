@@ -51,7 +51,7 @@ class PartitionedSink:
     def __init__(self, root: str, run_ts: float, *,
                  num_partitions: int = 16, signal: str = "logs",
                  file_prefix: str = "", partition_format: str = DEFAULT_PARTITION_FORMAT,
-                 tz=timezone.utc):
+                 tz=timezone.utc, route_dests: dict[str, str] | None = None):
         self.root = root
         self.run_ts = run_ts
         self.num_partitions = num_partitions
@@ -59,10 +59,15 @@ class PartitionedSink:
         self.file_prefix = file_prefix
         self.time_dir = partition_dir(run_ts, partition_format, tz)
         self.manifest = Manifest(root)
+        # C6 per-attr-value destination override: route value → alternate
+        # root (the bucket/prefix override of exporter.go:48-66, where the
+        # batch is pre-split per attr value so the override is homogeneous)
+        self.route_dests = route_dests or {}
 
     def object_path(self, sink: str, pid: int) -> str:
         fname = f"{self.file_prefix}{self.signal}_{pid:05d}.parquet"
-        return os.path.join(self.root, f"sink={sink}", self.time_dir, fname)
+        root = self.route_dests.get(sink, self.root)
+        return os.path.join(root, f"sink={sink}", self.time_dir, fname)
 
     def write(self, ds: ray.data.Dataset, *, key_col: str,
               route_col: str = "route", tokens_len_col: str | None = None,

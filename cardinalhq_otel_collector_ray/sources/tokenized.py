@@ -45,11 +45,27 @@ def build_vocab(sf_dir: str) -> dict[str, int]:
 
 
 class Tokenizer:
-    """Actor-pool tokenizer: vocab fetched once per actor in __init__."""
+    """Tokenizer over a broadcast vocab.
+
+    Works in BOTH execution shapes: as a stateless-task fn (instance passed
+    to map_batches — the ObjectRef resolves from node-local plasma, lazily,
+    at most one real fetch per node) and as an actor-pool class
+    (``map_batches(Tokenizer, fn_constructor_args=...)`` — resolve once per
+    actor). Stateless is the default: the vocab is small and elastic tasks
+    scale with the cluster instead of a fixed pool.
+    """
 
     def __init__(self, vocab_ref, keep_text: bool = False):
-        self.vocab = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        self._ref = vocab_ref
+        self._vocab = None
         self.keep_text = keep_text
+
+    @property
+    def vocab(self):
+        if self._vocab is None:
+            self._vocab = (ray.get(self._ref)
+                           if isinstance(self._ref, ray.ObjectRef) else self._ref)
+        return self._vocab
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         words = split_words(batch["text"])
@@ -66,14 +82,23 @@ class Tokenizer:
 def tokenized_documents(sf_dir: str, vocab: dict[str, int] | None = None,
                         concurrency: int | None = None,
                         keep_text: bool = False) -> ray.data.Dataset:
-    """The canonical token table as a streaming Dataset."""
+    """The canonical token table as a streaming Dataset.
+
+    Default: stateless tasks (elastic). Pass ``concurrency`` for a pinned
+    actor pool (size it to leave CPUs for the read stage — a pool that
+    reserves every CPU starves the reader and the pipeline serializes).
+    """
     if vocab is None:
         vocab = build_vocab(sf_dir)
     vocab_ref = ray.put(vocab)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    # Pool sized to leave CPUs for the read stage (an actor pool that
-    # reserves every CPU starves the reader and the pipeline serializes).
+    # batch_size=None → one batch per block: block size is already set at
+    # the read; a fixed row batch_size makes the map op accumulate rows
+    # ACROSS blocks, which bundles inputs and serializes the stage.
+    if concurrency is None:
+        return ds.map_batches(Tokenizer(vocab_ref, keep_text=keep_text),
+                              batch_format="pyarrow", batch_size=None)
     return ds.map_batches(Tokenizer, fn_constructor_args=(vocab_ref,),
                           fn_constructor_kwargs={"keep_text": keep_text},
-                          batch_format="pyarrow", batch_size=8192,
-                          concurrency=concurrency or 2)
+                          batch_format="pyarrow", batch_size=None,
+                          concurrency=concurrency)

@@ -99,17 +99,52 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
 
 
 def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
-                      precombine_batch_size: int = 65536) -> ray.data.Dataset:
+                      precombine_batch_size: int | None = None,
+                      mode: str = "shuffle") -> ray.data.Dataset:
     """Non-windowed two-phase groupby (countconnector/sumconnector analog,
-    ``distribution/components.go:15,25``): sum/count per key-set."""
+    ``distribution/components.go:15,25``): sum/count per key-set.
+
+    ``mode``:
+
+    - ``"shuffle"`` (default): global ``groupby().aggregate()`` over the
+      partials — fully distributed; right when group cardinality is
+      unbounded. Cost grows with the NUMBER of partial blocks (Ray's sort
+      shuffle creates O(blocks²) map→reduce objects), so upstream block
+      sizing matters more than row counts here.
+    - ``"driver"``: stream the pre-combined partials (one small batch per
+      block — already reduced to ≤ G rows each) to the driver and finish
+      with ONE C++ ``group_by``. The right choice when G (distinct groups)
+      is bounded and small (sink counts, per-source aggregates): the driver
+      sees G·B rows of a few columns, never raw data. This is the standard
+      "merge partial aggregates at the coordinator" pattern, not a
+      driver-side loop over records.
+    """
 
     def precombine(batch: pa.Table) -> pa.Table:
         part = batch.select(keys + [value_col]).group_by(keys).aggregate(
             [(value_col, "sum"), (value_col, "count")])
         return part.rename_columns(keys + ["_psum", "_pcount"])
 
+    # batch_size=None: per-BLOCK precombine. A row-count batch size would
+    # make the fused upstream chain bundle ~batch_size/block_rows input
+    # blocks per task and serialize the whole pipeline.
     partials = ds.map_batches(precombine, batch_format="pyarrow",
                               batch_size=precombine_batch_size)
+
+    if mode == "driver":
+        import ray.data as rd
+        batches = list(partials.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            empty = pa.table({k: pa.array([], pa.string()) for k in keys})
+            empty = empty.append_column("agg_sum", pa.array([], pa.int64()))
+            return rd.from_arrow(empty.append_column(
+                "agg_count", pa.array([], pa.int64())))
+        merged = pa.concat_tables(batches, promote_options="default")
+        out = merged.group_by(keys).aggregate(
+            [("_psum", "sum"), ("_pcount", "sum")])
+        out = out.rename_columns(keys + ["agg_sum", "agg_count"])
+        return rd.from_arrow(out)
+
     return partials.groupby(keys).aggregate(
         Sum("_psum", alias_name="agg_sum"),
         Sum("_pcount", alias_name="agg_count"),

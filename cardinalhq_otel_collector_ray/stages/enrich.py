@@ -78,7 +78,7 @@ class BroadcastEnricher:
 
 
 def enrich_stage(ds: ray.data.Dataset, table: dict, key_column: str,
-                 concurrency: int | None = None, batch_size: int = 16384,
+                 concurrency: int | None = None, batch_size: int | None = None,
                  miss_value=None) -> ray.data.Dataset:
     """Default: stateless tasks carrying the broadcast ObjectRef (resolved
     from the node-local plasma cache — the dict ships to each node once, not

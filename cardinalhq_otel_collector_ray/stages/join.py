@@ -1,0 +1,114 @@
+"""Join operators.
+
+The reference has NO stream-stream joins (SURVEY §2.2 "Not present
+anywhere") — its only join is the small-dictionary lookup (C9). A
+training-data engine needs real joins, so two Ray-Data-native shapes:
+
+- ``broadcast_join``: small side ``ray.put`` once, pandas merge per batch
+  inside ``map_batches`` — no shuffle, the C9 pattern generalized to full
+  rows. Use whenever one side fits in worker memory (dimension tables).
+- ``bucketed_hash_join``: both sides large — add ``bucket = hash(key) % B``
+  to each side, ``groupby(bucket)`` the union, join within each bucket.
+  One explicit co-partitioning shuffle; document B and salt hot keys by
+  raising B. This is the portable partitioned hash join (ray_guide
+  pattern) — independent of whether this Ray version ships Dataset.join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join(ds: ray.data.Dataset, small: pd.DataFrame, on: str,
+                   how: str = "left", suffix: str = "_r") -> ray.data.Dataset:
+    """Join against a driver-side small table, broadcast once via ray.put."""
+    ref = ray.put(small)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)  # node-local plasma hit after first task
+        return df.merge(rhs, on=on, how=how, suffixes=("", suffix))
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def semi_join(ds: ray.data.Dataset, keys, on: str,
+              anti: bool = False) -> ray.data.Dataset:
+    """Semi/anti join via a broadcast key set (filter inside map_batches)."""
+    key_arr = np.sort(np.asarray(list(keys)))
+    ref = ray.put(key_arr)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = batch[on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, col)
+        pos = np.minimum(pos, max(len(ks) - 1, 0))
+        mask = (ks[pos] == col) if len(ks) else np.zeros(len(col), bool)
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                       on: str, num_buckets: int = 32,
+                       how: str = "inner") -> ray.data.Dataset:
+    """Partitioned hash join of two large datasets on an integer key.
+
+    Both sides get ``_bucket = (key * 2654435761 + 12345) % num_buckets``
+    and a ``_side`` tag, are unioned, co-partitioned by ONE
+    ``groupby(_bucket)`` shuffle, and merged per bucket with pandas.
+    Columns common to both sides (other than ``on``) get a ``_r`` suffix
+    on the right. Skewed keys: raise ``num_buckets`` (each bucket must fit
+    in a worker's heap).
+    """
+    # Union requires one schema: suffix right-side name collisions, then
+    # give each side typed-NA placeholders for the other side's columns.
+    lcols = [c for c in left.columns()]
+    rcols = [c for c in right.columns()]
+    collide = (set(lcols) & set(rcols)) - {on}
+    r_renames = {c: c + "_r" for c in collide}
+    r_out = [r_renames.get(c, c) for c in rcols]
+    l_sample = left.take_batch(1, batch_format="pandas")
+    r_sample = (right.take_batch(1, batch_format="pandas")
+                .rename(columns=r_renames))
+    all_cols = [on] + [c for c in lcols if c != on] + \
+               [c for c in r_out if c != on]
+    dtypes = {**{c: l_sample[c].dtype for c in l_sample.columns},
+              **{c: r_sample[c].dtype for c in r_sample.columns}}
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if side == "r":
+                df = df.rename(columns=r_renames)
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    dt = str(dtypes[c])
+                    if dt.startswith("float"):
+                        df[c] = np.full(len(df), np.nan)
+                    elif dt.startswith(("int", "uint")):
+                        df[c] = pd.Series([pd.NA] * len(df), dtype="Int64")
+                    else:
+                        df[c] = pd.Series([None] * len(df), dtype="object")
+            k = df[on].to_numpy().astype(np.int64)
+            df["_bucket"] = (k * np.int64(2654435761) + np.int64(12345)) \
+                % np.int64(num_buckets)
+            df["_side"] = side
+            return df[all_cols + ["_bucket", "_side"]]
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+    l_keep = [on] + [c for c in lcols if c != on]
+    r_keep = [on] + [c for c in r_out if c != on]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"][l_keep]
+        r = g[g["_side"] == "r"][r_keep]
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -55,7 +55,7 @@ class RegexParser:
 
 def parse_stage(ds: ray.data.Dataset, rules: list[ParseRule],
                 concurrency: int | None = None,
-                batch_size: int = 16384) -> ray.data.Dataset:
+                batch_size: int | None = None) -> ray.data.Dataset:
     """Default: stateless tasks (RE2 patterns are compiled in C++ per call —
     cheap, and tasks never deadlock a small cluster the way stacked actor
     pools can). Pass ``concurrency`` to pin an actor pool instead (useful

@@ -1,0 +1,99 @@
+"""C3 emit-shape goldens (aggregate.go:121-191) and C7 marshal goldens
+(sumo_marshaler_test.go:70-321, body_marshaler.go:25-44)."""
+
+import gzip
+import json
+
+import pyarrow as pa
+import pytest
+
+from cardinalhq_otel_collector_ray.sinks.serializers import (
+    MarshalError, marshal_body, marshal_sumo_ic, serialize)
+from cardinalhq_otel_collector_ray.stages.emit import emit_row
+
+
+def test_emit_row_sections_and_metadata():
+    tags = {
+        "resource.host.name": "h1",
+        "instrumentation.lib": "otel",
+        "metric.path": "/api",
+        "metadata.metric.name": "req.count",
+        "metadata.metric.description": "requests",
+        "metadata.metric.unit": "1",
+        "metadata.metric.aggregation_temporality": "cumulative",
+        "metadata.metric.is_monotonic": "true",
+    }
+    row = emit_row(tags, "sum", 6.0, 10_000,
+                   additional_attributes={"env": "prod"})
+    assert row["name"] == "req.count"
+    assert row["description"] == "requests"
+    assert row["unit"] == "1"
+    # emitted sums are ALWAYS delta non-monotonic regardless of metadata
+    # (aggregate.go:96-101)
+    assert row["mtype"] == "sum"
+    assert row["temporality"] == "delta" and row["monotonic"] is False
+    # dp ts and start-ts = interval start (aggregate.go:64-67)
+    assert row["ts_ms"] == row["start_ts_ms"] == 10_000
+    assert row["resource_attrs"] == {"host.name": "h1"}
+    assert row["scope_attrs"] == {"lib": "otel"}
+    # metric.-prefixed and unprefixed tags land on the datapoint;
+    # additional_attributes appended (aggregate.go:72-74)
+    assert row["dp_attrs"] == {"path": "/api", "env": "prod"}
+
+
+def test_emit_row_gauge():
+    row = emit_row({"metadata.metric.name": "cpu"}, "avg", 0.5, 0)
+    assert row["mtype"] == "gauge"
+    assert row["temporality"] is None and row["monotonic"] is None
+    assert row["value_d"] == 0.5
+
+
+def _logs_batch(**overrides):
+    base = {
+        "_sourceCategory": ["cat"], "_sourceHost": ["host"],
+        "_sourceName": ["name"], "region": ["eu"],
+        "level": ["info"], "body": ["hello world"],
+    }
+    base.update(overrides)
+    return pa.table(base)
+
+
+def test_sumo_golden_shape():
+    out = marshal_sumo_ic(_logs_batch(), resource_attr_cols=("region",),
+                          record_attr_cols=("level",))
+    rec = json.loads(out.decode().strip())
+    assert rec["_sourceCategory"] == "cat"
+    assert rec["fields"] == {"region": "eu"}
+    msg = json.loads(rec["message"])
+    assert msg == {"level": "info", "log": "hello world"}
+
+
+def test_sumo_missing_required_attr_errors():
+    batch = _logs_batch().drop_columns(["_sourceHost"])
+    with pytest.raises(MarshalError):
+        marshal_sumo_ic(batch)
+    with pytest.raises(MarshalError):
+        marshal_sumo_ic(_logs_batch(_sourceName=[None]))
+
+
+def test_body_marshaler_lines():
+    batch = pa.table({"body": ["line one", "line two"]})
+    assert marshal_body(batch) == b"line one\nline two\n"
+
+
+def test_serialize_gzip_roundtrip_deterministic():
+    batch = pa.table({"body": ["x"] * 3})
+    data1, ext1 = serialize(batch, "body", compression="gzip")
+    data2, ext2 = serialize(batch, "body", compression="gzip")
+    assert ext1 == "txt.gz" and data1 == data2  # mtime=0 → byte-stable
+    assert gzip.decompress(data1) == b"x\nx\nx\n"
+
+
+def test_serialize_unknown_format_rejected():
+    with pytest.raises(MarshalError):
+        serialize(pa.table({"a": [1]}), "avro")
+
+
+def test_otlp_proto_stubbed():
+    with pytest.raises(NotImplementedError):
+        serialize(pa.table({"a": [1]}), "otlp_proto")

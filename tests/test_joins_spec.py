@@ -1,0 +1,83 @@
+"""Join operators + declarative pipeline-spec compiler."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+from cardinalhq_otel_collector_ray.stages.join import (
+    broadcast_join, bucketed_hash_join, semi_join)
+
+
+def _left():
+    return ray.data.from_arrow(pa.table({
+        "k": [1, 2, 3, 4], "lval": ["a", "b", "c", "d"]}))
+
+
+def _right():
+    return ray.data.from_arrow(pa.table({
+        "k": [2, 3, 3, 9], "rval": [20.0, 30.0, 31.0, 90.0]}))
+
+
+def test_broadcast_join_left():
+    small = pd.DataFrame({"k": [2, 3], "rval": [20.0, 30.0]})
+    out = broadcast_join(_left(), small, on="k").to_pandas().sort_values("k")
+    assert len(out) == 4
+    assert out[out["k"] == 2]["rval"].iloc[0] == 20.0
+    assert np.isnan(out[out["k"] == 1]["rval"].iloc[0])
+
+
+def test_semi_and_anti_join():
+    out = semi_join(_left(), keys=[2, 3], on="k").to_pandas()
+    assert sorted(out["k"]) == [2, 3]
+    out = semi_join(_left(), keys=[2, 3], on="k", anti=True).to_pandas()
+    assert sorted(out["k"]) == [1, 4]
+
+
+def test_bucketed_hash_join_matches_pandas():
+    out = bucketed_hash_join(_left(), _right(), on="k", num_buckets=4).to_pandas()
+    expect = (_left().to_pandas().merge(_right().to_pandas(), on="k"))
+    assert len(out) == len(expect) == 3  # k=2 once, k=3 twice
+    got = sorted(zip(out["k"], out["lval"], out["rval"]))
+    want = sorted(zip(expect["k"], expect["lval"], expect["rval"]))
+    assert got == want
+
+
+def test_bucketed_join_column_collision_suffix():
+    l = ray.data.from_arrow(pa.table({"k": [1], "v": ["L"]}))
+    r = ray.data.from_arrow(pa.table({"k": [1], "v": ["R"]}))
+    out = bucketed_hash_join(l, r, on="k").to_pandas()
+    assert out["v"].iloc[0] == "L" and out["v_r"].iloc[0] == "R"
+
+
+def test_spec_compile_and_run(sf_dir):
+    spec = {
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text", "source"]},
+        "stages": [
+            {"kind": "parse_regex", "column": "text",
+             "pattern": r"^(?P<head>\w+)"},
+            {"kind": "flag_regex", "column": "text", "pattern": r"\bslow\b",
+             "out": "has_slow"},
+            {"kind": "replace_pattern", "column": "text", "pattern": r"\d+",
+             "replacement": "#"},
+            {"kind": "sample", "id_column": "doc_id", "percent": 50},
+            {"kind": "route", "default": "main", "rules": [
+                {"kind": "equals", "column": "has_slow", "value": True,
+                 "sink": "slowlane"},
+            ]},
+            {"kind": "select", "columns": ["doc_id", "head", "route"]},
+        ],
+    }
+    out = compile_pipeline(spec, sf_dir).to_pandas()
+    assert list(out.columns) == ["doc_id", "head", "route"]
+    assert set(out["route"]) <= {"main", "slowlane"}
+    assert 0 < len(out) < 500  # 50% sample of 500 docs
+
+
+def test_spec_unknown_stage_rejected(sf_dir):
+    with pytest.raises(ValueError, match="unknown kind"):
+        compile_pipeline({"source": {"kind": "parquet", "table": "documents"},
+                          "stages": [{"kind": "nope"}]}, sf_dir)

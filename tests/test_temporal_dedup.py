@@ -1,0 +1,100 @@
+"""Temporal operators and dedup operators — semantics unit tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from cardinalhq_otel_collector_ray.stages.dedup import (
+    exact_dedup, minhash_lsh_pairs, simhash64, wordset_jaccard_pairs)
+from cardinalhq_otel_collector_ray.stages.temporal import (
+    cumulative_to_delta, delta_to_rate, interval_dedup, sessionize)
+
+
+def _events():
+    return ray.data.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": [1000, 2000, 4000, 1000, 61_000],
+        "v": [10, 15, 30, 5, 7],
+    }))
+
+
+def test_cumulative_to_delta():
+    out = cumulative_to_delta(_events(), keys=["k"], ts_col="ts", value_col="v") \
+        .to_pandas().sort_values("id")
+    deltas = out.set_index("id")["delta"]
+    assert pd.isna(deltas[1]) and deltas[2] == 5 and deltas[3] == 15
+    assert pd.isna(deltas[4]) and deltas[5] == 2
+
+
+def test_delta_to_rate():
+    out = delta_to_rate(_events(), keys=["k"], ts_col="ts", value_col="v") \
+        .to_pandas().sort_values("id")
+    r = out.set_index("id")["rate"]
+    assert r[2] == 15 / 1.0  # 1000ms gap
+    assert r[3] == 30 / 2.0
+
+
+def test_interval_dedup_first_and_count():
+    out = interval_dedup(_events(), keys=["k"], ts_col="ts",
+                         interval_ms=60_000, tiebreak_cols=["id"]).to_pandas()
+    a = out[out["k"] == "a"].iloc[0]
+    assert a["id"] == 1 and a["dedup_count"] == 3
+    b = out[out["k"] == "b"].sort_values("_interval")
+    assert len(b) == 2 and list(b["dedup_count"]) == [1, 1]
+
+
+def test_sessionize_gap():
+    ds = ray.data.from_arrow(pa.table({
+        "user": [1, 1, 1, 1],
+        "ts": [0, 1000, 10_000_000, 10_001_000],
+    }))
+    out = sessionize(ds, key="user", ts_col="ts", gap_ms=1_800_000).to_pandas()
+    assert len(out) == 2
+    s0 = out[out["session_id"] == 0].iloc[0]
+    assert s0["session_start"] == 0 and s0["session_end"] == 1000 and s0["n_events"] == 2
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = ray.data.from_arrow(pa.table({
+        "text": ["x", "y", "x", "x"], "id": [5, 2, 3, 9]}))
+    out = exact_dedup(ds, content_col="text", id_col="id").to_pandas()
+    assert sorted(out["id"]) == [2, 3]  # min id per distinct text
+
+
+def test_minhash_finds_planted_near_dups():
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(50):
+        ws = list(rng.choice(words, size=30))
+        texts.append(" ".join(ws)); ids.append(i * 2)
+        if i < 5:  # plant a near-dup: one word changed
+            ws2 = list(ws); ws2[0] = "CHANGED"
+            texts.append(" ".join(ws2)); ids.append(i * 2 + 1)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.6).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    planted = {(2 * i, 2 * i + 1) for i in range(5)}
+    assert planted <= found, f"missing {planted - found}"
+
+
+def test_simhash_identical_texts_equal():
+    ds = ray.data.from_arrow(pa.table({
+        "text": ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"]}))
+    h = simhash64(ds, "text").to_pandas()["simhash"]
+    assert h[0] == h[1] and h[0] != h[2]
+
+
+def test_wordset_jaccard_exact():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "en", "en"],
+        "text": ["a b c d", "a b c x", "z z2 z3 z4"],
+    }))
+    out = wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5) \
+        .to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["id_a"], out.iloc[0]["id_b"]) == (1, 2)
+    assert out.iloc[0]["jaccard"] == 0.6  # |{a,b,c}| / |{a,b,c,d,x}|
