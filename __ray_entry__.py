@@ -486,6 +486,83 @@ def _q_parse_props(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_anomaly_zscore(sf_dir: str):
+    """isolationforest-processor analog (components.go:131) as a two-pass
+    anomaly scorer: (1) exact per-key moments via BIGINT sums, broadcast;
+    (2) vectorized z-score per batch, flag |z| > 2. The stats expression is
+    written operand-for-operand like the SQL oracle so doubles match."""
+    import ray as _ray
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+
+    ds = _events_ms(sf_dir)
+
+    def with_sq(batch: pa.Table) -> pa.Table:
+        v = batch["value_cents"].to_numpy(zero_copy_only=False)
+        return batch.append_column("sq", pa.array(v * v))
+
+    with_squares = ds.map_batches(with_sq, batch_format="pyarrow")
+    sums = grouped_aggregate(with_squares, keys=["event_type"],
+                             value_col="value_cents", mode="driver").to_pandas()
+    sqs = grouped_aggregate(with_squares, keys=["event_type"],
+                            value_col="sq", mode="driver").to_pandas()
+    stats = {}
+    for _, r in sums.merge(sqs, on="event_type", suffixes=("", "_sq")).iterrows():
+        n = float(r["agg_count"]); s = float(r["agg_sum"]); ss = float(r["agg_sum_sq"])
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1.0)
+        stats[r["event_type"]] = (mean, var ** 0.5)
+    ref = _ray.put(stats)
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = _ray.get(ref)
+        types = batch["event_type"].to_pylist()
+        v = batch["value_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.asarray([st[t][0] for t in types])
+        sd = np.asarray([st[t][1] for t in types])
+        z = (v - mean) / sd
+        out = pa.table({"event_id": batch["event_id"],
+                        "event_type": batch["event_type"],
+                        "z": pa.array(np.round(z, 6))})
+        return out.filter(pa.array(np.abs(z) > 2.0))
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _q_tail_sampling(sf_dir: str):
+    """tailsamplingprocessor analog (components.go:145): keep EVERY event
+    of users who produced ≥1 'error' event — a broadcast semi join on the
+    decision key (the per-trace keep decision of tail sampling)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.join import semi_join
+    ds = _events_ms(sf_dir).select_columns(["event_id", "user_id", "event_type", "ts_ms"])
+    err = _events_ms(sf_dir)
+
+    def error_users(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "error"))
+        return t.select(["user_id"])
+    users = set()
+    for b in err.map_batches(error_users, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        users.update(b["user_id"].to_pylist())
+    return semi_join(ds, users, on="user_id")
+
+
+def _q_frame_sample(sf_dir: str):
+    """Multimodal frame-sampling plumbing: deterministic keep-every-nth by
+    id hash over the binary-payload table."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.multimodal import (
+        attach_binary_payload, frame_sample_stage)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = attach_binary_payload(ds)
+    ds = frame_sample_stage(ds, every_n=10)
+
+    def project(batch: pa.Table) -> pa.Table:
+        lens = pc.binary_length(batch["payload"]).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "payload_bytes": lens})
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -529,6 +606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_bucketed": _q_join_bucketed,
         "knn_lsh": _q_knn_lsh,
         "parse_props": _q_parse_props,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "tail_sampling": _q_tail_sampling,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -825,5 +905,28 @@ GROUP BY o_orderpriority
 SELECT event_id,
        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
 FROM events
+""",
+        "anomaly_zscore": _SQL_EVENTS + r""", stats AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(value_cents) AS DOUBLE) AS s,
+         CAST(sum(value_cents * value_cents) AS DOUBLE) AS ss
+  FROM ev GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type,
+         (e.value_cents - s / n) / sqrt((ss - s * s / n) / (n - 1.0)) AS z
+  FROM ev e JOIN stats USING (event_type)
+)
+SELECT event_id, event_type, round(z, 6) AS z
+FROM scored WHERE abs(z) > 2.0
+""",
+        "tail_sampling": _SQL_EVENTS + r"""
+SELECT event_id, user_id, event_type, ts_ms FROM ev
+WHERE user_id IN (SELECT DISTINCT user_id FROM ev WHERE event_type = 'error')
+""",
+        "frame_sample": r"""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+WHERE (doc_id * 2654435761 + 12345) % 10 = 0
 """,
     }

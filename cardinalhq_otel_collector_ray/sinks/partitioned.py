@@ -134,4 +134,10 @@ class PartitionedSink:
                    for r in result.to_pandas().itertuples()]
         for e in entries:
             self.manifest.record(e)
+        # per-stage throughput metrics (north rule), next to the manifest
+        from ..state.metrics import write_metrics
+        try:
+            write_metrics(result, self.root)
+        except Exception:  # stats format drift must never fail a write
+            pass
         return entries

@@ -149,3 +149,44 @@ def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
         Sum("_psum", alias_name="agg_sum"),
         Sum("_pcount", alias_name="agg_count"),
     )
+
+
+def salted_group_sum(ds: ray.data.Dataset, keys: list[str], value_col: str,
+                     salt_buckets: int = 16,
+                     id_col: str | None = None) -> ray.data.Dataset:
+    """Explicit skew-aware salted groupby (north rule).
+
+    Stage 1 groups by (keys, salt) where ``salt = hash(id) % S`` — a hot
+    key's rows split across S reducers instead of one; stage 2 folds the S
+    salted partials per key. With per-block pre-combine (grouped_aggregate)
+    salting is usually unnecessary — this operator is for inputs where a
+    single group exceeds one reducer even after pre-combine (e.g. a
+    Zipf-1 source receiving most of the corpus) or where a
+    ``map_groups`` UDF (not a mergeable aggregate) would otherwise see the
+    whole hot group at once.
+    """
+    import pandas as pd
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if id_col is not None:
+            basis = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            basis = np.arange(batch.num_rows, dtype=np.int64)
+        salt = (basis * np.int64(2654435761)) % np.int64(salt_buckets)
+        return batch.append_column("_salt", pa.array(salt.astype(np.int32)))
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        part = batch.select(keys + ["_salt", value_col]) \
+            .group_by(keys + ["_salt"]).aggregate(
+                [(value_col, "sum"), (value_col, "count")])
+        return part.rename_columns(keys + ["_salt", "_psum", "_pcount"])
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow") \
+        .map_batches(stage1, batch_format="pyarrow")
+    stage1_out = salted.groupby(keys + ["_salt"]).aggregate(
+        Sum("_psum", alias_name="_s1sum"), Sum("_pcount", alias_name="_s1count"))
+    # stage 2: fold the ≤ S salted rows per key (tiny)
+    final = stage1_out.groupby(keys).aggregate(
+        Sum("_s1sum", alias_name="agg_sum"),
+        Sum("_s1count", alias_name="agg_count"))
+    return final

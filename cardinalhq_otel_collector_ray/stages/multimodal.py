@@ -83,12 +83,14 @@ def decode_stage(ds: ray.data.Dataset, concurrency: int = 2,
 
 def frame_sample_stage(ds: ray.data.Dataset, every_n: int = 10,
                        id_col: str = "doc_id") -> ray.data.Dataset:
-    """Frame-sampling analog: deterministic keep-every-nth by id hash —
-    same plumbing a video frame sampler uses (stateless, pure function of
-    the key)."""
+    """Frame-sampling analog: deterministic keep-every-nth by integer-id
+    hash — same plumbing a video frame sampler uses (stateless, pure
+    function of the key). SQL-equivalent predicate:
+    ``(id * 2654435761 + 12345) % every_n = 0``."""
+    from ..functions.hashing import mulhash
+
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].cast(pa.string()).to_pylist()
-        import pandas as pd
-        h = pd.util.hash_array(np.asarray(ids, dtype=object)) % every_n
-        return batch.filter(pa.array(h == 0))
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = mulhash(ids, mod=every_n) == 0
+        return batch.filter(pa.array(keep))
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -78,3 +78,22 @@ def test_multiple_intervals_and_keys():
     df = out.to_pandas().sort_values(["name", "ts_ms"]).reset_index(drop=True)
     assert df[["name", "ts_ms", "agg_sum"]].values.tolist() == [
         ["a", 0, 3.0], ["a", 10_000, 10.0], ["b", 0, 7.0]]
+
+
+def test_salted_group_sum_matches_naive_on_zipf():
+    from cardinalhq_otel_collector_ray.stages.aggregate import salted_group_sum
+    rng = np.random.default_rng(11)
+    n = 50_000
+    # Zipf-skewed key: ~90% of rows land on one hot key
+    keys = np.where(rng.random(n) < 0.9, "hot", "cold-" +
+                    pd.Series(rng.integers(0, 50, n)).astype(str))
+    t = pa.table({"k": keys, "id": np.arange(n, dtype=np.int64),
+                  "v": rng.integers(0, 100, n)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = salted_group_sum(ds, keys=["k"], value_col="v", id_col="id",
+                           salt_buckets=8).to_pandas()
+    naive = t.to_pandas().groupby("k")["v"].agg(["sum", "count"]).reset_index()
+    merged = out.merge(naive, on="k")
+    assert len(merged) == len(naive)
+    assert (merged["agg_sum"] == merged["sum"]).all()
+    assert (merged["agg_count"] == merged["count"]).all()

@@ -92,3 +92,15 @@ def test_rerun_without_resume_is_idempotent(sf_dir, out_root):
                             resume=False)
     rows2 = {e.partition_id: e.rows for e in sink2.manifest.completed().values()}
     assert rows1 == rows2
+
+
+def test_metrics_json_written(sf_dir, out_root):
+    import json as _json
+    run_to_sinks(sf_dir, out_root, run_ts=RUN_TS, num_partitions=4)
+    path = os.path.join(out_root, "metrics.json")
+    assert os.path.exists(path)
+    stages = _json.load(open(path))
+    assert stages, "expected at least one operator entry"
+    assert all("operator" in s and "wall_s" in s for s in stages)
+    # the pipeline's rows flowed through at least one map operator
+    assert any((s.get("rows") or 0) > 0 for s in stages)
