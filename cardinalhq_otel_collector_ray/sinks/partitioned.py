@@ -51,7 +51,11 @@ class PartitionedSink:
     def __init__(self, root: str, run_ts: float, *,
                  num_partitions: int = 16, signal: str = "logs",
                  file_prefix: str = "", partition_format: str = DEFAULT_PARTITION_FORMAT,
-                 tz=timezone.utc, route_dests: dict[str, str] | None = None):
+                 tz=timezone.utc, route_dests: dict[str, str] | None = None,
+                 fmt: str = "parquet", compression: str | None = None):
+        from .serializers import EXTENSIONS, MARSHALERS
+        if fmt not in MARSHALERS:
+            raise ValueError(f"unknown sink format {fmt!r}; known: {sorted(MARSHALERS)}")
         self.root = root
         self.run_ts = run_ts
         self.num_partitions = num_partitions
@@ -63,9 +67,14 @@ class PartitionedSink:
         # root (the bucket/prefix override of exporter.go:48-66, where the
         # batch is pre-split per attr value so the override is homogeneous)
         self.route_dests = route_dests or {}
+        # C7 marshal format + compression (marshaler.go:17-71; .gz suffix
+        # per writer.go:157-191)
+        self.fmt = fmt
+        self.compression = compression
+        self.extension = EXTENSIONS[fmt] + (".gz" if compression == "gzip" else "")
 
     def object_path(self, sink: str, pid: int) -> str:
-        fname = f"{self.file_prefix}{self.signal}_{pid:05d}.parquet"
+        fname = f"{self.file_prefix}{self.signal}_{pid:05d}.{self.extension}"
         root = self.route_dests.get(sink, self.root)
         return os.path.join(root, f"sink={sink}", self.time_dir, fname)
 
@@ -119,7 +128,14 @@ class PartitionedSink:
             g = g.sort_values(key_col, kind="mergesort").drop(columns=["_pid"])
             tmp = path + ".tmp"
             table = pa.Table.from_pandas(g, preserve_index=False)
-            pq.write_table(table, tmp)
+            if sink_self.fmt == "parquet" and sink_self.compression is None:
+                pq.write_table(table, tmp)
+            else:
+                from .serializers import serialize
+                data, _ = serialize(table, sink_self.fmt,
+                                    compression=sink_self.compression)
+                with open(tmp, "wb") as f:
+                    f.write(data)
             os.replace(tmp, path)  # atomic: readers never see partial files
             tokens = int(g[tokens_len_col].sum()) if tokens_len_col else 0
             return pd.DataFrame({"partition_id": [f"{sink}/{pid}"], "sink": [sink],

@@ -2,7 +2,11 @@ import pytest
 import ray
 
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+# override with GRAFT_TEST_SF=/root/testdata/sf0.01 to mirror the driver's
+# correctness scale
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session", autouse=True)

@@ -104,3 +104,22 @@ def test_metrics_json_written(sf_dir, out_root):
     assert all("operator" in s and "wall_s" in s for s in stages)
     # the pipeline's rows flowed through at least one map operator
     assert any((s.get("rows") or 0) > 0 for s in stages)
+
+
+def test_sink_jsonl_gzip_format(sf_dir, out_root):
+    """C7 marshal formats wired into the partitioned sink (jsonl + gzip)."""
+    import gzip as _gzip
+    import json as _json
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.sinks import PartitionedSink
+    routed = routed_documents(sf_dir)
+    sink = PartitionedSink(out_root, RUN_TS, num_partitions=2,
+                           fmt="jsonl", compression="gzip")
+    entries = sink.write(routed, key_col="doc_id", route_col="route",
+                         tokens_len_col="n_tok")
+    assert entries and all(e.path.endswith(".jsonl.gz") for e in entries)
+    rec = _json.loads(_gzip.decompress(
+        open(entries[0].path, "rb").read()).decode().splitlines()[0])
+    assert "doc_id" in rec and "route" in rec
+    total = sum(e.rows for e in entries)
+    assert total == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows

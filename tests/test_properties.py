@@ -1,0 +1,84 @@
+"""Property-based invariants (hypothesis) for the pure kernels."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+from cardinalhq_otel_collector_ray.functions.text import (
+    char_shingles_u64, map_words_to_ids, split_words)
+from cardinalhq_otel_collector_ray.stages.summarysplit import (
+    clamp_uint64, explode_summary_batch, quantile_suffix)
+
+words_st = st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6),
+                    min_size=1, max_size=20)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(words_st, min_size=1, max_size=10))
+def test_tokenize_roundtrip(docs):
+    """tokens decode back to the exact word sequence (vocab is total)."""
+    texts = [" ".join(ws) for ws in docs]
+    vocab_words = sorted({w for ws in docs for w in ws})
+    vocab = {w: i for i, w in enumerate(vocab_words)}
+    inv = {i: w for w, i in vocab.items()}
+    toks = map_words_to_ids(split_words(pa.array(texts)), vocab)
+    for ws, ids in zip(docs, toks.to_pylist()):
+        assert [inv[i] for i in ids] == ws
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=50))
+def test_mulhash_range_and_determinism(ids):
+    a = mulhash(np.asarray(ids))
+    b = mulhash(np.asarray(ids))
+    assert (a == b).all()
+    assert ((a >= 0) & (a < 1_000_003)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="xyz ", min_size=0, max_size=30),
+                min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=6))
+def test_shingle_counts(texts, k):
+    starts, codes = char_shingles_u64(texts, k=k)
+    assert len(starts) == len(texts) + 1
+    for i, t in enumerate(texts):
+        n = max(len(t.encode()) - k + 1, 0)
+        assert starts[i + 1] - starts[i] == n
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_quantile_suffix_total_on_unit_interval(q):
+    s = quantile_suffix(q)
+    assert s in (".min", ".max") or s.startswith(".quantile.")
+    assert "." not in s[len(".quantile."):] or s in (".min", ".max")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=20))
+def test_clamp_never_overflows(vals):
+    out = clamp_uint64(np.array(vals, dtype=np.uint64))
+    assert (out >= 0).all() and (out <= 2**63 - 1).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1),
+       st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_explode_row_count_invariant(count, total):
+    """#output rows == 2 + #valid distinct quantiles, for any inputs."""
+    qs = [{"q": 0.0, "v": 1.0}, {"q": 0.5, "v": 2.0}, {"q": 2.0, "v": 3.0}]
+    t = pa.table({
+        "name": ["m"], "ts": pa.array([10], pa.int64()),
+        "start_ts": pa.array([0], pa.int64()),
+        "count": pa.array([count], pa.uint64()),
+        "sum": pa.array([total], pa.float64()),
+        "quantiles": pa.array([qs], type=pa.list_(
+            pa.struct([("q", pa.float64()), ("v", pa.float64())]))),
+    })
+    out = explode_summary_batch(t)
+    assert out.num_rows == 2 + 2  # .count, .sum, .min, .quantile.50 (2.0 invalid)
