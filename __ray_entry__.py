@@ -486,6 +486,48 @@ def _q_parse_props(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_delta_to_cumulative(sf_dir: str):
+    """deltatocumulative (components.go:122): running sum per key stream."""
+    from cardinalhq_otel_collector_ray.stages.temporal import delta_to_cumulative
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "ts_ms", "value_cents"])
+    out = delta_to_cumulative(ds, keys=["user_id", "event_type"],
+                              ts_col="ts_ms", value_col="value_cents",
+                              out="cum_cents")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "cum_cents"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_emit_shape(sf_dir: str):
+    """C3 re-emit integration (rows-only: map-typed tags have no clean SQL
+    shape): aggregate marked events, rebuild full emitted metric rows with
+    section splitting + metadata re-application + additional_attributes."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import interval_aggregate
+    from cardinalhq_otel_collector_ray.stages.emit import emit_stage
+    ds = _events_ms(sf_dir)
+    agg = interval_aggregate(ds, ts_col="ts_ms", interval_ms=600_000,
+                             keys=["event_type"], value_col="value_cents",
+                             out_ts_col="interval_start_ms")
+
+    def to_tagged(batch: pa.Table) -> pa.Table:
+        tags = [{
+            "resource.service": "events",
+            "metric.event_type": et,
+            "metadata.metric.name": f"events.{et}.value",
+            "metadata.metric.unit": "cents",
+        } for et in batch["event_type"].to_pylist()]
+        return pa.table({
+            "tags": pa.array(tags, type=pa.map_(pa.string(), pa.string())),
+            "agg_type": pa.array(["sum"] * batch.num_rows),
+            "value": batch["agg_sum"].cast(pa.float64()),
+            "interval_start_ms": batch["interval_start_ms"],
+        })
+    tagged = agg.map_batches(to_tagged, batch_format="pyarrow")
+    return emit_stage(tagged, additional_attributes={"env": "prod"})
+
+
 def _q_anomaly_zscore(sf_dir: str):
     """isolationforest-processor analog (components.go:131) as a two-pass
     anomaly scorer: (1) exact per-key moments via BIGINT sums, broadcast;
@@ -609,6 +651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_zscore": _q_anomaly_zscore,
         "tail_sampling": _q_tail_sampling,
         "frame_sample": _q_frame_sample,
+        "delta_to_cumulative": _q_delta_to_cumulative,
+        "aggregate_emit_shape": _q_emit_shape,
     }
 
 
@@ -928,5 +972,13 @@ WHERE user_id IN (SELECT DISTINCT user_id FROM ev WHERE event_type = 'error')
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
 FROM documents
 WHERE (doc_id * 2654435761 + 12345) % 10 = 0
+""",
+        "delta_to_cumulative": _SQL_EVENTS + r"""
+SELECT event_id,
+       CAST(sum(value_cents) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_ms
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents
+FROM ev
 """,
     }

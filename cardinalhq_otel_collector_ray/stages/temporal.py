@@ -32,6 +32,18 @@ def cumulative_to_delta(ds: ray.data.Dataset, keys: list[str], ts_col: str,
     return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
 
 
+def delta_to_cumulative(ds: ray.data.Dataset, keys: list[str], ts_col: str,
+                        value_col: str, out: str = "cumulative") -> ray.data.Dataset:
+    """Running sum per key, time-ordered (deltatocumulativeprocessor,
+    ``distribution/components.go:122``) — the inverse of
+    ``cumulative_to_delta``."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        g[out] = g[value_col].cumsum()
+        return g
+    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+
 def delta_to_rate(ds: ray.data.Dataset, keys: list[str], ts_col: str,
                   value_col: str, out: str = "rate",
                   ts_unit_per_sec: float = 1000.0) -> ray.data.Dataset:

@@ -97,3 +97,41 @@ def test_serialize_unknown_format_rejected():
 def test_otlp_proto_stubbed():
     with pytest.raises(NotImplementedError):
         serialize(pa.table({"a": [1]}), "otlp_proto")
+
+
+def test_stamp_columns_and_enrich_refresh(sf_dir):
+    """C10 constant-column stamp + C9 TTL-refresh hook."""
+    import ray.data
+    from cardinalhq_otel_collector_ray.stages.enrich import (
+        BroadcastEnricher, stamp_columns)
+    ds = ray.data.from_arrow(pa.table({"k": ["a", "b"]}))
+    out = stamp_columns(ds, {"x-api-key": "secret", "env": "prod"}).to_pandas()
+    assert (out["x-api-key"] == "secret").all() and (out["env"] == "prod").all()
+
+    calls = []
+    def loader():
+        calls.append(1)
+        return {"a": {"tenant": "t2"}}
+    e = BroadcastEnricher({"a": {"tenant": "t1"}}, "k", loader=loader)
+    t = pa.table({"k": ["a", "zz"]})
+    assert e(t)["tenant"].to_pylist() == ["t1", None]
+    e.refresh()
+    assert calls == [1]
+    assert e(t)["tenant"].to_pylist() == ["t2", None]
+
+
+def test_route_dests_override(sf_dir, tmp_path):
+    """C6: a route value lands in its own destination root."""
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.sinks import PartitionedSink
+    import os
+    main_root = str(tmp_path / "main")
+    q_root = str(tmp_path / "quarantine-bucket")
+    sink = PartitionedSink(main_root, 1706078400.0, num_partitions=2,
+                           route_dests={"quarantine": q_root})
+    entries = sink.write(routed_documents(sf_dir), key_col="doc_id",
+                         route_col="route", tokens_len_col="n_tok")
+    q_entries = [e for e in entries if e.sink == "quarantine"]
+    assert q_entries and all(e.path.startswith(q_root) for e in q_entries)
+    others = [e for e in entries if e.sink != "quarantine"]
+    assert others and all(e.path.startswith(main_root) for e in others)
