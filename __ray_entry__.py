@@ -528,6 +528,33 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_sliding_window(sf_dir: str):
+    """Sliding-window aggregate: 10-min windows hopping every 5 min per
+    event_type (explode-to-windows + two-phase groupby)."""
+    from cardinalhq_otel_collector_ray.stages.temporal import sliding_window_aggregate
+    ds = _events_ms(sf_dir).select_columns(["event_type", "ts_ms", "value_cents"])
+    return sliding_window_aggregate(ds, keys=["event_type"], ts_col="ts_ms",
+                                    value_col="value_cents",
+                                    window_ms=600_000, hop_ms=300_000)
+
+
+def _q_asof_last_error(sf_dir: str):
+    """As-of join: for each purchase, the most recent prior 'error'
+    timestamp of the same user (merge_asof per key group)."""
+    from cardinalhq_otel_collector_ray.stages.temporal import asof_join_last_event
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "ts_ms"])
+    out = asof_join_last_event(
+        ds, key="user_id", ts_col="ts_ms",
+        left_filter=lambda g: g["event_type"] == "purchase",
+        right_filter=lambda g: g["event_type"] == "error",
+        out="last_error_ts")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "last_error_ts"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_anomaly_zscore(sf_dir: str):
     """isolationforest-processor analog (components.go:131) as a two-pass
     anomaly scorer: (1) exact per-key moments via BIGINT sums, broadcast;
@@ -653,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "delta_to_cumulative": _q_delta_to_cumulative,
         "aggregate_emit_shape": _q_emit_shape,
+        "sliding_window": _q_sliding_window,
+        "asof_last_error": _q_asof_last_error,
     }
 
 
@@ -980,5 +1009,22 @@ SELECT event_id,
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_cents
 FROM ev
+""",
+        "sliding_window": _SQL_EVENTS + r""", exploded AS (
+  SELECT e.event_type, e.value_cents,
+         (e.ts_ms // 300000) * 300000 - k.k * 300000 AS window_start
+  FROM ev e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+  WHERE (e.ts_ms // 300000) * 300000 - k.k * 300000 >= 0
+)
+SELECT event_type, window_start, count(*) AS n,
+       CAST(sum(value_cents) AS BIGINT) AS sum
+FROM exploded GROUP BY event_type, window_start
+""",
+        "asof_last_error": _SQL_EVENTS + r"""
+SELECT p.event_id,
+       CAST((SELECT max(e2.ts_ms) FROM ev e2
+             WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
+               AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
+FROM ev p WHERE p.event_type = 'purchase'
 """,
     }

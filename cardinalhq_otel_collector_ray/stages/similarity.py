@@ -101,17 +101,29 @@ class LshBucketer:
 
 def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
             k: int, dim: int, nbits: int = 8, seed: int = 11,
-            concurrency: int = 2) -> ray.data.Dataset:
-    """LSH-pruned ANN: score only rows whose bucket matches a query bucket.
-    Approximate (recall < 1); the brute-force operator is the exactness
-    baseline."""
+            probe_radius: int = 1, concurrency: int = 2) -> ray.data.Dataset:
+    """LSH-pruned ANN with MULTI-PROBE: score rows in every bucket within
+    Hamming distance ``probe_radius`` of each query's bucket (single-probe
+    recall collapses on weakly-clustered data — real neighbors routinely
+    flip one hyperplane sign). Approximate (recall < 1); the brute-force
+    operator is the exactness baseline. Fraction of data scored ≈
+    C(nbits, ≤radius) / 2^nbits."""
     bucketer = LshBucketer(dim, nbits=nbits, seed=seed)
     qids = np.asarray(sorted(queries))
     qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids]))
     qbuckets = bucketer.bucket_of(qmat)
+
+    def probes(b: int) -> list[int]:
+        out, frontier = {b}, [b]
+        for _ in range(probe_radius):
+            frontier = [f ^ (1 << i) for f in frontier for i in range(nbits)]
+            out.update(frontier)
+        return sorted(out)
+
     wanted = {}
     for qid, b in zip(qids, qbuckets):
-        wanted.setdefault(int(b), []).append(qid)
+        for pb in probes(int(b)):
+            wanted.setdefault(pb, []).append(qid)
     wref = ray.put((wanted, {int(q): qmat[i] for i, q in enumerate(qids)}))
 
     class Scorer:

@@ -85,6 +85,67 @@ def interval_dedup(ds: ray.data.Dataset, keys: list[str], ts_col: str,
     return partials.groupby(keys + ["_interval"]).map_groups(combine, batch_format="pandas")
 
 
+def sliding_window_aggregate(ds: ray.data.Dataset, keys: list[str],
+                             ts_col: str, value_col: str, *,
+                             window_ms: int, hop_ms: int) -> ray.data.Dataset:
+    """Sliding (hopping) event-time windows — a windowed aggregate Ray Data
+    has no primitive for. Composition: each record EXPLODES into the
+    ``window_ms / hop_ms`` windows that contain it (vectorized repeat),
+    then the standard two-phase groupby aggregates per (window_start, keys).
+    Output: keys..., window_start, n, sum. Window w covers
+    [w, w + window_ms); records explode to w = ts//hop*hop - k*hop for
+    k < window/hop. SQL-oracle-able via generate_series explode.
+    """
+    assert window_ms % hop_ms == 0
+    k = window_ms // hop_ms
+    import pyarrow as pa
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[ts_col].astype("int64").to_numpy()
+        base = (ts // hop_ms) * hop_ms
+        n = len(batch)
+        rep = batch.loc[batch.index.repeat(k)].reset_index(drop=True)
+        offsets = np.tile(np.arange(k, dtype=np.int64) * hop_ms, n)
+        rep["window_start"] = np.repeat(base, k) - offsets
+        # a record belongs to window w iff w <= ts < w + window_ms; the
+        # construction guarantees it, but guard for negative starts
+        return rep[rep["window_start"] >= 0]
+
+    from .aggregate import grouped_aggregate
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    agg = grouped_aggregate(exploded, keys=keys + ["window_start"],
+                            value_col=value_col)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in keys + ["window_start"]}
+        cols["n"] = batch["agg_count"].cast(pa.int64())
+        cols["sum"] = batch["agg_sum"].cast(pa.int64())
+        return pa.table(cols)
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def asof_join_last_event(ds: ray.data.Dataset, key: str, ts_col: str,
+                         left_filter, right_filter,
+                         out: str = "asof_ts") -> ray.data.Dataset:
+    """Per-key as-of join within one stream: for every LEFT record, the
+    greatest RIGHT timestamp ≤ its own (``pd.merge_asof`` per key group —
+    the as-of/range-join composition from the ray_guide join patterns).
+    ``left_filter``/``right_filter``: pandas-mask callables selecting the
+    two sides. Null when no prior right event exists."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        left = g[left_filter(g)]
+        right = g[right_filter(g)][[ts_col]].rename(columns={ts_col: out})
+        if len(left) == 0:
+            return left.assign(**{out: pd.Series([], dtype="float64")})
+        if len(right) == 0:
+            return left.assign(**{out: np.nan})
+        merged = pd.merge_asof(left, right, left_on=ts_col, right_on=out,
+                               direction="backward")
+        return merged
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
 def sessionize(ds: ray.data.Dataset, key: str, ts_col: str, gap_ms: int,
                agg_cols: dict[str, str] | None = None) -> ray.data.Dataset:
     """Session windows per key: a new session starts when the gap to the

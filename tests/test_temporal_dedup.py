@@ -98,3 +98,27 @@ def test_wordset_jaccard_exact():
     assert len(out) == 1
     assert (out.iloc[0]["id_a"], out.iloc[0]["id_b"]) == (1, 2)
     assert out.iloc[0]["jaccard"] == 0.6  # |{a,b,c}| / |{a,b,c,d,x}|
+
+
+def test_knn_lsh_recall_vs_bruteforce(sf_dir):
+    """ANN quality: LSH top-5 must recover a reasonable share of the exact
+    top-5 (nbits=8 on 64-dim random vectors — recall is bucket-limited)."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.similarity import (
+        knn_brute_force, knn_lsh)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    queries = {int(v): e for v, e in pairs[:5]}
+    dim = len(pairs[0][1])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = knn_brute_force(ds, queries, "embedding", "vec_id", k=5).to_pandas()
+    approx = knn_lsh(read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                     queries, "embedding", "vec_id", k=5, dim=dim, nbits=4).to_pandas()
+    exact_set = set(zip(exact["qid"], exact["id"]))
+    approx_set = set(zip(approx["qid"], approx["id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # every approx neighbor must at least be a real row
+    assert approx_set <= {(q, i) for q in exact["qid"].unique()
+                          for i in range(100000)}
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
