@@ -47,9 +47,12 @@ def _q_route_agg_by_source(sf_dir: str):
 
 
 def _events_ms(sf_dir: str, extra: list[str] = []):
-    """events with ts_ms (epoch ms) and value_cents (exact BIGINT) columns."""
+    """events with ts_ms (epoch ms) and value_cents (exact BIGINT) columns.
+    Columns pruned at the read — props/json stay on disk unless asked for."""
     from cardinalhq_otel_collector_ray.sources import read_table
-    ds = read_table(sf_dir, "events")
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"]
+                            + list(extra))
 
     def fn(batch: pa.Table) -> pa.Table:
         us = batch["ts"].cast(pa.int64())

@@ -161,15 +161,19 @@ def _hot_bucket_filter(index: ray.data.Dataset, key: str) -> ray.data.Dataset:
         part = batch.select([key]).group_by([key]).aggregate([(key, "count")])
         return part.rename_columns([key, "_n"])
 
-    from ray.data.aggregate import Sum
-    counts = (index.map_batches(count_batch, batch_format="pyarrow")
-              .groupby(key).aggregate(Sum("_n", alias_name="n")))
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n"], 2)), batch_format="pyarrow")
-    hot_keys = np.sort(np.concatenate(
-        [b[key].to_numpy(zero_copy_only=False)
-         for b in hot.iter_batches(batch_format="pyarrow")] or
-        [np.empty(0, dtype=np.int64)]))
+    # The hot-key SET ends up on the driver either way (it is broadcast),
+    # so merge the per-block partial counts there directly — one C++
+    # group_by over (#distinct-per-block × blocks) skinny rows instead of a
+    # full sort shuffle.
+    partial_counts = index.map_batches(count_batch, batch_format="pyarrow")
+    batches = list(partial_counts.iter_batches(batch_format="pyarrow"))
+    if batches:
+        merged = pa.concat_tables(batches, promote_options="default")
+        counts = merged.group_by([key]).aggregate([("_n", "sum")])
+        mask = pc.greater_equal(counts["_n_sum"], 2)
+        hot_keys = np.sort(counts.filter(mask)[key].to_numpy(zero_copy_only=False))
+    else:
+        hot_keys = np.empty(0, dtype=np.int64)
     ref = _ray.put(hot_keys)
 
     def filt(batch: pa.Table) -> pa.Table:
