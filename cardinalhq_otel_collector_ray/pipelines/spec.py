@@ -44,7 +44,7 @@ StageFn = Callable[[ray.data.Dataset, dict], ray.data.Dataset]
 
 def _s_parse_regex(ds, cfg):
     return parse.parse_stage(ds, [parse.ParseRule(cfg["column"], cfg["pattern"])],
-                             concurrency=cfg.get("concurrency", 2))
+                             concurrency=cfg.get("concurrency"))
 
 
 def _s_flag_regex(ds, cfg):
@@ -53,7 +53,7 @@ def _s_flag_regex(ds, cfg):
 
 def _s_enrich(ds, cfg):
     return enrich.enrich_stage(ds, cfg["table"], cfg["key"],
-                               concurrency=cfg.get("concurrency", 2),
+                               concurrency=cfg.get("concurrency"),
                                miss_value=cfg.get("miss_value"))
 
 
@@ -136,3 +136,14 @@ def compile_pipeline(spec: dict[str, Any], sf_dir: str) -> ray.data.Dataset:
                              f"known: {sorted(_STAGES)}")
         ds = _STAGES[kind](ds, st)
     return ds
+
+
+def load_spec(path: str) -> dict:
+    """Load a pipeline spec from YAML or JSON (collector-YAML analog)."""
+    import json
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+        return yaml.safe_load(text)
+    return json.loads(text)

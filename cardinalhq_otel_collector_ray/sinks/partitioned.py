@@ -144,6 +144,23 @@ class PartitionedSink:
 
         result = with_pid.groupby([route_col, "_pid"]).map_groups(
             write_group, batch_format="pandas")
+        return self._record_entries(result)
+
+    def write_streaming(self, ds: ray.data.Dataset, *,
+                        route_col: str = "route") -> str:
+        """Shuffle-free alternative for the very largest runs: Ray's native
+        ``write_parquet(partition_cols=[route])`` writes each block's rows
+        under its route directory directly — no co-partitioning exchange,
+        so file CONTENTS are not deterministic across reruns (resume
+        granularity = the whole run), but per-sink ROW SETS still are.
+        Use ``write`` (deterministic per-partition files + manifest) unless
+        the co-partitioning shuffle dominates the job.
+        """
+        out_dir = os.path.join(self.root, "stream", self.time_dir)
+        ds.write_parquet(out_dir, partition_cols=[route_col])
+        return out_dir
+
+    def _record_entries(self, result) -> list[ManifestEntry]:
         entries = [ManifestEntry(partition_id=r.partition_id, sink=r.sink,
                                  path=r.path, rows=int(r.rows),
                                  bytes=int(r.bytes), tokens=int(r.tokens))

@@ -133,7 +133,25 @@ def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
 
     if mode == "driver":
         import ray.data as rd
-        batches = list(partials.iter_batches(batch_format="pyarrow"))
+        # Scale guard: the driver merge is only valid while the partials
+        # stay coordinator-sized. Stream them in and bail out to the
+        # distributed shuffle if they exceed the cap (e.g. group
+        # cardinality turned out unbounded at 100 TB).
+        MAX_DRIVER_ROWS = 20_000_000
+        batches, total = [], 0
+        overflow = False
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            batches.append(b)
+            total += b.num_rows
+            if total > MAX_DRIVER_ROWS:
+                overflow = True
+                break
+        if overflow:
+            # fall back to the fully distributed path (re-executes the
+            # lazy pipeline once; overflow is the misconfigured-rare case)
+            return partials.groupby(keys).aggregate(
+                Sum("_psum", alias_name="agg_sum"),
+                Sum("_pcount", alias_name="agg_count"))
         if not batches:
             empty = pa.table({k: pa.array([], pa.string()) for k in keys})
             empty = empty.append_column("agg_sum", pa.array([], pa.int64()))

@@ -81,3 +81,12 @@ def test_spec_unknown_stage_rejected(sf_dir):
     with pytest.raises(ValueError, match="unknown kind"):
         compile_pipeline({"source": {"kind": "parquet", "table": "documents"},
                           "stages": [{"kind": "nope"}]}, sf_dir)
+
+
+def test_yaml_spec_loads_and_runs(sf_dir):
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    spec = load_spec("/root/repo/examples/enforce_pipeline.yaml")
+    out = compile_pipeline(spec, sf_dir).to_pandas()
+    assert list(out.columns) == ["doc_id", "head_word", "route"]
+    assert set(out["route"]) <= {"main", "slowlane", "sampled"}

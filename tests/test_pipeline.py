@@ -123,3 +123,35 @@ def test_sink_jsonl_gzip_format(sf_dir, out_root):
     assert "doc_id" in rec and "route" in rec
     total = sum(e.rows for e in entries)
     assert total == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def test_sink_output_token_equality(sf_dir, out_root):
+    """North rule: per-row tokens byte-identical on SINK OUTPUT vs input."""
+    import ray.data
+    from cardinalhq_otel_collector_ray.sources import build_vocab, tokenized_documents
+    vocab = build_vocab(sf_dir)
+    base = tokenized_documents(sf_dir, vocab=vocab).to_pandas() \
+        .set_index("doc_id")["tokens"]
+    run_to_sinks(sf_dir, out_root, run_ts=RUN_TS, num_partitions=4)
+    files = glob.glob(os.path.join(out_root, "sink=*", "**", "*.parquet"),
+                      recursive=True)
+    seen = {}
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "tokens"])
+        for did, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+            seen[did] = toks
+    assert set(seen) == set(base.index)
+    for did, toks in seen.items():
+        assert list(base[did]) == list(toks), did
+
+
+def test_write_streaming_row_sets(sf_dir, out_root):
+    import ray.data
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.sinks import PartitionedSink
+    routed = routed_documents(sf_dir)
+    sink = PartitionedSink(out_root, RUN_TS)
+    out_dir = sink.write_streaming(routed)
+    back = ray.data.read_parquet(out_dir).to_pandas()
+    assert len(back) == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert set(back["route"].unique()) <= {"main", "errors", "sampled", "quarantine"}
