@@ -531,6 +531,89 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_topk_users(sf_dir: str):
+    """Top-10 users by spend: two-phase grouped aggregate → global sort →
+    limit (deterministic tie-break by user_id)."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    ds = _events_ms(sf_dir)
+    agg = grouped_aggregate(ds, keys=["user_id"], value_col="value_cents",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values(["agg_sum", "user_id"], ascending=[False, True],
+                          kind="mergesort").head(10)
+    return pd.DataFrame({"user_id": agg["user_id"].to_numpy(),
+                         "total_cents": agg["agg_sum"].astype("int64").to_numpy(),
+                         "n": agg["agg_count"].astype("int64").to_numpy()})
+
+
+def _q_distinct_tokens(sf_dir: str):
+    """Exact distinct-count per key at scale: per-block distinct pairs →
+    global pair dedup (C++ group_by) → count per key. (The approximate
+    path would be a mergeable HLL sketch per block; exact is oracle-able.)"""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    ds = tokenized_documents(sf_dir)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values.to_numpy(zero_copy_only=False)
+        n_per = np.diff(offsets)
+        src = np.repeat(np.asarray(batch["source"].to_pylist(), dtype=object), n_per)
+        t = pa.table({"source": pa.array(src, type=pa.string()),
+                      "token": pa.array(values)})
+        return t.group_by(["source", "token"]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    merged = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow")),
+                              promote_options="default")
+    dedup = merged.group_by(["source", "token"]).aggregate([])
+    out = dedup.group_by(["source"]).aggregate([("token", "count")])
+    return pa.table({"source": out["source"],
+                     "n_distinct_tokens": out["token_count"].cast(pa.int64())})
+
+
+def _q_quantiles_per_type(sf_dir: str):
+    """Exact discrete quantiles per key (summary-metric production):
+    rank-based definition identical in both engines — the value at
+    row_number == ceil(q * n) in (value, event_id) order."""
+    ds = _events_ms(sf_dir).select_columns(["event_id", "event_type", "value_cents"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_cents", "event_id"], kind="mergesort")
+        n = len(g)
+        rows = []
+        for q in (0.5, 0.95, 0.99):
+            idx = int(np.ceil(q * n)) - 1
+            rows.append({"event_type": g["event_type"].iloc[0],
+                         "q": q,
+                         "value_cents": int(g["value_cents"].iloc[idx])})
+        return pd.DataFrame(rows)
+    return ds.groupby("event_type").map_groups(per_group, batch_format="pandas")
+
+
+def _q_token_frequencies(sf_dir: str):
+    """Corpus token-frequency table (training-data staple): unroll + two-
+    phase count per token id."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    ds = tokenized_documents(sf_dir)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = pa.table({"token": col.values})
+        part = t.group_by(["token"]).aggregate([("token", "count")])
+        return part.rename_columns(["token", "_n"])
+
+    partials = ds.map_batches(counts, batch_format="pyarrow")
+    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")),
+                              promote_options="default")
+    out = merged.group_by(["token"]).aggregate([("_n", "sum")])
+    return pa.table({"token": out["token"].cast(pa.int32()),
+                     "freq": out["_n_sum"].cast(pa.int64())})
+
+
 def _q_sliding_window(sf_dir: str):
     """Sliding-window aggregate: 10-min windows hopping every 5 min per
     event_type (explode-to-windows + two-phase groupby)."""
@@ -685,6 +768,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_emit_shape": _q_emit_shape,
         "sliding_window": _q_sliding_window,
         "asof_last_error": _q_asof_last_error,
+        "topk_users": _q_topk_users,
+        "distinct_tokens_per_source": _q_distinct_tokens,
+        "quantiles_per_type": _q_quantiles_per_type,
+        "token_frequencies": _q_token_frequencies,
     }
 
 
@@ -1029,5 +1116,35 @@ SELECT p.event_id,
              WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
                AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
 FROM ev p WHERE p.event_type = 'purchase'
+""",
+        "topk_users": _SQL_EVENTS + r"""
+SELECT user_id, CAST(sum(value_cents) AS BIGINT) AS total_cents,
+       count(*) AS n
+FROM ev GROUP BY user_id
+ORDER BY total_cents DESC, user_id LIMIT 10
+""",
+        "distinct_tokens_per_source": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
+SELECT d.source, CAST(count(DISTINCT v.tid) AS BIGINT) AS n_distinct_tokens
+FROM exploded e
+JOIN vocab v ON e.w = v.word
+JOIN documents d ON e.doc_id = d.doc_id
+GROUP BY d.source
+""",
+        "quantiles_per_type": _SQL_EVENTS + r""", ranked AS (
+  SELECT event_type, event_id, value_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value_cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, q, value_cents
+FROM ranked
+CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+WHERE rn = CAST(ceil(q * n) AS BIGINT)
+""",
+        "token_frequencies": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
+SELECT v.tid AS token, count(*) AS freq
+FROM exploded e JOIN vocab v ON e.w = v.word
+GROUP BY v.tid
 """,
     }
