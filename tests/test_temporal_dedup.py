@@ -122,3 +122,40 @@ def test_knn_lsh_recall_vs_bruteforce(sf_dir):
     assert approx_set <= {(q, i) for q in exact["qid"].unique()
                           for i in range(100000)}
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_hll_accuracy_and_mergeability():
+    import numpy as np
+    from cardinalhq_otel_collector_ray.stages.sketch import HyperLogLog, _hash_values
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 10**12, size=200_000)
+    true = len(np.unique(vals))
+    h = HyperLogLog(p=12).add_hashed(_hash_values(vals))
+    est = h.estimate()
+    assert abs(est - true) / true < 0.05, (est, true)
+    # merge(a,b) == sketch(a ∪ b)
+    a = HyperLogLog(p=12).add_hashed(_hash_values(vals[:100_000]))
+    b = HyperLogLog(p=12).add_hashed(_hash_values(vals[100_000:]))
+    assert a.merge(b).estimate() == h.estimate()
+    # serialization round-trip
+    assert HyperLogLog.from_bytes(h.to_bytes()).estimate() == h.estimate()
+
+
+def test_approx_distinct_per_key(sf_dir):
+    import ray.data
+    import pyarrow as pa
+    import numpy as np
+    from cardinalhq_otel_collector_ray.stages.sketch import (
+        approx_distinct, approx_distinct_per_key)
+    rng = np.random.default_rng(3)
+    n = 30_000
+    t = pa.table({"k": np.where(rng.random(n) < 0.5, "a", "b"),
+                  "v": rng.integers(0, 5000, n)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    glob_est = approx_distinct(ds, "v")
+    true = len(np.unique(t["v"].to_numpy()))
+    assert abs(glob_est - true) / true < 0.06
+    per = approx_distinct_per_key(ds, "k", "v").to_pandas()
+    truth = t.to_pandas().groupby("k")["v"].nunique()
+    for _, r in per.iterrows():
+        assert abs(r["approx_distinct"] - truth[r["k"]]) / truth[r["k"]] < 0.06
