@@ -531,6 +531,14 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_bpe_token_count(sf_dir: str):
+    """Sub-word (BPE-ish) token counting via character-class runs."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import bpe_ish_token_count
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_ish_token_count(ds)
+
+
 def _q_topk_users(sf_dir: str):
     """Top-10 users by spend: two-phase grouped aggregate → global sort →
     limit (deterministic tie-break by user_id)."""
@@ -768,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_emit_shape": _q_emit_shape,
         "sliding_window": _q_sliding_window,
         "asof_last_error": _q_asof_last_error,
+        "bpe_token_count": _q_bpe_token_count,
         "topk_users": _q_topk_users,
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
@@ -1116,6 +1125,19 @@ SELECT p.event_id,
              WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
                AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
 FROM ev p WHERE p.event_type = 'purchase'
+""",
+        "bpe_token_count": r"""
+WITH collapsed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z]+', 'A', 'g'), '[0-9]+', '0', 'g'),
+           '[^A0 ]+', '#', 'g') AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(s) - length(regexp_replace(s, '[^ ]', '', 'g')) AS BIGINT)
+         AS n_bpe_ish
+FROM collapsed
 """,
         "topk_users": _SQL_EVENTS + r"""
 SELECT user_id, CAST(sum(value_cents) AS BIGINT) AS total_cents,

@@ -92,6 +92,30 @@ def langid_scores(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bpe_ish_token_count(ds: ray.data.Dataset, text_col: str = "text",
+                        id_cols: tuple[str, ...] = ("doc_id",),
+                        out: str = "n_bpe_ish") -> ray.data.Dataset:
+    """Sub-word token count for the BPE-ish pattern
+    `` ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+`` — i.e. one token per
+    character-class run. Computed by collapsing each run to a single
+    sentinel char with three RE2 passes, then counting non-space chars —
+    fully vectorized, and expressible verbatim in SQL (same RE2 engine)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pc.replace_substring_regex(col, pattern="[A-Za-z]+", replacement="A")
+        s = pc.replace_substring_regex(s, pattern="[0-9]+", replacement="0")
+        s = pc.replace_substring_regex(s, pattern="[^A0 ]+", replacement="#")
+        total = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        spaces = pc.utf8_length(
+            pc.replace_substring_regex(s, pattern="[^ ]", replacement="")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t = batch.select([c for c in id_cols if c in batch.column_names])
+        return out_t.append_column(out, pa.array(total - spaces))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def token_prefix_fingerprint(ds: ray.data.Dataset, tokens_col: str = "tokens",
                              k: int = 8, out: str = "fingerprint") -> ray.data.Dataset:
     """Drain/template-mining analog: fingerprint = polynomial hash of the
