@@ -17,7 +17,6 @@ Determinism rules shared by every query/oracle pair (SURVEY §7.4):
 from __future__ import annotations
 
 from collections.abc import Callable
-from functools import partial
 from typing import Any
 
 import numpy as np

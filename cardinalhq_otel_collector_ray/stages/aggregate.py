@@ -183,8 +183,6 @@ def salted_group_sum(ds: ray.data.Dataset, keys: list[str], value_col: str,
     ``map_groups`` UDF (not a mergeable aggregate) would otherwise see the
     whole hot group at once.
     """
-    import pandas as pd
-
     def add_salt(batch: pa.Table) -> pa.Table:
         if id_col is not None:
             basis = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -19,7 +19,6 @@ Python row loop).
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pyarrow as pa
