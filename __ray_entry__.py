@@ -530,6 +530,41 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Unigram LM scoring (perplexity-style quality signal): two-pass —
+    corpus token frequencies (tiny, broadcast) then per-doc mean log-prob,
+    vectorized via np.take over the flat token values."""
+    import ray as _ray
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+
+    freq_tbl = _q_token_frequencies(sf_dir)
+    tokens = freq_tbl["token"].to_numpy(zero_copy_only=False)
+    freqs = freq_tbl["freq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(freqs.sum())
+    logp = np.full(int(tokens.max()) + 1, -np.inf)
+    logp[tokens] = np.log(freqs / total)
+    ref = _ray.put(logp)
+
+    ds = tokenized_documents(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = _ray.get(ref)
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values.to_numpy(zero_copy_only=False)
+        per_tok = lp[values]
+        sums = np.add.reduceat(np.append(per_tok, 0.0),
+                               np.minimum(offsets[:-1], len(per_tok)))
+        n = np.diff(offsets)
+        sums[n == 0] = 0.0
+        avg = sums / np.maximum(n, 1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "avg_logprob": pa.array(np.round(avg, 6))})
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def _q_bpe_token_count(sf_dir: str):
     """Sub-word (BPE-ish) token counting via character-class runs."""
     from cardinalhq_otel_collector_ray.sources import read_table
@@ -776,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "asof_last_error": _q_asof_last_error,
         "bpe_token_count": _q_bpe_token_count,
+        "unigram_logprob": _q_unigram_logprob,
         "topk_users": _q_topk_users,
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
@@ -1124,6 +1160,17 @@ SELECT p.event_id,
              WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
                AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
 FROM ev p WHERE p.event_type = 'purchase'
+""",
+        "unigram_logprob": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
+, tid_rows AS (
+  SELECT e.doc_id, v.tid FROM exploded e JOIN vocab v ON e.w = v.word
+), freq AS (
+  SELECT tid, CAST(count(*) AS DOUBLE) AS f FROM tid_rows GROUP BY tid
+), total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tid_rows)
+SELECT CAST(r.doc_id AS VARCHAR) AS doc_id,
+       round(sum(ln(freq.f / total.t)) / count(*), 6) AS avg_logprob
+FROM tid_rows r JOIN freq ON r.tid = freq.tid CROSS JOIN total
+GROUP BY r.doc_id
 """,
         "bpe_token_count": r"""
 WITH collapsed AS (
