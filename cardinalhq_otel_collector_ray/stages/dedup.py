@@ -374,6 +374,43 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
         Min("hamming", alias_name="hamming"))
 
 
+def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
+                  id_b: str = "id_b") -> pd.DataFrame:
+    """Near-dup PAIRS → connected-component CLUSTERS (id → cluster root).
+
+    Driver-side union-find: correct whenever the verified pair set is
+    coordinator-sized (near-dups are the rare case — the same bound as the
+    hot-bucket prefilter). For a pathological pair explosion, iterate
+    min-label propagation with groupby rounds instead (guide pattern);
+    the pair sets our LSH emits are filtered and deduped first.
+    Returns a DataFrame (id, cluster) where cluster = min id of the
+    component — the canonical "keep the representative" shape.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    for batch in pairs_ds.iter_batches(batch_format="pandas"):
+        for a, b in zip(batch[id_a], batch[id_b]):
+            union(a, b)
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["id", "cluster"])
+
+
 # ------------------------------------------------- word-set Jaccard (exact)
 
 def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,

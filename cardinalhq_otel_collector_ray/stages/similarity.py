@@ -72,6 +72,90 @@ def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
     return scored.groupby("qid").map_groups(topk, batch_format="pandas")
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 13) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample (the
+    coarse quantizer an IVF index trains once and broadcasts)."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                centroids[j] = sample[m].mean(axis=0)
+    return centroids
+
+
+def knn_ivf(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
+            k: int, *, n_centroids: int = 16, nprobe: int = 4,
+            sample_size: int = 2048, seed: int = 13,
+            concurrency: int = 2) -> ray.data.Dataset:
+    """IVF ANN: k-means coarse quantizer (trained once on a driver sample,
+    broadcast) → each row assigned to its nearest centroid → queries score
+    only rows in their ``nprobe`` nearest cells. The classical alternative
+    scale path to hyperplane LSH; recall grows with nprobe
+    (nprobe == n_centroids ⇒ exact brute force)."""
+    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    smat = _normalize(np.stack(sample.to_numpy()).astype(np.float64))
+    centroids = _normalize(_kmeans(smat, n_centroids, seed=seed))
+    qids = np.asarray(sorted(queries))
+    qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids]))
+    qsims = qmat @ centroids.T
+    qcells = np.argsort(-qsims, axis=1)[:, :nprobe]
+    wanted: dict[int, list] = {}
+    for qi, cells in zip(qids, qcells):
+        for c in cells:
+            wanted.setdefault(int(c), []).append(qi)
+    wref = ray.put((wanted, {int(q): qmat[i] for i, q in enumerate(qids)},
+                    centroids))
+
+    class Scorer:
+        def __init__(self):
+            self.wanted, self.qvecs, self.centroids = ray.get(wref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            vecs = batch[vec_col]
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+            d = offsets[1] - offsets[0]
+            m = _normalize(vecs.values.to_numpy(zero_copy_only=False)
+                           .astype(np.float64).reshape(-1, d))
+            cells = (m @ self.centroids.T).argmax(axis=1)
+            out_q, out_id, out_s = [], [], []
+            for c, qlist in self.wanted.items():
+                mask = cells == c
+                if not mask.any():
+                    continue
+                sub, sids = m[mask], ids[mask]
+                for qid in qlist:
+                    out_q.append(np.full(len(sids), qid))
+                    out_id.append(sids)
+                    out_s.append(sub @ self.qvecs[int(qid)])
+            if not out_q:
+                return pa.table({"qid": pa.array([], pa.int64()),
+                                 "id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                             "id": pa.array(np.concatenate(out_id)),
+                             "score": pa.array(np.concatenate(out_s))})
+
+    scored = ds.map_batches(Scorer, batch_format="pyarrow",
+                            concurrency=concurrency)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["qid"] != g["id"]]
+        g = g.sort_values(["score", "id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
+                        score=np.round(g["score"].to_numpy(), 6))
+
+    return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
 class LshBucketer:
     """Random-hyperplane LSH: bucket = sign-bit pattern of ``nbits``
     projections. Emits (id, bucket) plus the vector for in-bucket rerank —

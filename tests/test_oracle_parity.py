@@ -85,3 +85,14 @@ def test_all_queries_run(sf_dir):
             continue
         df = _to_pandas(fn(sf_dir))
         assert df is not None and df.shape[0] >= 0, name
+
+
+def test_contract_surface():
+    """Meta: every oracle key has a query; rows-only queries are the known
+    approximate/emit set; entry() exists."""
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert set(ORACLES) <= set(QUERIES)
+    assert rows_only == {"minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
+                         "aggregate_emit_shape"}, rows_only
+    assert callable(entrymod.entry)
+    assert len(ORACLES) >= 38

@@ -159,3 +159,40 @@ def test_approx_distinct_per_key(sf_dir):
     truth = t.to_pandas().groupby("k")["v"].nunique()
     for _, r in per.iterrows():
         assert abs(r["approx_distinct"] - truth[r["k"]]) / truth[r["k"]] < 0.06
+
+
+def test_knn_ivf_recall(sf_dir):
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.similarity import (
+        knn_brute_force, knn_ivf)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    queries = {int(v): e for v, e in pairs[:5]}
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = knn_brute_force(ds, queries, "embedding", "vec_id", k=5).to_pandas()
+    ds2 = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    approx = knn_ivf(ds2, queries, "embedding", "vec_id", k=5,
+                     n_centroids=8, nprobe=4).to_pandas()
+    es = set(zip(exact["qid"], exact["id"]))
+    as_ = set(zip(approx["qid"], approx["id"]))
+    recall = len(es & as_) / len(es)
+    assert recall >= 0.4, recall
+    # nprobe == n_centroids degenerates to exact brute force
+    ds3 = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = knn_ivf(ds3, queries, "embedding", "vec_id", k=5,
+                   n_centroids=8, nprobe=8).to_pandas()
+    assert set(zip(full["qid"], full["id"])) == es
+
+
+def test_cluster_pairs_union_find():
+    import ray.data
+    import pyarrow as pa
+    from cardinalhq_otel_collector_ray.stages.dedup import cluster_pairs
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": [1, 2, 10, 11, 2],
+        "id_b": [2, 3, 11, 12, 1],
+    }))
+    out = cluster_pairs(pairs)
+    got = dict(zip(out["id"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
