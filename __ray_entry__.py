@@ -69,7 +69,7 @@ def _q_interval_agg_events(sf_dir: str):
     ds = _events_ms(sf_dir)
     agg = interval_aggregate(ds, ts_col="ts_ms", interval_ms=60_000,
                              keys=["event_type"], value_col="value_cents",
-                             out_ts_col="interval_ms")
+                             out_ts_col="interval_ms", mode="driver")
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -98,7 +98,7 @@ def _q_aggregate_absorb(sf_dir: str):
 
     agg = interval_aggregate(absorbed, ts_col="ts_ms", interval_ms=60_000,
                              keys=["event_type"], value_col="value_cents",
-                             out_ts_col="ts_ms")
+                             out_ts_col="ts_ms", mode="driver")
 
     def emit(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -60,14 +60,19 @@ def split_marked(ds: ray.data.Dataset, mark_col: str):
 
 def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
                        keys: list[str], value_col: str,
-                       out_ts_col: str | None = None) -> ray.data.Dataset:
-    """Two-phase (pre-combine + shuffle) interval aggregate.
+                       out_ts_col: str | None = None,
+                       mode: str = "shuffle") -> ray.data.Dataset:
+    """Two-phase (pre-combine + combine) interval aggregate.
 
     Output: one row per (interval, *keys) with columns
     ``keys..., <out_ts_col>, agg_sum, agg_count, agg_min, agg_max, agg_avg``.
     Callers project the statistic the metric type requires (C2: SUM for
     sums, AVG default for gauges, per-row override honored by including the
     override column in ``keys``).
+
+    ``mode``: "shuffle" = distributed groupby (unbounded interval×key
+    cardinality); "driver" = coordinator merge of the per-block partials
+    (bounded cardinality — same tradeoff as ``grouped_aggregate``).
     """
     out_ts_col = out_ts_col or ts_col
     group_cols = ["_interval", *keys]
@@ -81,12 +86,25 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
         return part.rename_columns(group_cols + ["_psum", "_pcount", "_pmin", "_pmax"])
 
     partials = ds.map_batches(precombine, batch_format="pyarrow")
-    combined = partials.groupby(group_cols).aggregate(
-        Sum("_psum", alias_name="agg_sum"),
-        Sum("_pcount", alias_name="agg_count"),
-        Min("_pmin", alias_name="agg_min"),
-        Max("_pmax", alias_name="agg_max"),
-    )
+    if mode == "driver":
+        import ray.data as rd
+        batches = list(partials.iter_batches(batch_format="pyarrow"))
+        merged = pa.concat_tables(batches, promote_options="default") if batches \
+            else pa.table({c: pa.array([], pa.int64()) for c in
+                           group_cols + ["_psum", "_pcount", "_pmin", "_pmax"]})
+        out = merged.group_by(group_cols).aggregate(
+            [("_psum", "sum"), ("_pcount", "sum"),
+             ("_pmin", "min"), ("_pmax", "max")])
+        out = out.rename_columns(group_cols + ["agg_sum", "agg_count",
+                                               "agg_min", "agg_max"])
+        combined = rd.from_arrow(out)
+    else:
+        combined = partials.groupby(group_cols).aggregate(
+            Sum("_psum", alias_name="agg_sum"),
+            Sum("_pcount", alias_name="agg_count"),
+            Min("_pmin", alias_name="agg_min"),
+            Max("_pmax", alias_name="agg_max"),
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         avg = pc.divide(batch["agg_sum"].cast(pa.float64()),
