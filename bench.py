@@ -143,8 +143,13 @@ def main():
                 [sys.executable, __file__, "--headline-only",
                  f"--cpus={cpus}"],
                 capture_output=True, text=True, timeout=3000)
-            line = proc.stdout.strip().split("\n")[-1]
-            results[cpus] = json.loads(line)
+            out = proc.stdout.strip()
+            if proc.returncode != 0 or not out:
+                sys.stderr.write(f"[scaling] cpus={cpus} failed "
+                                 f"(rc={proc.returncode}); stderr tail:\n"
+                                 f"{proc.stderr[-2000:]}\n")
+                raise SystemExit(1)
+            results[cpus] = json.loads(out.split("\n")[-1])
         eff_4_16 = results[16]["seq_per_sec"] / (4 * results[4]["seq_per_sec"])
         eff_8_32 = results[32]["seq_per_sec"] / (4 * results[8]["seq_per_sec"])
         print(json.dumps({
