@@ -116,7 +116,9 @@ def run_queries(sf_dir: str) -> dict:
     names = ["tokenize", "route_counts", "interval_agg_events",
              "lineitem_pricing", "dedup_exact", "quality_stats",
              "fingerprint_groups", "knn_bruteforce", "minhash_lsh_pairs",
-             "sessionize", "logdedup_events", "count_by_type"]
+             "sessionize", "logdedup_events", "count_by_type",
+             "join_bucketed", "sliding_window", "unigram_logprob",
+             "anomaly_zscore", "simhash_pairs", "wordset_jaccard"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -155,3 +155,31 @@ def test_write_streaming_row_sets(sf_dir, out_root):
     back = ray.data.read_parquet(out_dir).to_pandas()
     assert len(back) == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     assert set(back["route"].unique()) <= {"main", "errors", "sampled", "quarantine"}
+
+
+def test_flaky_task_retry_keeps_sink_consistent(sf_dir, out_root, tmp_path):
+    """A write task that fails once is retried by Ray; the deterministic
+    path + atomic rename keep the final output identical to a clean run
+    (the idempotent-overwrite-on-retry design, SURVEY §4)."""
+    import pyarrow as pa
+    import ray.data
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.sinks import PartitionedSink
+
+    marker = tmp_path / "failed_once"
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        if not marker.exists():
+            marker.write_text("x")
+            # hard worker death (Ray retries task/system failures, not
+            # user exceptions) — the retried task must overwrite cleanly
+            os._exit(1)
+        return batch
+
+    routed = routed_documents(sf_dir).map_batches(flaky, batch_format="pyarrow")
+    sink = PartitionedSink(out_root, RUN_TS, num_partitions=4)
+    entries = sink.write(routed, key_col="doc_id", route_col="route",
+                         tokens_len_col="n_tok")
+    assert marker.exists()  # the failure really fired
+    total = sum(e.rows for e in entries)
+    assert total == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
