@@ -183,3 +183,20 @@ def test_flaky_task_retry_keeps_sink_consistent(sf_dir, out_root, tmp_path):
     assert marker.exists()  # the failure really fired
     total = sum(e.rows for e in entries)
     assert total == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def test_partition_key_golden_exact_string():
+    """Exact object-key golden transcribed from the reference
+    (internal/upload/partition_test.go:14-130): base prefix + strftime dirs
+    + file_prefix + signal + deterministic unique part + extension, at the
+    fixed timestamp 2024-01-24T06:40Z."""
+    from cardinalhq_otel_collector_ray.sinks import PartitionedSink
+    sink = PartitionedSink("/telemetry", 1706078400.0, num_partitions=8,
+                           signal="metrics", file_prefix="signal-output-")
+    path = sink.object_path("chqs3", 3)
+    assert path == ("/telemetry/sink=chqs3/year=2024/month=01/day=24/"
+                    "hour=06/minute=40/signal-output-metrics_00003.parquet")
+    # timezone rule (s3_writer.go:124-132): partition dirs follow the tz
+    from datetime import timezone, timedelta
+    sink_tz = PartitionedSink("/t", 1706078400.0, tz=timezone(timedelta(hours=5)))
+    assert "hour=11" in sink_tz.object_path("a", 0)

@@ -82,3 +82,24 @@ def test_explode_row_count_invariant(count, total):
     })
     out = explode_summary_batch(t)
     assert out.num_rows == 2 + 2  # .count, .sum, .min, .quantile.50 (2.0 invalid)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=60))
+def test_router_first_match_wins_and_total(vals):
+    """Router invariants: every row gets exactly one sink; first matching
+    rule wins; unmatched rows get the default."""
+    import pyarrow as pa
+    from cardinalhq_otel_collector_ray.stages.route import RouteRule, Router
+
+    batch = pa.table({"v": vals})
+    rules = [
+        RouteRule("s1", lambda t: np.asarray([x == "a" for x in t["v"].to_pylist()])),
+        RouteRule("s2", lambda t: np.asarray([x in ("a", "b") for x in t["v"].to_pylist()])),
+    ]
+    out = Router(rules, default_sink="rest")(batch)
+    routes = out["route"].to_pylist()
+    assert len(routes) == len(vals)
+    for v, r in zip(vals, routes):
+        expect = "s1" if v == "a" else ("s2" if v == "b" else "rest")
+        assert r == expect, (v, r)
