@@ -530,6 +530,37 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_supplier_by_region(sf_dir: str):
+    """Chained broadcast joins over the dimension tables:
+    supplier ⋈ nation ⋈ region → per-region supplier stats."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.join import broadcast_join
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas() \
+        .rename(columns={"n_nationkey": "s_nationkey"})
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas() \
+        .rename(columns={"r_regionkey": "n_regionkey"})
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    j = broadcast_join(sup, nation, on="s_nationkey")
+    j = broadcast_join(j, region, on="n_regionkey")
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bal_cents"] = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        return df[["r_name", "bal_cents"]]
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    agg = grouped_aggregate(j.map_batches(to_cents, batch_format="pandas"),
+                            keys=["r_name"], value_col="bal_cents",
+                            mode="driver")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"r_name": batch["r_name"],
+                         "n_suppliers": batch["agg_count"].cast(pa.int64()),
+                         "sum_bal_cents": batch["agg_sum"].cast(pa.int64())})
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Unigram LM scoring (perplexity-style quality signal): two-pass —
     corpus token frequencies (tiny, broadcast) then per-doc mean log-prob,
@@ -812,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_error": _q_asof_last_error,
         "bpe_token_count": _q_bpe_token_count,
         "unigram_logprob": _q_unigram_logprob,
+        "supplier_by_region": _q_supplier_by_region,
         "topk_users": _q_topk_users,
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
@@ -1160,6 +1192,15 @@ SELECT p.event_id,
              WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
                AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
 FROM ev p WHERE p.event_type = 'purchase'
+""",
+        "supplier_by_region": r"""
+SELECT r.r_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
 """,
         "unigram_logprob": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
 , tid_rows AS (
