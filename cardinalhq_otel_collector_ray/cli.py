@@ -1,0 +1,91 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m cardinalhq_otel_collector_ray.cli run \
+            --sf-dir /data/sf --out s3://bucket/out --run-ts 1706078400
+
+In this sandbox the same command runs against the local session. The CLI
+OWNS its Ray session (guarded init + shutdown); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    """Flagship parse→enrich→route→aggregate → partitioned sinks."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines import run_to_sinks
+    sink, entries = run_to_sinks(args.sf_dir, args.out, run_ts=args.run_ts,
+                                 num_partitions=args.num_partitions,
+                                 resume=not args.no_resume)
+    completed = sink.manifest.completed()
+    print(json.dumps({
+        "out": args.out,
+        "partitions_written": len(entries),
+        "partitions_total": len(completed),
+        "rows": sum(e.rows for e in completed.values()),
+        "tokens": sum(e.tokens for e in completed.values()),
+        "manifest": sink.manifest.path,
+    }))
+    return 0
+
+
+def cmd_spec(args) -> int:
+    """Compile a YAML/JSON pipeline spec and write its output as parquet."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.spec import compile_pipeline, load_spec
+    ds = compile_pipeline(load_spec(args.spec), args.sf_dir)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "spec": args.spec}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cardinalhq_otel_collector_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="flagship pipeline → partitioned sinks")
+    pr.add_argument("--sf-dir", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--run-ts", type=float, default=1706078400.0,
+                    help="fixed run timestamp for partition dirs (never wall clock)")
+    pr.add_argument("--num-partitions", type=int, default=16)
+    pr.add_argument("--no-resume", action="store_true")
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_run)
+
+    ps = sub.add_parser("spec", help="compile+run a YAML/JSON pipeline spec")
+    ps.add_argument("--spec", required=True)
+    ps.add_argument("--sf-dir", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--num-cpus", type=int, default=None)
+    ps.set_defaults(fn=cmd_spec)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

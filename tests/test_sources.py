@@ -40,3 +40,19 @@ def test_read_text_with_parse_chain(tmp_path):
     assert (df["level"] == "ERROR").sum() == 4
     # streaming execution does not guarantee row order — compare as a set
     assert sorted(df["code"].astype(int)) == list(range(20))
+
+
+def test_cli_run_subprocess(sf_dir, tmp_path):
+    """The ray-job-submit surface: CLI owns its session in a fresh process."""
+    import json
+    import subprocess
+    import sys
+    out = str(tmp_path / "cli")
+    proc = subprocess.run(
+        [sys.executable, "-m", "cardinalhq_otel_collector_ray.cli", "run",
+         "--sf-dir", sf_dir, "--out", out, "--num-cpus", "4",
+         "--num-partitions", "4"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 500 and res["partitions_total"] > 0
