@@ -530,6 +530,30 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_groupby_segment(sf_dir: str):
+    """groupbyattrsprocessor analog (components.go:128): regroup records by
+    an ENRICHED attribute — events → broadcast customer lookup → per-segment
+    aggregate."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.enrich import enrich_stage
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    table = {int(k): {"c_mktsegment": m}
+             for k, m in zip(cust["c_custkey"].to_pylist(),
+                              cust["c_mktsegment"].to_pylist())}
+    ds = _events_ms(sf_dir)
+    ds = enrich_stage(ds, table, "user_id", miss_value="UNKNOWN")
+    agg = grouped_aggregate(ds, keys=["c_mktsegment"],
+                            value_col="value_cents", mode="driver")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": batch["c_mktsegment"],
+                         "n": batch["agg_count"].cast(pa.int64()),
+                         "sum_cents": batch["agg_sum"].cast(pa.int64())})
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_supplier_by_region(sf_dir: str):
     """Chained broadcast joins over the dimension tables:
     supplier ⋈ nation ⋈ region → per-region supplier stats."""
@@ -844,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "unigram_logprob": _q_unigram_logprob,
         "supplier_by_region": _q_supplier_by_region,
+        "groupby_segment": _q_groupby_segment,
         "topk_users": _q_topk_users,
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
@@ -1192,6 +1217,12 @@ SELECT p.event_id,
              WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
                AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
 FROM ev p WHERE p.event_type = 'purchase'
+""",
+        "groupby_segment": _SQL_EVENTS + r"""
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       count(*) AS n, CAST(sum(e.value_cents) AS BIGINT) AS sum_cents
+FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY COALESCE(c.c_mktsegment, 'UNKNOWN')
 """,
         "supplier_by_region": r"""
 SELECT r.r_name, count(*) AS n_suppliers,

@@ -97,3 +97,26 @@ def test_salted_group_sum_matches_naive_on_zipf():
     assert len(merged) == len(naive)
     assert (merged["agg_sum"] == merged["sum"]).all()
     assert (merged["agg_count"] == merged["count"]).all()
+
+
+def test_per_row_agg_type_override():
+    """C2 fidelity: gauges default to AVG, overridable per datapoint via an
+    agg-type attribute (aggregate.go:215-223) — expressed columnar by
+    including the override column in the group keys and projecting the
+    matching statistic per row."""
+    t = pa.table({
+        "name": ["m", "m", "m", "m", "m", "m"],
+        "ts_ms": [0, 0, 0, 0, 0, 0],
+        "agg_type": ["avg", "avg", "max", "max", "sum", "sum"],
+        "value": [1.0, 3.0, 5.0, 9.0, 2.0, 10.0],
+    })
+    out = interval_aggregate(ray.data.from_arrow(t), ts_col="ts_ms",
+                             interval_ms=10_000, keys=["name", "agg_type"],
+                             value_col="value").to_pandas()
+    import numpy as _np
+    chosen = {
+        r["agg_type"]: {"avg": r["agg_avg"], "max": r["agg_max"],
+                        "sum": r["agg_sum"]}[r["agg_type"]]
+        for _, r in out.iterrows()
+    }
+    assert chosen == {"avg": 2.0, "max": 9.0, "sum": 12.0}
