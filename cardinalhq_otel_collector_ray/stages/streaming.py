@@ -1,0 +1,132 @@
+"""Incremental (micro-batch) interval aggregation — the reference's
+absorb-and-re-emit state machine, kept across consume calls.
+
+The batch engine collapses C2 to one groupby; this module preserves the
+STREAMING shape for stream-shaped inputs (ordered, partitioned log —
+ray_guide "Streaming-shaped workloads"): a ``MicroBatchAggregator`` holds
+interval state exactly like ``MetricAggregator.MatchAndAdd``
+(``processor/aggregationprocessor/aggregate.go:193-294``) and emits closed
+intervals on every consume — but closure is decided by an event-time
+WATERMARK (max ts seen − allowed lateness), not wall clock
+(``metrics.go:85``; SURVEY §2.4 documents this as the deterministic
+improvement).
+
+Distribution shape: one actor per key-hash bucket
+(``streaming_interval_aggregate``), fed batches in per-bucket ts order —
+the partitioning assumption is the SAME per-key ordering every temporal
+operator here relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class MicroBatchAggregator:
+    """Incremental interval state: consume(batch) → emitted closed rows.
+
+    State: {(interval, *key): [sum, count, min, max]} — the in-heap
+    aggregation set of ``aggregationProcessor`` (SURVEY §3.4), owned by one
+    actor so global correctness holds per key bucket.
+    """
+
+    def __init__(self, keys: list[str], ts_col: str, value_col: str,
+                 interval_ms: int, allowed_lateness_ms: int = 0):
+        self.keys = keys
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.interval_ms = interval_ms
+        self.lateness = allowed_lateness_ms
+        self.state: dict = {}
+        self.watermark = -(2**62)
+
+    def consume(self, batch: pa.Table) -> pa.Table:
+        """Absorb a micro-batch; return rows for every interval the new
+        watermark closes (emit shape: ts = interval start, C3)."""
+        df = batch.select(self.keys + [self.ts_col, self.value_col]).to_pandas()
+        ts = df[self.ts_col].to_numpy(dtype=np.int64)
+        iv = (ts // self.interval_ms) * self.interval_ms
+        vals = df[self.value_col].to_numpy()
+        key_cols = [df[k].to_numpy() for k in self.keys]
+        for i in range(len(df)):
+            k = (int(iv[i]), *(c[i] for c in key_cols))
+            s = self.state.get(k)
+            v = vals[i]
+            if s is None:
+                self.state[k] = [v, 1, v, v]
+            else:
+                s[0] += v
+                s[1] += 1
+                if v < s[2]:
+                    s[2] = v
+                if v > s[3]:
+                    s[3] = v
+        if len(ts):
+            self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
+        return self._emit_closed()
+
+    def _emit_closed(self) -> pa.Table:
+        closed_boundary = (self.watermark // self.interval_ms) * self.interval_ms
+        done = [k for k in self.state if k[0] + self.interval_ms <= closed_boundary]
+        rows = []
+        for k in sorted(done):
+            s = self.state.pop(k)
+            rows.append((k[0], *k[1:], s[0], s[1], s[2], s[3]))
+        cols = ["interval_start", *self.keys, "agg_sum", "agg_count",
+                "agg_min", "agg_max"]
+        if not rows:
+            return pa.table({c: pa.array([]) for c in cols})
+        arrays = list(zip(*rows))
+        return pa.table({c: pa.array(list(a)) for c, a in zip(cols, arrays)})
+
+    def flush(self) -> pa.Table:
+        """End-of-stream: emit everything (watermark → ∞)."""
+        self.watermark = 2**62
+        return self._emit_closed()
+
+
+@ray.remote
+class _BucketAggregator:
+    def __init__(self, **kwargs):
+        self.inner = MicroBatchAggregator(**kwargs)
+
+    def consume(self, batch: pa.Table) -> pa.Table:
+        return self.inner.consume(batch)
+
+    def flush(self) -> pa.Table:
+        return self.inner.flush()
+
+
+def streaming_interval_aggregate(batches, *, keys: list[str], ts_col: str,
+                                 value_col: str, interval_ms: int,
+                                 key_col_for_bucket: str, num_buckets: int = 4,
+                                 allowed_lateness_ms: int = 0) -> pa.Table:
+    """Drive an actor-per-bucket incremental aggregation over an iterator of
+    Arrow micro-batches (a stream tail / kafka-partition analog). Records
+    route to ``hash(key) % num_buckets`` actors; per-bucket arrival order is
+    preserved (the kafka-partition ordering guarantee). Returns the full
+    emitted table (incremental emissions + final flush)."""
+    actors = [_BucketAggregator.remote(keys=keys, ts_col=ts_col,
+                                       value_col=value_col,
+                                       interval_ms=interval_ms,
+                                       allowed_lateness_ms=allowed_lateness_ms)
+              for _ in range(num_buckets)]
+    emitted = []
+    for batch in batches:
+        h = pd.util.hash_array(
+            np.asarray(batch[key_col_for_bucket].to_pylist(), dtype=object))
+        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        refs = []
+        for b in range(num_buckets):
+            sub = batch.filter(pa.array(bucket == b))
+            if sub.num_rows:
+                refs.append(actors[b].consume.remote(sub))
+        emitted.extend(ray.get(refs))
+    emitted.extend(ray.get([a.flush.remote() for a in actors]))
+    real = [t for t in emitted if t.num_rows]
+    if not real:
+        return emitted[0] if emitted else pa.table({})
+    return pa.concat_tables(real, promote_options="default")

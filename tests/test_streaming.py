@@ -1,0 +1,71 @@
+"""Incremental streaming aggregation vs the batch path (same semantics)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from cardinalhq_otel_collector_ray.stages.streaming import (
+    MicroBatchAggregator, streaming_interval_aggregate)
+
+
+def test_microbatch_incremental_emission():
+    agg = MicroBatchAggregator(keys=["name"], ts_col="ts", value_col="v",
+                               interval_ms=10)
+    # interval [0,10): values 1,2  — nothing closes while watermark < 10
+    out1 = agg.consume(pa.table({"name": ["a", "a"], "ts": [1, 5], "v": [1, 2]}))
+    assert out1.num_rows == 0
+    # ts=25 → watermark 25 → interval 0 AND 10 close; 10s bucket empty for a
+    out2 = agg.consume(pa.table({"name": ["a"], "ts": [25], "v": [10]}))
+    rows = out2.to_pylist()
+    assert len(rows) == 1
+    assert rows[0] == {"interval_start": 0, "name": "a", "agg_sum": 3,
+                       "agg_count": 2, "agg_min": 1, "agg_max": 2}
+    # golden 1+2+3 → 6 on flush (metrics_test.go:70-116 shape)
+    agg2 = MicroBatchAggregator(keys=["name"], ts_col="ts", value_col="v",
+                                interval_ms=10_000)
+    agg2.consume(pa.table({"name": ["t", "t", "t"],
+                           "ts": [10_500, 11_500, 12_500], "v": [1, 2, 3]}))
+    final = agg2.flush().to_pylist()
+    assert len(final) == 1 and final[0]["agg_sum"] == 6 \
+        and final[0]["interval_start"] == 10_000
+
+
+def test_allowed_lateness_holds_interval_open():
+    agg = MicroBatchAggregator(keys=["name"], ts_col="ts", value_col="v",
+                               interval_ms=10, allowed_lateness_ms=10)
+    out = agg.consume(pa.table({"name": ["a", "a"], "ts": [1, 15], "v": [1, 5]}))
+    assert out.num_rows == 0  # watermark 5 → interval 0 still open
+    late = agg.consume(pa.table({"name": ["a"], "ts": [9], "v": [100]}))
+    assert late.num_rows == 0  # late record still absorbed
+    final = agg.flush().to_pandas().set_index("interval_start")
+    assert final.loc[0, "agg_sum"] == 101  # late row counted
+
+
+def test_streaming_matches_batch(sf_dir):
+    """Actor-per-bucket streaming over event micro-batches == batch groupby."""
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    ts_ms = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000)
+    cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    full = pa.table({"event_type": t["event_type"],
+                     "ts_ms": pa.array(ts_ms), "v": pa.array(cents)})
+    # stream in arrival (ts) order, 7 micro-batches
+    order = np.argsort(ts_ms, kind="stable")
+    full = full.take(pa.array(order))
+    chunks = [full.slice(i, 150) for i in range(0, full.num_rows, 150)]
+    out = streaming_interval_aggregate(
+        chunks, keys=["event_type"], ts_col="ts_ms", value_col="v",
+        interval_ms=3_600_000, key_col_for_bucket="event_type",
+        num_buckets=3).to_pandas()
+    expect = full.to_pandas()
+    expect["interval_start"] = (expect["ts_ms"] // 3_600_000) * 3_600_000
+    want = expect.groupby(["interval_start", "event_type"])["v"] \
+        .agg(["sum", "count", "min", "max"]).reset_index()
+    merged = out.merge(want, on=["interval_start", "event_type"])
+    assert len(merged) == len(want) == len(out)
+    assert (merged["agg_sum"] == merged["sum"]).all()
+    assert (merged["agg_count"] == merged["count"]).all()
+    assert (merged["agg_min"] == merged["min"]).all()
+    assert (merged["agg_max"] == merged["max"]).all()
