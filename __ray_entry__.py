@@ -45,7 +45,7 @@ def _q_route_agg_by_source(sf_dir: str):
     return aggregate_by_source(routed_documents(sf_dir))
 
 
-def _events_ms(sf_dir: str, extra: list[str] = []):
+def _events_ms(sf_dir: str, extra: tuple[str, ...] = ()):
     """events with ts_ms (epoch ms) and value_cents (exact BIGINT) columns.
     Columns pruned at the read — props/json stay on disk unless asked for."""
     from cardinalhq_otel_collector_ray.sources import read_table
@@ -530,6 +530,36 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_streaming_interval_agg(sf_dir: str):
+    """The INCREMENTAL path of C2: events streamed in arrival order through
+    actor-per-bucket MicroBatchAggregators (state kept across consume
+    calls, event-time watermark closure). Deterministic → same oracle as a
+    batch groupby."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.stages.streaming import (
+        streaming_interval_aggregate)
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    ts_ms = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+    cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    full = pa.table({"event_type": t["event_type"],
+                     "ts_ms": pa.array(ts_ms), "v": pa.array(cents)})
+    order = np.argsort(ts_ms, kind="stable")
+    full = full.take(pa.array(order))
+    chunks = [full.slice(i, 2000) for i in range(0, full.num_rows, 2000)]
+    out = streaming_interval_aggregate(
+        chunks, keys=["event_type"], ts_col="ts_ms", value_col="v",
+        interval_ms=3_600_000, key_col_for_bucket="event_type", num_buckets=4)
+    return pa.table({
+        "event_type": out["event_type"],
+        "interval_ms": out["interval_start"].cast(pa.int64()),
+        "n": out["agg_count"].cast(pa.int64()),
+        "sum_cents": out["agg_sum"].cast(pa.int64()),
+        "min_cents": out["agg_min"].cast(pa.int64()),
+        "max_cents": out["agg_max"].cast(pa.int64()),
+    })
+
+
 def _q_groupby_segment(sf_dir: str):
     """groupbyattrsprocessor analog (components.go:128): regroup records by
     an ENRICHED attribute — events → broadcast customer lookup → per-segment
@@ -869,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "supplier_by_region": _q_supplier_by_region,
         "groupby_segment": _q_groupby_segment,
+        "streaming_interval_agg": _q_streaming_interval_agg,
         "topk_users": _q_topk_users,
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
@@ -1217,6 +1248,12 @@ SELECT p.event_id,
              WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
                AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
 FROM ev p WHERE p.event_type = 'purchase'
+""",
+        "streaming_interval_agg": _SQL_EVENTS + r"""
+SELECT event_type, (ts_ms // 3600000) * 3600000 AS interval_ms,
+       count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+       min(value_cents) AS min_cents, max(value_cents) AS max_cents
+FROM ev GROUP BY event_type, interval_ms
 """,
         "groupby_segment": _SQL_EVENTS + r"""
 SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,

@@ -98,9 +98,8 @@ def run_headline(sf_dir: str, num_cpus: int, replication: int) -> dict:
     sources = sorted(set(base["source"].to_pylist()))
 
     docs, n_base = replicated_docs(sf_dir, replication)
-    conc = max(2, num_cpus // 4)
     t0 = time.perf_counter()
-    routed = routed_from_docs(docs, vocab, sources, concurrency=conc)
+    routed = routed_from_docs(docs, vocab, sources)
     agg = aggregate_by_source(routed).to_pandas()
     wall = time.perf_counter() - t0
     sequences = int(agg["n_rows"].sum())

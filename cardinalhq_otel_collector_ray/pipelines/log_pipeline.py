@@ -52,8 +52,8 @@ def build_enrichment_table(sources: list[str]) -> dict[str, dict]:
     return out
 
 
-def routed_from_docs(docs: ray.data.Dataset, vocab: dict, sources: list[str],
-                     concurrency: int = 2) -> ray.data.Dataset:
+def routed_from_docs(docs: ray.data.Dataset, vocab: dict,
+                     sources: list[str]) -> ray.data.Dataset:
     """tokenize → parse → enrich → route over a documents Dataset
     (columns doc_id, text, source). Returns the routed record stream with
     columns (doc_id, tokens, n_tok, source, head_word, has_slow,
@@ -102,8 +102,7 @@ def routed_from_docs(docs: ray.data.Dataset, vocab: dict, sources: list[str],
     return ds.drop_columns(["text", "_docnum"])
 
 
-def routed_documents(sf_dir: str, vocab: dict | None = None,
-                     concurrency: int = 2) -> ray.data.Dataset:
+def routed_documents(sf_dir: str, vocab: dict | None = None) -> ray.data.Dataset:
     """Flagship routed stream read from ``sf_dir``. The distinct source set
     comes from a dedicated single-column read (prune at the read), not by
     executing the full upstream pipeline twice."""
@@ -113,7 +112,7 @@ def routed_documents(sf_dir: str, vocab: dict | None = None,
     sources = sorted(set(read_table(sf_dir, "documents", columns=["source"])
                          .unique("source")))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    return routed_from_docs(docs, vocab, sources, concurrency=concurrency)
+    return routed_from_docs(docs, vocab, sources)
 
 
 def sink_counts(routed: ray.data.Dataset) -> ray.data.Dataset:
@@ -144,13 +143,12 @@ def aggregate_by_source(routed: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def run_to_sinks(sf_dir: str, out_root: str, run_ts: float = 1706078400.0,
-                 num_partitions: int = 16, resume: bool = True,
-                 concurrency: int = 2):
+                 num_partitions: int = 16, resume: bool = True):
     """Full flagship run: routed stream → partitioned per-sink Parquet with
     lineage manifest (run_ts fixed for deterministic partition dirs;
     default = 2024-01-24T06:40Z, the reference's partition_test golden
     timestamp, partition_test.go:14-130)."""
-    routed = routed_documents(sf_dir, concurrency=concurrency)
+    routed = routed_documents(sf_dir)
     sink = PartitionedSink(out_root, run_ts, num_partitions=num_partitions)
     entries = sink.write(routed, key_col="doc_id", route_col="route",
                          tokens_len_col="n_tok", resume=resume)
