@@ -147,3 +147,46 @@ def load_spec(path: str) -> dict:
         import yaml
         return yaml.safe_load(text)
     return json.loads(text)
+
+
+def compile_topology(spec: dict[str, Any], sf_dir: str) -> dict[str, ray.data.Dataset]:
+    """Full collector topology: source → shared stages → route fan-out →
+    PER-SINK stage chains (the reference's per-vendor enforce pipelines,
+    ``docs/flow/flow.dot:27-104``: each forward target gets its own
+    filter/sample/batch chain before its exporter).
+
+        spec = {
+          "source": {...}, "stages": [...],       # shared decorate chain
+          "route": {"default": "main", "rules": [...]},
+          "sinks": {
+            "main":   {"stages": [...]},          # per-sink enforcement
+            "errors": {"stages": [{"kind": "sample", ...}]},
+          },
+        }
+
+    Returns {sink_name: Dataset} — one lazy view per sink (rows whose
+    ``route`` == sink, with that sink's chain applied). Sinks present in
+    the route rules but absent from ``sinks`` get a bare passthrough.
+    """
+    from ..stages.route import sink_view
+
+    ds = compile_pipeline({"source": spec["source"],
+                           "stages": spec.get("stages", [])}, sf_dir)
+    route_cfg = spec.get("route")
+    if route_cfg is None:
+        raise ValueError("topology spec requires a 'route' section")
+    ds = _s_route(ds, route_cfg)
+
+    sink_specs = spec.get("sinks", {})
+    names = set(sink_specs) | {r["sink"] for r in route_cfg.get("rules", [])} \
+        | {route_cfg.get("default", "default")}
+    out: dict[str, ray.data.Dataset] = {}
+    for name in sorted(names):
+        view = sink_view(ds, name)
+        for i, st in enumerate(sink_specs.get(name, {}).get("stages", [])):
+            kind = st.get("kind")
+            if kind not in _STAGES:
+                raise ValueError(f"sink {name} stage {i}: unknown kind {kind!r}")
+            view = _STAGES[kind](view, st)
+        out[name] = view
+    return out

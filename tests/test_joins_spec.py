@@ -90,3 +90,46 @@ def test_yaml_spec_loads_and_runs(sf_dir):
     out = compile_pipeline(spec, sf_dir).to_pandas()
     assert list(out.columns) == ["doc_id", "head_word", "route"]
     assert set(out["route"]) <= {"main", "slowlane", "sampled"}
+
+
+def test_topology_per_sink_chains(sf_dir):
+    """Collector topology: shared decorate → route → per-sink enforcement."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_topology
+    spec = {
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text", "source"]},
+        "stages": [
+            {"kind": "flag_regex", "column": "text", "pattern": r"\bslow\b",
+             "out": "has_slow"},
+        ],
+        "route": {"default": "main", "rules": [
+            {"kind": "equals", "column": "has_slow", "value": True,
+             "sink": "slowlane"},
+        ]},
+        "sinks": {
+            "slowlane": {"stages": [
+                {"kind": "sample", "id_column": "doc_id", "percent": 50},
+                {"kind": "select", "columns": ["doc_id", "route"]},
+            ]},
+            "main": {"stages": [
+                {"kind": "select", "columns": ["doc_id", "route"]},
+            ]},
+        },
+    }
+    sinks = compile_topology(spec, sf_dir)
+    assert set(sinks) == {"main", "slowlane"}
+    main = sinks["main"].to_pandas()
+    slow = sinks["slowlane"].to_pandas()
+    assert (main["route"] == "main").all()
+    assert (slow["route"] == "slowlane").all()
+    # per-sink enforcement applied only to its own pipeline: slowlane is
+    # ~50% sampled, main is complete
+    total_docs = 500
+    assert len(main) + len(slow) < total_docs          # sampling dropped rows
+    assert len(main) > 0 and 0 < len(slow)
+    # main got every non-slow row (no sampling on main)
+    import duckdb
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    n_slow = c.execute(r"SELECT count(*) FROM documents WHERE regexp_matches(text, '\bslow\b')").fetchone()[0]
+    assert len(main) == total_docs - n_slow
