@@ -74,6 +74,10 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
     cardinality); "driver" = coordinator merge of the per-block partials
     (bounded cardinality — same tradeoff as ``grouped_aggregate``).
     """
+    if interval_ms < 1000:
+        # reference floor: metric_aggregation.interval ≥ 1 s
+        # (processor/aggregationprocessor/config.go:39-47)
+        raise ValueError(f"interval_ms must be ≥ 1000 (got {interval_ms})")
     out_ts_col = out_ts_col or ts_col
     group_cols = ["_interval", *keys]
 

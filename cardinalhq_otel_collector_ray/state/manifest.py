@@ -57,3 +57,20 @@ class Manifest:
     def reset(self) -> None:
         if os.path.exists(self.path):
             os.remove(self.path)
+
+
+def backoff_delays(max_attempts: int = 3, initial_s: float = 1.0,
+                   max_s: float = 30.0, jitter=None) -> list[float]:
+    """Retry schedule of the reference notifier
+    (``internal/notify/notifier.go:416-425``, defaults ``config.go:18-26``):
+    exponential backoff ``initial * 2^n`` capped at ``max_s``, each delay
+    scaled by a jitter factor in [0.5, 1.5). ``jitter`` is an optional
+    callable returning that factor (deterministic in tests; random in a
+    live retry loop)."""
+    out = []
+    d = initial_s
+    for _ in range(max_attempts):
+        f = jitter() if jitter is not None else 1.0
+        out.append(min(d, max_s) * f)
+        d *= 2
+    return out

@@ -69,3 +69,23 @@ def test_char_shingles():
     assert starts.tolist() == [0, 1, 1, 3]
     assert len(codes) == 3
     assert codes[0] == codes[1]  # "abcd" shingle shared with doc2's first
+
+
+def test_backoff_policy_reference_defaults():
+    # notifier.go:416-425: exp backoff 1s -> 30s cap, jitter [0.5, 1.5)
+    from cardinalhq_otel_collector_ray.state.manifest import backoff_delays
+    assert backoff_delays(3) == [1.0, 2.0, 4.0]
+    assert backoff_delays(7)[-1] == 30.0  # capped
+    jittered = backoff_delays(3, jitter=lambda: 0.5)
+    assert jittered == [0.5, 1.0, 2.0]
+
+
+def test_interval_floor_enforced():
+    import pytest
+    import ray.data
+    import pyarrow as pa
+    from cardinalhq_otel_collector_ray.stages.aggregate import interval_aggregate
+    ds = ray.data.from_arrow(pa.table({"k": ["a"], "ts": [1], "v": [1.0]}))
+    with pytest.raises(ValueError, match="1000"):
+        interval_aggregate(ds, ts_col="ts", interval_ms=500, keys=["k"],
+                           value_col="v")
