@@ -28,7 +28,13 @@ MOD = 1_000_003
 
 
 def mulhash(ids: np.ndarray, salt: int = SALT, mod: int = MOD) -> np.ndarray:
-    """SQL-equivalent: ``(id * 2654435761 + salt) % mod``  (BIGINT math)."""
+    """SQL-equivalent: ``(id * 2654435761 + salt) % mod``  (BIGINT math).
+
+    Ids must be NON-NEGATIVE for cross-engine parity: numpy's ``%`` returns
+    a non-negative remainder while SQL's is sign-following, so negative ids
+    would hash differently. Every id column in this engine (doc_id,
+    event_id, *_key) is non-negative by construction.
+    """
     ids = np.asarray(ids, dtype=np.int64)
     return (ids * np.int64(MUL) + np.int64(salt)) % np.int64(mod)
 

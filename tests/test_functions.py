@@ -89,3 +89,19 @@ def test_interval_floor_enforced():
     with pytest.raises(ValueError, match="1000"):
         interval_aggregate(ds, ts_col="ts", interval_ms=500, keys=["k"],
                            value_col="v")
+
+
+def test_tokenizer_unknown_word_gets_unk():
+    from cardinalhq_otel_collector_ray.functions.text import (
+        map_words_to_ids, split_words)
+    words = split_words(pa.array(["known mystery"]))
+    toks = map_words_to_ids(words, {"known": 7})
+    assert toks.to_pylist() == [[7, -1]]  # unk id = -1
+
+
+def test_jsonl_marshal_deterministic():
+    from cardinalhq_otel_collector_ray.sinks.serializers import marshal_jsonl
+    t = pa.table({"b": [1, 2], "a": ["x", "y"]})
+    out1, out2 = marshal_jsonl(t), marshal_jsonl(t)
+    assert out1 == out2
+    assert out1.decode().splitlines()[0] == '{"a": "x", "b": 1}'  # sorted keys
