@@ -1079,8 +1079,8 @@ GROUP BY f.fingerprint
   FROM ev
 ), sess AS (
   SELECT user_id, ts_ms,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, min(ts_ms) AS session_start,

@@ -7,7 +7,10 @@ On a real cluster:
             --sf-dir /data/sf --out s3://bucket/out --run-ts 1706078400
 
 In this sandbox the same command runs against the local session. The CLI
-OWNS its Ray session (guarded init + shutdown); the library never does.
+owns a Ray session ONLY when it created one itself: ``_ensure_ray`` records
+whether it called ``ray.init`` and ``main`` shuts down only in that case,
+so programmatic invocation from a driver/test process that already holds a
+session never has its session killed (the library itself never inits).
 """
 
 from __future__ import annotations
@@ -17,21 +20,26 @@ import json
 import sys
 
 
-def _ensure_ray(num_cpus: int | None):
+def _ensure_ray(num_cpus: int | None) -> bool:
+    """Init Ray if no session exists. Returns True iff WE initialized it
+    (the caller then owns shutdown); False when reusing an outer session."""
     import ray
+    initialized_here = False
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False,
                   "ignore_reinit_error": True, "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        initialized_here = True
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    return initialized_here
 
 
 def cmd_run(args) -> int:
     """Flagship parse→enrich→route→aggregate → partitioned sinks."""
-    _ensure_ray(args.num_cpus)
+    args._owns_ray = _ensure_ray(args.num_cpus)
     from .pipelines import run_to_sinks
     sink, entries = run_to_sinks(args.sf_dir, args.out, run_ts=args.run_ts,
                                  num_partitions=args.num_partitions,
@@ -50,7 +58,7 @@ def cmd_run(args) -> int:
 
 def cmd_spec(args) -> int:
     """Compile a YAML/JSON pipeline spec and write its output as parquet."""
-    _ensure_ray(args.num_cpus)
+    args._owns_ray = _ensure_ray(args.num_cpus)
     from .pipelines.spec import compile_pipeline, load_spec
     ds = compile_pipeline(load_spec(args.spec), args.sf_dir)
     ds.write_parquet(args.out)
@@ -81,9 +89,10 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     rc = args.fn(args)
-    import ray
-    if ray.is_initialized():
-        ray.shutdown()
+    if getattr(args, "_owns_ray", False):
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
     return rc
 
 

@@ -60,6 +60,43 @@ def stable_str_hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr).astype(np.uint64)
 
 
+def bytes_hash64(arr) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit hash of an Arrow string/binary array.
+
+    Operates directly on the Arrow offsets + data buffers — never
+    materializes Python strings (the ``to_pylist`` cost of
+    ``stable_str_hash64``). Work is O(total_bytes): one numpy pass per byte
+    position over the still-live subset. Right for short id-like columns
+    (routing/partition keys); for long document bodies prefer
+    ``stable_str_hash64``, whose per-string C loop amortizes better.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        import pyarrow.compute as pc
+        arr = pc.fill_null(arr, "" if pa.types.is_string(arr.type)
+                           or pa.types.is_large_string(arr.type) else b"")
+    arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset: arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max())):
+            sel = lens > j
+            idx = starts[sel] + j
+            h[sel] = (h[sel] ^ data[idx]) * prime
+    return h
+
+
 def poly_hash64(mat: np.ndarray, base: int = 1099511628211) -> np.ndarray:
     """Rolling polynomial hash over each row of an int matrix (uint64 wrap).
 

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from ..functions.hashing import mulhash
+from ..functions.hashing import bytes_hash64, mulhash
 from ..state.manifest import Manifest, ManifestEntry
 
 DEFAULT_PARTITION_FORMAT = "year=%Y/month=%m/day=%d/hour=%H/minute=%M"
@@ -94,8 +94,9 @@ class PartitionedSink:
         def add_pid(batch: pa.Table) -> pa.Table:
             keys = batch[key_col]
             if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
-                ids = pd.util.hash_array(np.asarray(keys.to_pylist(), dtype=object))
-                ids = (ids % np.uint64(2**31)).astype(np.int64)
+                # buffer-level vectorized hash — no Python string
+                # materialization in the sink hot path
+                ids = (bytes_hash64(keys) % np.uint64(2**31)).astype(np.int64)
             else:
                 ids = keys.to_numpy(zero_copy_only=False).astype(np.int64)
             pid = mulhash(ids, mod=npart)

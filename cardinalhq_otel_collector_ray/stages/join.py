@@ -66,18 +66,28 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     """
     # Union requires one schema: suffix right-side name collisions, then
     # give each side typed-NA placeholders for the other side's columns.
-    lcols = [c for c in left.columns()]
-    rcols = [c for c in right.columns()]
+    # ds.schema() is plan metadata (first-block at worst) — never re-executes
+    # the upstream pipeline the way a take_batch(1) sample would.
+    l_schema, r_schema = left.schema(), right.schema()
+    lcols, rcols = list(l_schema.names), list(r_schema.names)
     collide = (set(lcols) & set(rcols)) - {on}
     r_renames = {c: c + "_r" for c in collide}
     r_out = [r_renames.get(c, c) for c in rcols]
-    l_sample = left.take_batch(1, batch_format="pandas")
-    r_sample = (right.take_batch(1, batch_format="pandas")
-                .rename(columns=r_renames))
     all_cols = [on] + [c for c in lcols if c != on] + \
                [c for c in r_out if c != on]
-    dtypes = {**{c: l_sample[c].dtype for c in l_sample.columns},
-              **{c: r_sample[c].dtype for c in r_sample.columns}}
+
+    def _kind(t) -> str:
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_integer(t):
+            return "int"
+        return "object"
+
+    dtypes = {}
+    for name, t in zip(l_schema.names, l_schema.types):
+        dtypes[name] = _kind(t)
+    for name, t in zip(r_schema.names, r_schema.types):
+        dtypes[r_renames.get(name, name)] = _kind(t)
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -86,10 +96,10 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             df = df.copy()
             for c in all_cols:
                 if c not in df.columns:
-                    dt = str(dtypes[c])
-                    if dt.startswith("float"):
+                    dt = dtypes[c]
+                    if dt == "float":
                         df[c] = np.full(len(df), np.nan)
-                    elif dt.startswith(("int", "uint")):
+                    elif dt == "int":
                         df[c] = pd.Series([pd.NA] * len(df), dtype="Int64")
                     else:
                         df[c] = pd.Series([None] * len(df), dtype="object")

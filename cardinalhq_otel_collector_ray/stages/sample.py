@@ -34,5 +34,8 @@ def drop_where(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:
         mask = predicate(batch)
         if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
             mask = pa.array(np.asarray(mask, dtype=bool))
-        return batch.filter(pc.invert(mask))
+        # NULL predicate result (e.g. pc.equal against a null cell) means
+        # "did not match the drop rule" — keep the row. Without fill_null
+        # Arrow's filter drops null-mask rows, silently deleting them.
+        return batch.filter(pc.fill_null(pc.invert(mask), True))
     return ds.map_batches(fn, batch_format="pyarrow")
