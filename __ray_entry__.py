@@ -236,7 +236,7 @@ def _q_cumulative_delta(sf_dir: str):
         ["event_id", "user_id", "event_type", "ts_ms", "value_cents"])
     out = cumulative_to_delta(ds, keys=["user_id", "event_type"],
                               ts_col="ts_ms", value_col="value_cents",
-                              out="delta_cents")
+                              out="delta_cents", tiebreak_cols=["event_id"])
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         return df[["event_id", "delta_cents"]]
@@ -385,7 +385,8 @@ def _q_delta_to_rate(sf_dir: str):
     ds = _events_ms(sf_dir).select_columns(
         ["event_id", "user_id", "event_type", "ts_ms", "value_cents"])
     out = delta_to_rate(ds, keys=["user_id", "event_type"], ts_col="ts_ms",
-                        value_col="value_cents", out="rate")
+                        value_col="value_cents", out="rate",
+                        tiebreak_cols=["event_id"])
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -495,7 +496,7 @@ def _q_delta_to_cumulative(sf_dir: str):
         ["event_id", "user_id", "event_type", "ts_ms", "value_cents"])
     out = delta_to_cumulative(ds, keys=["user_id", "event_type"],
                               ts_col="ts_ms", value_col="value_cents",
-                              out="cum_cents")
+                              out="cum_cents", tiebreak_cols=["event_id"])
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         return df[["event_id", "cum_cents"]]
@@ -1090,7 +1091,7 @@ FROM sess GROUP BY user_id, session_id
         "cumulative_delta": _SQL_EVENTS + r"""
 SELECT event_id,
        value_cents - lag(value_cents) OVER
-         (PARTITION BY user_id, event_type ORDER BY ts_ms) AS delta_cents
+         (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id) AS delta_cents
 FROM ev
 """,
         "logdedup_events": _SQL_EVENTS + r""", ranked AS (
@@ -1176,7 +1177,7 @@ FROM events
 SELECT event_id,
        round(value_cents /
              ((ts_ms - lag(ts_ms) OVER (PARTITION BY user_id, event_type
-                                        ORDER BY ts_ms)) / 1000.0), 6) AS rate
+                                        ORDER BY ts_ms, event_id)) / 1000.0), 6) AS rate
 FROM ev
 """,
         "unroll_tokens": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
@@ -1227,7 +1228,7 @@ WHERE (doc_id * 2654435761 + 12345) % 10 = 0
         "delta_to_cumulative": _SQL_EVENTS + r"""
 SELECT event_id,
        CAST(sum(value_cents) OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts_ms
+                                   ORDER BY ts_ms, event_id
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_cents
 FROM ev

@@ -2,87 +2,195 @@
 
 Covers the reference distribution's temporal processor vocabulary
 (``distribution/components.go:120-133``): cumulativetodelta,
-deltatorate, logdedup (interval dedup of identical bodies with count), and
-session windowing (tailsampling-style per-key temporal grouping).
+deltatocumulative, deltatorate, logdedup (interval dedup of identical
+bodies with count), and session windowing (tailsampling-style per-key
+temporal grouping).
 
-Ray-Data-native shape: partition by key (``groupby``) and do the ordered
-window math per group with vectorized pandas/numpy inside ``map_groups``
-(batch engine has no watermarks — order within group is established by an
-explicit sort, SURVEY §2.4). The per-key ordering assumption is the ONLY
-partitioning assumption; hot keys are bounded by per-key row counts, not
-dataset size.
+Ray-Data-native shape (scale-safe): ONE shuffle to hash-partitioned blocks
+(``_part = hash(keys) % P`` — P bounded, independent of key cardinality),
+then a **segmented vectorized kernel per partition**: sort the partition by
+(keys, ts, tiebreak) once and compute every per-key window function with
+numpy over key-change boundaries. Python dispatch is O(P), never O(keys) —
+at 10^9 users the old ``groupby(keys).map_groups`` shape would be 10^9
+Python calls; this is ~P ≈ blocks.
+
+The per-key ordering assumption is the ONLY partitioning assumption; a
+partition holds every row of each key hashed into it (same contract as the
+reference's per-instance aggregation state, SURVEY §3.4).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
+
+from ..functions.hashing import bytes_hash64, combine_hash64
+
+DEFAULT_TEMPORAL_PARTITIONS = 64
+
+
+def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash of the key columns, buffer-vectorized."""
+    h = None
+    for k in keys:
+        col = batch[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
+                or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            ch = bytes_hash64(col)
+        else:
+            ch = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                ch = ch * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x2545F4914F6CDD1D)
+        h = ch if h is None else combine_hash64(h, ch)
+    return h
+
+
+def partitioned_apply(ds: ray.data.Dataset, keys: list[str], kernel,
+                      num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                      ) -> ray.data.Dataset:
+    """Hash-partition by ``keys`` and run ``kernel(pandas_df)`` ONCE per
+    partition (all rows of a key land in one partition).
+
+    ``num_partitions`` bounds Python dispatch; scale it with cluster size
+    (tasks), NOT key cardinality — each partition must fit a worker's heap
+    (rows/P per task), the same contract as any keyed shuffle stage.
+    """
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, keys)
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_tpart", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df.drop(columns=["_tpart"]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_tpart").map_groups(per_part, batch_format="pandas"))
+
+
+def _segment_starts(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Boolean mask: True at the first row of each key run (df pre-sorted
+    by keys)."""
+    n = len(df)
+    new = np.zeros(n, dtype=bool)
+    if n == 0:
+        return new
+    new[0] = True
+    for k in keys:
+        v = df[k].to_numpy()
+        new[1:] |= v[1:] != v[:-1]
+    return new
 
 
 def cumulative_to_delta(ds: ray.data.Dataset, keys: list[str], ts_col: str,
-                        value_col: str, out: str = "delta") -> ray.data.Dataset:
+                        value_col: str, out: str = "delta",
+                        tiebreak_cols: list[str] | None = None,
+                        num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                        ) -> ray.data.Dataset:
     """delta[i] = value[i] - value[i-1] per key, time-ordered; first row per
     key yields null (cumulativetodelta semantics: no emission before a
-    baseline exists)."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        g[out] = g[value_col].diff()
-        return g
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    baseline exists). Segmented diff: one numpy pass per partition."""
+    order = [ts_col] + (tiebreak_cols or [])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order, kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy().astype(np.float64)
+        d = np.empty(len(v), dtype=np.float64)
+        if len(v):
+            d[0] = np.nan
+            d[1:] = v[1:] - v[:-1]
+            d[_segment_starts(df, keys)] = np.nan
+        df[out] = d
+        return df
+    return partitioned_apply(ds, keys, kernel, num_partitions)
 
 
 def delta_to_cumulative(ds: ray.data.Dataset, keys: list[str], ts_col: str,
-                        value_col: str, out: str = "cumulative") -> ray.data.Dataset:
+                        value_col: str, out: str = "cumulative",
+                        tiebreak_cols: list[str] | None = None,
+                        num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                        ) -> ray.data.Dataset:
     """Running sum per key, time-ordered (deltatocumulativeprocessor,
-    ``distribution/components.go:122``) — the inverse of
-    ``cumulative_to_delta``."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        g[out] = g[value_col].cumsum()
-        return g
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    ``distribution/components.go:122``). Segmented cumsum: full-partition
+    cumsum minus the running total at each key's first row — exact for int
+    inputs (dtype preserved, BIGINT parity with the SQL oracle)."""
+    order = [ts_col] + (tiebreak_cols or [])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order, kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy()
+        if len(v):
+            c = np.cumsum(v)
+            new = _segment_starts(df, keys)
+            starts_idx = np.flatnonzero(new)
+            seg_id = np.cumsum(new) - 1
+            base = (c[starts_idx] - v[starts_idx])[seg_id]
+            df[out] = c - base
+        else:
+            df[out] = v
+        return df
+    return partitioned_apply(ds, keys, kernel, num_partitions)
 
 
 def delta_to_rate(ds: ray.data.Dataset, keys: list[str], ts_col: str,
                   value_col: str, out: str = "rate",
-                  ts_unit_per_sec: float = 1000.0) -> ray.data.Dataset:
+                  ts_unit_per_sec: float = 1000.0,
+                  tiebreak_cols: list[str] | None = None,
+                  num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                  ) -> ray.data.Dataset:
     """rate[i] = value[i] / (ts[i] - ts[i-1] in seconds) per key (deltatorate)."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        dt = g[ts_col].diff() / ts_unit_per_sec
-        g[out] = g[value_col] / dt
-        return g
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    order = [ts_col] + (tiebreak_cols or [])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order, kind="mergesort").reset_index(drop=True)
+        ts = df[ts_col].to_numpy().astype(np.float64)
+        v = df[value_col].to_numpy().astype(np.float64)
+        dt = np.empty(len(ts), dtype=np.float64)
+        if len(ts):
+            dt[0] = np.nan
+            dt[1:] = (ts[1:] - ts[:-1]) / ts_unit_per_sec
+            dt[_segment_starts(df, keys)] = np.nan
+        df[out] = v / dt
+        return df
+    return partitioned_apply(ds, keys, kernel, num_partitions)
 
 
 def interval_dedup(ds: ray.data.Dataset, keys: list[str], ts_col: str,
                    interval_ms: int,
-                   tiebreak_cols: list[str] | None = None) -> ray.data.Dataset:
+                   tiebreak_cols: list[str] | None = None,
+                   num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                   ) -> ray.data.Dataset:
     """logdedupprocessor: within each (keys, interval) keep the FIRST record
     (min (ts, *tiebreak_cols) — a deterministic total order) and attach
-    ``dedup_count`` = number of collapsed records. Two-phase: per-batch
-    first+count pre-combine, then a global per-group combine — skew-safe
-    because each block contributes one row per group."""
+    ``dedup_count`` = number of collapsed records.
+
+    Two-phase: per-batch first+count pre-combine (each block contributes ≤1
+    row per group — the skew defense), then ONE pandas groupby per hash
+    partition for the final combine (no per-group Python dispatch)."""
     order = [ts_col] + (tiebreak_cols or [])
+    group_cols = keys + ["_interval"]
 
     def precombine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_interval"] = (df[ts_col].astype("int64") // interval_ms) * interval_ms
         df = df.sort_values(order, kind="mergesort")
-        g = df.groupby(keys + ["_interval"], sort=False, as_index=False)
+        g = df.groupby(group_cols, sort=False, as_index=False)
         first = g.first()
         first["dedup_count"] = g.size()["size"].values
         return first
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
-        out = g.iloc[:1].copy()
-        out["dedup_count"] = g["dedup_count"].sum()
-        return out
+    def combine_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(group_cols + order, kind="mergesort")
+        g = df.groupby(group_cols, sort=False, as_index=False)
+        first = g.first()
+        first["dedup_count"] = g["dedup_count"].sum()["dedup_count"].values
+        return first
 
     partials = ds.map_batches(precombine, batch_format="pandas")
-    return partials.groupby(keys + ["_interval"]).map_groups(combine, batch_format="pandas")
+    return partitioned_apply(partials, group_cols, combine_part, num_partitions)
 
 
 def sliding_window_aggregate(ds: ray.data.Dataset, keys: list[str],
@@ -98,21 +206,20 @@ def sliding_window_aggregate(ds: ray.data.Dataset, keys: list[str],
     """
     assert window_ms % hop_ms == 0
     k = window_ms // hop_ms
-    import pyarrow as pa
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ts = batch[ts_col].astype("int64").to_numpy()
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ts)
         base = (ts // hop_ms) * hop_ms
-        n = len(batch)
-        rep = batch.loc[batch.index.repeat(k)].reset_index(drop=True)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
         offsets = np.tile(np.arange(k, dtype=np.int64) * hop_ms, n)
-        rep["window_start"] = np.repeat(base, k) - offsets
-        # a record belongs to window w iff w <= ts < w + window_ms; the
-        # construction guarantees it, but guard for negative starts
-        return rep[rep["window_start"] >= 0]
+        window_start = np.repeat(base, k) - offsets
+        keep = window_start >= 0
+        rep = batch.take(pa.array(idx[keep]))
+        return rep.append_column("window_start", pa.array(window_start[keep]))
 
     from .aggregate import grouped_aggregate
-    exploded = ds.map_batches(explode, batch_format="pandas")
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
     agg = grouped_aggregate(exploded, keys=keys + ["window_start"],
                             value_col=value_col)
 
@@ -126,48 +233,66 @@ def sliding_window_aggregate(ds: ray.data.Dataset, keys: list[str],
 
 def asof_join_last_event(ds: ray.data.Dataset, key: str, ts_col: str,
                          left_filter, right_filter,
-                         out: str = "asof_ts") -> ray.data.Dataset:
+                         out: str = "asof_ts",
+                         num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                         ) -> ray.data.Dataset:
     """Per-key as-of join within one stream: for every LEFT record, the
-    greatest RIGHT timestamp ≤ its own (``pd.merge_asof`` per key group —
-    the as-of/range-join composition from the ray_guide join patterns).
-    ``left_filter``/``right_filter``: pandas-mask callables selecting the
-    two sides. Null when no prior right event exists."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        left = g[left_filter(g)]
-        right = g[right_filter(g)][[ts_col]].rename(columns={ts_col: out})
+    greatest RIGHT timestamp ≤ its own. ONE ``pd.merge_asof(by=key)`` call
+    per hash partition — the per-key semantics come from ``by=``, not from
+    per-key Python dispatch. ``left_filter``/``right_filter``: pandas-mask
+    callables selecting the two sides. Null when no prior right event."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        left = df[left_filter(df)]
+        right = df[right_filter(df)][[key, ts_col]].rename(columns={ts_col: out})
         if len(left) == 0:
             return left.assign(**{out: pd.Series([], dtype="float64")})
         if len(right) == 0:
             return left.assign(**{out: np.nan})
-        merged = pd.merge_asof(left, right, left_on=ts_col, right_on=out,
-                               direction="backward")
-        return merged
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+        return pd.merge_asof(left, right, left_on=ts_col, right_on=out,
+                             by=key, direction="backward")
+    return partitioned_apply(ds, [key], kernel, num_partitions)
 
 
 def sessionize(ds: ray.data.Dataset, key: str, ts_col: str, gap_ms: int,
-               agg_cols: dict[str, str] | None = None) -> ray.data.Dataset:
+               agg_cols: dict[str, str] | None = None,
+               num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+               ) -> ray.data.Dataset:
     """Session windows per key: a new session starts when the gap to the
     previous event exceeds ``gap_ms``. Emits one row per session:
     key, session_id (0-based per key), session_start, session_end, n_events
-    (+ optional ``{col: 'sum'}`` aggregates)."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy()
-        new = np.ones(len(ts), dtype=np.int64)
-        new[1:] = (np.diff(ts) > gap_ms).astype(np.int64)
-        sid = np.cumsum(new) - 1
-        g = g.assign(_sid=sid)
-        gg = g.groupby("_sid", sort=True)
+    (+ optional ``{col: 'sum'}`` aggregates).
+
+    Fully segmented-vectorized: session boundaries, per-key session ids and
+    per-session aggregates all come from numpy over the partition-sorted
+    arrays (``reduceat`` for sums) — zero per-key Python calls."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        newkey = _segment_starts(df, [key])
+        newsess = newkey.copy()
+        if n:
+            newsess[1:] |= (ts[1:] - ts[:-1]) > gap_ms
+        gsid = np.cumsum(newsess) - 1          # partition-global session idx
+        key_first_gsid = gsid[np.flatnonzero(newkey)]
+        key_seg = np.cumsum(newkey) - 1
+        sid = gsid - key_first_gsid[key_seg]   # 0-based per key
+        starts = np.flatnonzero(newsess)
+        ends = np.append(starts[1:], n) - 1
         out = pd.DataFrame({
-            key: g[key].iloc[0],
-            "session_id": np.arange(gg.ngroups, dtype=np.int64),
-            "session_start": gg[ts_col].min().astype("int64").values,
-            "session_end": gg[ts_col].max().astype("int64").values,
-            "n_events": gg.size().values.astype(np.int64),
+            key: df[key].to_numpy()[starts],
+            "session_id": sid[starts].astype(np.int64),
+            "session_start": ts[starts],
+            "session_end": ts[ends],
+            "n_events": np.diff(np.append(starts, n)).astype(np.int64),
         })
         for col, how in (agg_cols or {}).items():
-            out[f"{how}_{col}"] = gg[col].agg(how).values
+            v = df[col].to_numpy()
+            if how == "sum":
+                out[f"sum_{col}"] = np.add.reduceat(v, starts) if n else v
+            else:  # pragma: no cover - only sum is used today
+                out[f"{how}_{col}"] = [getattr(np, how)(v[s:e + 1])
+                                       for s, e in zip(starts, ends)]
         return out
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    return partitioned_apply(ds, [key], kernel, num_partitions)
