@@ -40,6 +40,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
+# Driver-mode merge cap: above this many partial rows the coordinator merge
+# is invalid and both aggregate entry points fall back to the distributed
+# shuffle. Module-level so tests can monkeypatch it to force the fallback.
+MAX_DRIVER_ROWS = 20_000_000
+
 
 def with_interval(ts_ms: pa.Array, interval_ms: int) -> pa.Array:
     """Event-time tumbling bucket start: ``(ts_ms // interval) * interval``."""
@@ -92,16 +97,34 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
     partials = ds.map_batches(precombine, batch_format="pyarrow")
     if mode == "driver":
         import ray.data as rd
-        batches = list(partials.iter_batches(batch_format="pyarrow"))
-        merged = pa.concat_tables(batches, promote_options="default") if batches \
-            else pa.table({c: pa.array([], pa.int64()) for c in
-                           group_cols + ["_psum", "_pcount", "_pmin", "_pmax"]})
-        out = merged.group_by(group_cols).aggregate(
-            [("_psum", "sum"), ("_pcount", "sum"),
-             ("_pmin", "min"), ("_pmax", "max")])
-        out = out.rename_columns(group_cols + ["agg_sum", "agg_count",
-                                               "agg_min", "agg_max"])
-        combined = rd.from_arrow(out)
+        # Scale guard (same as grouped_aggregate): interval × key
+        # cardinality grows with the corpus time span, so the driver merge
+        # is only valid while the partials stay coordinator-sized; overflow
+        # falls back to the distributed shuffle.
+        batches, total, overflow = [], 0, False
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            batches.append(b)
+            total += b.num_rows
+            if total > MAX_DRIVER_ROWS:
+                overflow = True
+                break
+        if overflow:
+            combined = partials.groupby(group_cols).aggregate(
+                Sum("_psum", alias_name="agg_sum"),
+                Sum("_pcount", alias_name="agg_count"),
+                Min("_pmin", alias_name="agg_min"),
+                Max("_pmax", alias_name="agg_max"),
+            )
+        else:
+            merged = pa.concat_tables(batches, promote_options="default") if batches \
+                else pa.table({c: pa.array([], pa.int64()) for c in
+                               group_cols + ["_psum", "_pcount", "_pmin", "_pmax"]})
+            out = merged.group_by(group_cols).aggregate(
+                [("_psum", "sum"), ("_pcount", "sum"),
+                 ("_pmin", "min"), ("_pmax", "max")])
+            out = out.rename_columns(group_cols + ["agg_sum", "agg_count",
+                                                   "agg_min", "agg_max"])
+            combined = rd.from_arrow(out)
     else:
         combined = partials.groupby(group_cols).aggregate(
             Sum("_psum", alias_name="agg_sum"),
@@ -159,7 +182,6 @@ def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
         # stay coordinator-sized. Stream them in and bail out to the
         # distributed shuffle if they exceed the cap (e.g. group
         # cardinality turned out unbounded at 100 TB).
-        MAX_DRIVER_ROWS = 20_000_000
         batches, total = [], 0
         overflow = False
         for b in partials.iter_batches(batch_format="pyarrow"):

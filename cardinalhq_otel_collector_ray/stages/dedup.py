@@ -29,53 +29,58 @@ from ..functions.text import char_shingles_u64, list_offsets_values, split_words
 
 # ---------------------------------------------------------------- exact dedup
 
-def exact_dedup(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
-    """Keep the min-id row per distinct content value.
+def exact_dedup(ds: ray.data.Dataset, content_col: str, id_col: str,
+                num_partitions: int = 64) -> ray.data.Dataset:
+    """Keep the min-id row per distinct content value (full rows).
 
-    Hash-partition by a 64-bit content hash (so the shuffle moves hashes,
-    not a giant string sort domain); exact equality is re-checked within
-    the group, so hash collisions cannot merge distinct contents.
+    Hash-PARTITION by ``hash(content) % P`` (bounded partition count — one
+    pandas groupby call per partition, never one Python call per distinct
+    content); exact equality is re-checked within the partition, so hash
+    collisions cannot merge distinct contents.
     SQL-equivalent: ``SELECT content, min(id) FROM t GROUP BY content``.
     """
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = stable_str_hash64(batch[content_col].to_pylist()).view(np.int64)
-        return batch.append_column("_chash", pa.array(h))
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = stable_str_hash64(batch[content_col].to_pylist())
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_cpart", pa.array(part))
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.sort_values(id_col, kind="mergesort").groupby(
             content_col, sort=False, as_index=False).first()
-        return keep.drop(columns=["_chash"])
+        return keep.drop(columns=["_cpart"])
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("_chash").map_groups(per_group, batch_format="pandas")
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("_cpart").map_groups(per_part, batch_format="pandas")
 
 
 def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
     """Per distinct content: (content, keep_id=min(id), n_copies).
 
-    Fully C++ two-phase: per-block pyarrow ``group_by(content)`` partials →
-    global ``groupby(hash, content)`` Min/Sum — no per-group Python calls.
-    The 64-bit hash leads the shuffle key so the sort is int-dominated; the
-    content column rides along for exactness (collisions can't merge
-    distinct contents).
+    Fully C++ two-phase: per-block pyarrow ``group_by(content)`` partials
+    (tagged ``_cpart = hash(content) % P``) → ONE co-partitioning shuffle
+    on the bounded int32 tag → per-partition C++ Min/Sum merge — no
+    per-group Python calls, no high-cardinality string sort (the shuffle
+    key domain is P values; exact content equality is re-checked inside
+    the partition group_by, so hash collisions can't merge contents).
     SQL-equivalent: ``SELECT content, min(id), count(*) GROUP BY content``.
     """
-    from ray.data.aggregate import Min, Sum
+    num_partitions = 64
 
     def precombine(batch: pa.Table) -> pa.Table:
         part = batch.select([content_col, id_col]).group_by([content_col]) \
             .aggregate([(id_col, "min"), (id_col, "count")])
         part = part.rename_columns([content_col, "_pmin", "_pn"])
-        h = stable_str_hash64(part[content_col].to_pylist()).view(np.int64)
-        return part.append_column("_chash", pa.array(h))
+        h = stable_str_hash64(part[content_col].to_pylist())
+        tag = (h % np.uint64(num_partitions)).astype(np.int32)
+        return part.append_column("_cpart", pa.array(tag))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        g = t.group_by([content_col]).aggregate(
+            [("_pmin", "min"), ("_pn", "sum")])
+        return g.rename_columns([content_col, "keep_id", "n_copies"])
 
     partials = ds.map_batches(precombine, batch_format="pyarrow")
-    agg = partials.groupby(["_chash", content_col]).aggregate(
-        Min("_pmin", alias_name="keep_id"), Sum("_pn", alias_name="n_copies"))
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return batch.select([content_col, "keep_id", "n_copies"])
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return partials.groupby("_cpart").map_groups(per_part, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -144,36 +149,49 @@ class MinHasher:
         })
 
 
+def hot_bucket_keys(index: ray.data.Dataset, key: str,
+                    num_partitions: int = 64) -> np.ndarray:
+    """Sorted array of ``key`` values occurring ≥2 times globally.
+
+    Fully distributed count merge: per-block C++ ``group_by`` partials
+    (each tagged ``_part = key % P``) → ONE co-partitioning shuffle on the
+    bounded int32 ``_part`` → per-partition C++ sum + n≥2 filter. The
+    driver receives ONLY the filtered hot set (near-dups are rare, so it
+    is tiny). The unfiltered partial table is ∝ docs × bands (most buckets
+    are singletons) and must never be coordinator-merged at 100 TB.
+    Partitioning on ``_part`` instead of ``groupby(key)`` keeps the sort
+    domain at P values — ~25× cheaper than a high-cardinality key sort.
+    """
+    def count_batch(batch: pa.Table) -> pa.Table:
+        part = batch.select([key]).group_by([key]).aggregate([(key, "count")])
+        part = part.rename_columns([key, "_n"])
+        k = part[key].to_numpy(zero_copy_only=False)
+        tag = (k.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return part.append_column("_part", pa.array(tag))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        c = t.group_by([key]).aggregate([("_n", "sum")])
+        return c.filter(pc.greater_equal(c["_n_sum"], 2)).select([key])
+
+    partials = index.map_batches(count_batch, batch_format="pyarrow")
+    hot = partials.groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    arrs = [b[key].to_numpy(zero_copy_only=False)
+            for b in hot.iter_batches(batch_format="pyarrow") if b.num_rows]
+    return np.sort(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.int64)
+
+
 def _hot_bucket_filter(index: ray.data.Dataset, key: str) -> ray.data.Dataset:
     """Keep only rows whose ``key`` value occurs ≥2 times globally.
 
-    Candidate buckets are RARE (near-dups are the exception), so instead of
-    shuffling every index row into a python-call-per-group ``map_groups``
-    (~80k empty groups for 5k docs), count buckets with a cheap two-phase
-    C++ aggregate, pull the (tiny) hot-key set to the driver, broadcast it,
-    and vectorized-filter. Turns the expensive stage into
-    O(#actual candidates). Falls back gracefully: worst case (everything
-    duplicated) the filter keeps everything.
+    Candidate buckets are RARE (near-dups are the exception): count them
+    with a distributed two-phase aggregate (``hot_bucket_keys``), pull and
+    broadcast only the (tiny) hot set, and vectorized-filter. Turns the
+    pair stage into O(#actual candidates). Falls back gracefully: worst
+    case (everything duplicated) the filter keeps everything.
     """
     import ray as _ray
 
-    def count_batch(batch: pa.Table) -> pa.Table:
-        part = batch.select([key]).group_by([key]).aggregate([(key, "count")])
-        return part.rename_columns([key, "_n"])
-
-    # The hot-key SET ends up on the driver either way (it is broadcast),
-    # so merge the per-block partial counts there directly — one C++
-    # group_by over (#distinct-per-block × blocks) skinny rows instead of a
-    # full sort shuffle.
-    partial_counts = index.map_batches(count_batch, batch_format="pyarrow")
-    batches = list(partial_counts.iter_batches(batch_format="pyarrow"))
-    if batches:
-        merged = pa.concat_tables(batches, promote_options="default")
-        counts = merged.group_by([key]).aggregate([("_n", "sum")])
-        mask = pc.greater_equal(counts["_n_sum"], 2)
-        hot_keys = np.sort(counts.filter(mask)[key].to_numpy(zero_copy_only=False))
-    else:
-        hot_keys = np.empty(0, dtype=np.int64)
+    hot_keys = hot_bucket_keys(index, key)
     ref = _ray.put(hot_keys)
 
     def filt(batch: pa.Table) -> pa.Table:
@@ -229,10 +247,27 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
                             verdict_col="est_jaccard",
                             keep=lambda v: v >= threshold,
                             num_perm=num_perm)
+    return _pair_dedup(pairs, "est_jaccard", "max")
 
-    from ray.data.aggregate import Max
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+
+def _pair_dedup(pairs: ray.data.Dataset, value_col: str, agg: str,
+                num_partitions: int = 16) -> ray.data.Dataset:
+    """Collapse duplicate (id_a, id_b) rows (a pair found in several bands)
+    to one, keeping ``agg`` of ``value_col``. Same partitioned shape as
+    ``hot_bucket_keys``: co-partition on a bounded int32 tag, C++
+    ``group_by`` per partition — Ray's Aggregate operator has seconds of
+    fixed overhead the (rare) verified-pair set never justifies."""
+    def add_part(b: pa.Table) -> pa.Table:
+        k = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = ((k * np.int64(2654435761)) % np.int64(num_partitions)).astype(np.int32)
+        return b.append_column("_part", pa.array(tag))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        out = t.group_by(["id_a", "id_b"]).aggregate([(value_col, agg)])
+        return out.rename_columns(["id_a", "id_b", value_col])
+
+    return (pairs.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(per_part, batch_format="pyarrow"))
 
 
 def _bucketed_pairs(index: ray.data.Dataset, key: str, *, sig_col: str,
@@ -368,10 +403,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
                             max_bucket=max_bucket, verify=hamming,
                             verdict_col="hamming",
                             keep=lambda v: v <= max_hamming)
-
-    from ray.data.aggregate import Min
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return _pair_dedup(pairs, "hamming", "min")
 
 
 def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
@@ -414,7 +446,8 @@ def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
 # ------------------------------------------------- word-set Jaccard (exact)
 
 def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
-                          block_col: str, threshold: float) -> ray.data.Dataset:
+                          block_col: str, threshold: float,
+                          max_block: int = 4096) -> ray.data.Dataset:
     """Exact distinct-word-set Jaccard pairs within blocks.
 
     Blocked all-pairs: within each ``block_col`` group, build the doc ×
@@ -422,47 +455,99 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     matmul — vectorized exact Jaccard, no Python pair loop. SQL-equivalent
     (word explode + self-join within block) keeps it oracle-checkable.
     Output: id_a < id_b, jaccard (rounded to 6 dp for float parity).
+
+    ``max_block`` is the memory guard: a hot ``block_col`` value larger
+    than it is processed as chunk×chunk sub-matmuls (each bounded at
+    max_block × pair-vocab) — still EXACT, never an O(m × vocab) dense
+    matrix for an unbounded m in one worker.
     """
-    def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        word_lists = g[text_col].str.split()
+    def wordsets(chunk: pd.DataFrame) -> list[set]:
+        return [set(ws) for ws in chunk[text_col].str.split()]
+
+    def incidence(sets_a: list[set], sets_b: list[set]):
         vocab: dict[str, int] = {}
-        rows, cols = [], []
-        for i, ws in enumerate(word_lists):
-            for w in set(ws):
-                rows.append(i); cols.append(vocab.setdefault(w, len(vocab)))
+        for s in sets_a:
+            for w in s:
+                vocab.setdefault(w, len(vocab))
+        for s in sets_b:
+            for w in s:
+                vocab.setdefault(w, len(vocab))
+        def mat(sets):
+            m = np.zeros((len(sets), len(vocab)), dtype=np.float64)
+            for i, s in enumerate(sets):
+                m[i, [vocab[w] for w in s]] = 1.0
+            return m
+        return mat(sets_a), mat(sets_b)
+
+    def cross_pairs(ids_a, sets_a, ids_b, sets_b, same: bool) -> pd.DataFrame:
+        a, b = incidence(sets_a, sets_b)
+        sa, sb = a.sum(axis=1), b.sum(axis=1)
+        inter = a @ b.T
+        union = sa[:, None] + sb[None, :] - inter
+        jac = inter / np.maximum(union, 1.0)
+        if same:
+            ia, ib = np.triu_indices(len(ids_a), k=1)
+        else:
+            ia, ib = np.divmod(np.arange(len(ids_a) * len(ids_b)), len(ids_b))
+        keep = jac[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
+                             "jaccard": np.round(jac[ia[keep], ib[keep]], 6)})
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
         # float64 throughout: counts are exact ints, so the division is
         # bit-identical to the SQL oracle's DOUBLE division
-        m = np.zeros((len(ids), len(vocab)), dtype=np.float64)
-        m[rows, cols] = 1.0
-        sizes = m.sum(axis=1)
-        inter = m @ m.T
-        union = sizes[:, None] + sizes[None, :] - inter
-        jac = inter / np.maximum(union, 1.0)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = jac[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "jaccard": np.round(jac[ia[keep], ib[keep]], 6)})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        chunks = [(ids[i:i + max_block],
+                   wordsets(g.iloc[i:i + max_block]))
+                  for i in range(0, len(g), max_block)]
+        out = [cross_pairs(ca_ids, ca_sets, cb_ids, cb_sets, same=(i == j))
+               for i, (ca_ids, ca_sets) in enumerate(chunks)
+               for j, (cb_ids, cb_sets) in enumerate(chunks) if j >= i]
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
     return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
 
 
 # ------------------------------------------------- embedding-cosine near-dup
 
 def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
-                            block_col: str, threshold: float) -> ray.data.Dataset:
+                            block_col: str, threshold: float,
+                            max_block: int = 16384) -> ray.data.Dataset:
     """Cosine-similarity near-dup pairs within blocks (one matmul per
     block). float64 math so the SQL oracle (list_cosine_similarity)
-    reproduces values; scores rounded to 6 dp."""
+    reproduces values; scores rounded to 6 dp.
+
+    ``max_block`` memory guard: an oversized block runs as chunk×chunk
+    sub-matmuls (pair matrices bounded at max_block² floats) — exact, no
+    unbounded dense similarity matrix on one worker."""
+    def cross(ids_a, ma, ids_b, mb, same: bool) -> pd.DataFrame:
+        sim = ma @ mb.T
+        if same:
+            ia, ib = np.triu_indices(len(ids_a), k=1)
+        else:
+            ia, ib = np.divmod(np.arange(len(ids_a) * len(ids_b)), len(ids_b))
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
+                             "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
+
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
         m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
         m = m / np.maximum(norms, 1e-30)[:, None]
-        sim = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sim[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
+        chunks = [(ids[i:i + max_block], m[i:i + max_block])
+                  for i in range(0, len(g), max_block)]
+        out = [cross(ia_, ma, ib_, mb, same=(i == j))
+               for i, (ia_, ma) in enumerate(chunks)
+               for j, (ib_, mb) in enumerate(chunks) if j >= i]
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
     return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")

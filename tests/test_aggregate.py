@@ -120,3 +120,36 @@ def test_per_row_agg_type_override():
         for _, r in out.iterrows()
     }
     assert chosen == {"avg": 2.0, "max": 9.0, "sum": 12.0}
+
+
+def test_driver_mode_overflow_falls_back_to_shuffle(monkeypatch):
+    """Both driver-merge entry points must detect partials above the cap and
+    fall back to the distributed shuffle with identical results."""
+    import cardinalhq_otel_collector_ray.stages.aggregate as agg_mod
+    t = pa.table({
+        "name": ["a", "b", "c", "a", "b", "c"],
+        "ts_ms": [0, 0, 0, 20_000, 20_000, 20_000],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    ds = ray.data.from_arrow(t)
+    expected = interval_aggregate(ds, ts_col="ts_ms", interval_ms=10_000,
+                                  keys=["name"], value_col="value",
+                                  mode="shuffle").to_pandas() \
+        .sort_values(["ts_ms", "name"]).reset_index(drop=True)
+    monkeypatch.setattr(agg_mod, "MAX_DRIVER_ROWS", 1)  # force overflow
+    via_driver = interval_aggregate(ds, ts_col="ts_ms", interval_ms=10_000,
+                                    keys=["name"], value_col="value",
+                                    mode="driver").to_pandas() \
+        .sort_values(["ts_ms", "name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        expected[sorted(expected.columns)], via_driver[sorted(via_driver.columns)])
+
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    g_shuffle = grouped_aggregate(ds, keys=["name"], value_col="value",
+                                  mode="shuffle").to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    g_driver = grouped_aggregate(ds, keys=["name"], value_col="value",
+                                 mode="driver").to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g_shuffle[sorted(g_shuffle.columns)], g_driver[sorted(g_driver.columns)])

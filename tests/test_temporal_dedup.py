@@ -80,6 +80,59 @@ def test_minhash_finds_planted_near_dups():
     assert planted <= found, f"missing {planted - found}"
 
 
+def test_hot_bucket_keys_only_hot_set_reaches_driver():
+    """The distributed count merge must hand the driver ONLY keys with n≥2:
+    an all-unique-bucket index yields an empty hot set (at 100 TB the
+    unfiltered per-block count table is ∝ docs × bands and must stay
+    distributed), and planted duplicates yield exactly those keys."""
+    from cardinalhq_otel_collector_ray.stages.dedup import hot_bucket_keys
+    unique = ray.data.from_arrow(pa.table({
+        "band_hash": np.arange(10_000, dtype=np.int64)}))
+    assert len(hot_bucket_keys(unique, "band_hash")) == 0
+    dup = ray.data.from_arrow(pa.table({
+        "band_hash": np.concatenate([np.arange(1000, dtype=np.int64),
+                                     np.array([7, 7, 42], dtype=np.int64)])}))
+    hot = hot_bucket_keys(dup, "band_hash")
+    assert sorted(hot.tolist()) == [7, 42]
+
+
+def test_wordset_jaccard_chunked_guard_exact():
+    """max_block chunking must be EXACT: tiny chunks reproduce the
+    unchunked pair set bit-for-bit."""
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=12)) for _ in range(20)]
+    texts += [texts[0] + " extra", texts[5]]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": ids, "lang": ["en"] * len(ids), "text": texts}))
+    full = wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.4) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    chunked = wordset_jaccard_pairs(ds, "text", "doc_id", "lang",
+                                    threshold=0.4, max_block=3) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, chunked)
+    assert len(full) >= 2  # the planted near-dup + exact dup both found
+
+
+def test_embedding_neardup_chunked_guard_exact():
+    from cardinalhq_otel_collector_ray.stages.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(15, 8))
+    vecs[9] = vecs[2] + 0.01  # planted near-dup
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(15)), "bucket": [0] * 15,
+        "embedding": [list(map(float, v)) for v in vecs]}))
+    full = embedding_neardup_pairs(ds, "embedding", "vec_id", "bucket",
+                                   threshold=0.9).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    chunked = embedding_neardup_pairs(ds, "embedding", "vec_id", "bucket",
+                                      threshold=0.9, max_block=4).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, chunked)
+    assert (2, 9) in set(zip(full["id_a"], full["id_b"]))
+
+
 def test_simhash_identical_texts_equal():
     ds = ray.data.from_arrow(pa.table({
         "text": ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"]}))
