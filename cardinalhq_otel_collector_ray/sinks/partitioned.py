@@ -36,6 +36,7 @@ import ray.data
 
 from ..functions.hashing import bytes_hash64, mulhash
 from ..state.manifest import Manifest, ManifestEntry
+from .serializers import COMPRESSION_SUFFIX as _COMPRESSION_SUFFIX
 
 DEFAULT_PARTITION_FORMAT = "year=%Y/month=%m/day=%d/hour=%H/minute=%M"
 
@@ -52,7 +53,8 @@ class PartitionedSink:
                  num_partitions: int = 16, signal: str = "logs",
                  file_prefix: str = "", partition_format: str = DEFAULT_PARTITION_FORMAT,
                  tz=timezone.utc, route_dests: dict[str, str] | None = None,
-                 fmt: str = "parquet", compression: str | None = None):
+                 fmt: str = "parquet", compression: str | None = None,
+                 notifier=None):
         from .serializers import EXTENSIONS, MARSHALERS
         if fmt not in MARSHALERS:
             raise ValueError(f"unknown sink format {fmt!r}; known: {sorted(MARSHALERS)}")
@@ -71,7 +73,14 @@ class PartitionedSink:
         # per writer.go:157-191)
         self.fmt = fmt
         self.compression = compression
-        self.extension = EXTENSIONS[fmt] + (".gz" if compression == "gzip" else "")
+        self.extension = EXTENSIONS[fmt] + _COMPRESSION_SUFFIX.get(compression, "")
+        # C8 notify-after-upload: every recorded ManifestEntry is also
+        # enqueued to the webhook notifier (exporter.go:117-147; queue /
+        # batch / retry semantics in state/notifier.py). Default: disabled.
+        if notifier is None:
+            from ..state.notifier import NoopNotifier
+            notifier = NoopNotifier()
+        self.notifier = notifier
 
     def object_path(self, sink: str, pid: int) -> str:
         fname = f"{self.file_prefix}{self.signal}_{pid:05d}.{self.extension}"
@@ -166,8 +175,14 @@ class PartitionedSink:
                                  path=r.path, rows=int(r.rows),
                                  bytes=int(r.bytes), tokens=int(r.tokens))
                    for r in result.to_pandas().itertuples()]
+        from ..state.notifier import Event
         for e in entries:
             self.manifest.record(e)
+            # notify AFTER the entry is durably recorded (upload-then-notify
+            # ordering of writer_test.go:366: no notify on failure — a failed
+            # partition never reaches this loop)
+            self.notifier.enqueue(Event(bucket=self.root, key=e.path,
+                                        size=e.bytes))
         # per-stage throughput metrics (north rule), next to the manifest
         from ..state.metrics import write_metrics
         try:

@@ -11,8 +11,10 @@ attrs + body → ``message`` with the body under ``"log"``), and ``body``
 
 Here Parquet is the primary format; ``jsonl`` / ``sumo_ic`` / ``body``
 are alternate encoders with the reference's field-lifting and error rules.
-``otlp_proto`` is NOT implemented (no protobuf runtime in this container)
-and raises ``NotImplementedError`` with a clear message.
+``otlp_proto`` is a hand-rolled minimal OTLP/protobuf wire-format encoder
+(LogsData: varint/length-delimited fields only — no generated classes
+needed); compression supports gzip (stdlib) and zstd (pyarrow's C++
+codec, gated at import like the reference gates its encoders).
 """
 
 from __future__ import annotations
@@ -20,9 +22,18 @@ from __future__ import annotations
 import gzip as _gzip
 import io
 import json
+import struct
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+try:  # zstd via pyarrow's bundled C++ codec (no standalone python-zstd here)
+    _ZSTD = pa.Codec("zstd") if pa.Codec.is_available("zstd") else None
+except Exception:  # pragma: no cover - codec probing must never hard-fail
+    _ZSTD = None
+
+# compression → file-extension suffix (writer.go:157-191: .gz / .zst)
+COMPRESSION_SUFFIX = {None: "", "gzip": ".gz", "zstd": ".zst"}
 
 SOURCE_CATEGORY = "_sourceCategory"
 SOURCE_HOST = "_sourceHost"
@@ -58,7 +69,7 @@ def marshal_body(batch: pa.Table, body_col: str = "body") -> bytes:
 
 
 def marshal_sumo_ic(batch: pa.Table, *, body_col: str = "body",
-                    resource_attr_cols: tuple[str, ...] = (),
+                    resource_attr_cols: tuple[str, ...] | None = None,
                     record_attr_cols: tuple[str, ...] = ()) -> bytes:
     """sumo_ic JSON-lines (``sumo_marshaler.go:76-166``):
 
@@ -66,6 +77,12 @@ def marshal_sumo_ic(batch: pa.Table, *, body_col: str = "body",
       (hard error otherwise — sumo_marshaler.go:95-104),
     - remaining resource attrs → ``fields``,
     - record attrs + body (under key ``"log"``) → ``message``.
+
+    ``resource_attr_cols=None`` AUTO-DERIVES "remaining" the way the
+    reference does (sumo_marshaler.go:111-118: the three ``_source*``
+    attrs are lifted and ALL other resource attrs land in ``fields``):
+    every schema column except the required three, the body, and the
+    declared record-attr columns.
     """
     required = (SOURCE_CATEGORY, SOURCE_HOST, SOURCE_NAME)
     for c in required:
@@ -73,6 +90,10 @@ def marshal_sumo_ic(batch: pa.Table, *, body_col: str = "body",
             raise MarshalError(f"sumo_ic requires resource attr column {c!r}")
     if body_col not in batch.column_names:
         raise MarshalError(f"sumo_ic requires a {body_col!r} column")
+    if resource_attr_cols is None:
+        excluded = set(required) | {body_col} | set(record_attr_cols)
+        resource_attr_cols = tuple(c for c in batch.column_names
+                                   if c not in excluded)
     rows = batch.to_pylist()
     out = io.StringIO()
     for row in rows:
@@ -94,10 +115,84 @@ def marshal_sumo_ic(batch: pa.Table, *, body_col: str = "body",
     return out.getvalue().encode()
 
 
-def marshal_otlp_proto(batch: pa.Table) -> bytes:
-    raise NotImplementedError(
-        "otlp_proto requires a protobuf runtime, which is not available in "
-        "this environment; use 'parquet' or 'jsonl'")
+# ------------------------- minimal protobuf wire-format writer (otlp_proto)
+# Wire format only needs varints, length-delimited fields and fixed64 — no
+# generated classes. Field numbers follow the public OTLP LogsData schema
+# (opentelemetry-proto logs/v1): the shape the reference's otlp_proto
+# marshaler emits via plog (marshaler.go:27-40).
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _fixed64(field: int, value: int) -> bytes:
+    return _tag(field, 1) + struct.pack("<Q", value & (1 << 64) - 1)
+
+
+def _any_value(v) -> bytes:
+    """AnyValue: string_value=1, bool_value=2, int_value=3, double_value=4."""
+    if isinstance(v, bool):
+        return _tag(2, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        return _tag(3, 0) + _varint(v if v >= 0 else (1 << 64) + v)
+    if isinstance(v, float):
+        return _tag(4, 1) + struct.pack("<d", v)
+    return _len_delim(1, str(v).encode())
+
+
+def _key_value(k: str, v) -> bytes:
+    return _len_delim(1, k.encode()) + _len_delim(2, _any_value(v))
+
+
+def marshal_otlp_proto(batch: pa.Table, *, body_col: str = "body",
+                       ts_col: str | None = None,
+                       resource_attr_cols: tuple[str, ...] = (),
+                       record_attr_cols: tuple[str, ...] = ()) -> bytes:
+    """OTLP LogsData binpb: ONE ResourceLogs/ScopeLogs wrapping one
+    LogRecord per row (flat-row analog of the reference's plog marshal,
+    ``marshaler.go:27-40``). Resource attrs come from the FIRST row (the
+    reference's batches are pre-split per resource value — factory.go:93-101),
+    record attrs per row; body under AnyValue.string_value; timestamp (ns)
+    into time_unix_nano when ``ts_col`` is given."""
+    if body_col not in batch.column_names:
+        raise MarshalError(f"otlp_proto requires a {body_col!r} column")
+    rows = batch.to_pylist()
+    resource = b""
+    if rows:
+        for c in resource_attr_cols:
+            if rows[0].get(c) is not None:
+                resource += _len_delim(1, _key_value(c, rows[0][c]))
+    log_records = bytearray()
+    for row in rows:
+        rec = bytearray()
+        if ts_col is not None and row.get(ts_col) is not None:
+            rec += _fixed64(1, int(row[ts_col]))
+        body = row[body_col]
+        rec += _len_delim(5, _any_value("" if body is None else body))
+        for c in record_attr_cols:
+            if row.get(c) is not None:
+                rec += _len_delim(6, _key_value(c, row[c]))
+        log_records += _len_delim(2, bytes(rec))
+    scope_logs = _len_delim(2, bytes(log_records))
+    resource_logs = _len_delim(1, resource) + scope_logs
+    return bytes(_len_delim(1, resource_logs))
 
 
 MARSHALERS = {
@@ -115,14 +210,31 @@ EXTENSIONS = {"parquet": "parquet", "jsonl": "jsonl", "body": "txt",
 def serialize(batch: pa.Table, fmt: str, compression: str | None = None,
               **kwargs) -> tuple[bytes, str]:
     """(payload bytes, file extension) for a batch in the given format.
-    ``compression='gzip'`` appends ``.gz`` (writer.go:157-191)."""
+    ``compression``: 'gzip' → ``.gz``; 'zstd' → ``.zst``
+    (writer.go:157-191 format switch)."""
     if fmt not in MARSHALERS:
         raise MarshalError(f"unknown format {fmt!r}; known: {sorted(MARSHALERS)}")
     data = MARSHALERS[fmt](batch, **kwargs)
     ext = EXTENSIONS[fmt]
     if compression == "gzip":
         data = _gzip.compress(data, mtime=0)  # mtime=0 → deterministic bytes
-        ext += ".gz"
+    elif compression == "zstd":
+        if _ZSTD is None:  # gated like the PIL decode stub
+            raise MarshalError("zstd codec not available in this environment")
+        data = _ZSTD.compress(data, asbytes=True)
     elif compression is not None:
         raise MarshalError(f"unknown compression {compression!r}")
-    return data, ext
+    return data, ext + COMPRESSION_SUFFIX[compression]
+
+
+def decompress(data: bytes, compression: str,
+               decompressed_size: int | None = None) -> bytes:
+    """Round-trip helper for tests/readers of serialized sink objects."""
+    if compression == "gzip":
+        return _gzip.decompress(data)
+    if compression == "zstd":
+        if _ZSTD is None:
+            raise MarshalError("zstd codec not available in this environment")
+        return _ZSTD.decompress(data, decompressed_size=decompressed_size,
+                                asbytes=True)
+    raise MarshalError(f"unknown compression {compression!r}")

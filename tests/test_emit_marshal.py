@@ -94,9 +94,124 @@ def test_serialize_unknown_format_rejected():
         serialize(pa.table({"a": [1]}), "avro")
 
 
-def test_otlp_proto_stubbed():
-    with pytest.raises(NotImplementedError):
-        serialize(pa.table({"a": [1]}), "otlp_proto")
+def test_sumo_auto_derives_remaining_resource_attrs():
+    """sumo_marshaler.go:111-118 parity: with no explicit resource list,
+    ALL columns other than the three _source*, the body, and declared
+    record attrs land in ``fields``."""
+    out = marshal_sumo_ic(_logs_batch(), record_attr_cols=("level",))
+    rec = json.loads(out.decode().strip())
+    assert rec["fields"] == {"region": "eu"}
+    msg = json.loads(rec["message"])
+    assert msg == {"level": "info", "log": "hello world"}
+
+
+def _parse_proto(buf: bytes):
+    """Minimal wire-format reader (test-side decoder): returns a list of
+    (field, wire, value) where length-delimited values are raw bytes."""
+    out, i = [], 0
+    while i < len(buf):
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]; i += 1
+            tag |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, shift = 0, 0
+            while True:
+                b = buf[i]; i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wire == 1:
+            import struct as _s
+            v = _s.unpack("<Q", buf[i:i + 8])[0]; i += 8
+        elif wire == 2:
+            ln, shift = 0, 0
+            while True:
+                b = buf[i]; i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = buf[i:i + ln]; i += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wire}")
+        out.append((field, wire, v))
+    return out
+
+
+def _field(msgs, n):
+    return [v for f, _, v in msgs if f == n]
+
+
+def test_otlp_proto_wire_format_roundtrip():
+    """Decode the hand-rolled LogsData with an independent wire parser:
+    resource attrs, per-row log records, body AnyValue, ns timestamp."""
+    from cardinalhq_otel_collector_ray.sinks.serializers import marshal_otlp_proto
+    batch = pa.table({
+        "body": ["hello", "world"],
+        "ts_ns": [1_706_078_400_000_000_000, 1_706_078_401_000_000_000],
+        "service": ["api", "api"],
+        "level": ["info", "error"],
+    })
+    buf = marshal_otlp_proto(batch, ts_col="ts_ns",
+                             resource_attr_cols=("service",),
+                             record_attr_cols=("level",))
+    (rl,) = _field(_parse_proto(buf), 1)          # ResourceLogs
+    rl_msgs = _parse_proto(rl)
+    (resource,) = _field(rl_msgs, 1)
+    (kv,) = _field(_parse_proto(resource), 1)     # one resource attr
+    kv_msgs = _parse_proto(kv)
+    assert _field(kv_msgs, 1)[0] == b"service"
+    (av,) = _field(kv_msgs, 2)
+    assert _field(_parse_proto(av), 1)[0] == b"api"
+    (sl,) = _field(rl_msgs, 2)                    # ScopeLogs
+    records = _field(_parse_proto(sl), 2)
+    assert len(records) == 2
+    r0 = _parse_proto(records[0])
+    assert _field(r0, 1)[0] == 1_706_078_400_000_000_000   # time_unix_nano
+    (body_av,) = _field(r0, 5)
+    assert _field(_parse_proto(body_av), 1)[0] == b"hello"
+    (attr,) = _field(r0, 6)
+    attr_msgs = _parse_proto(attr)
+    assert _field(attr_msgs, 1)[0] == b"level"
+    r1 = _parse_proto(records[1])
+    (attr1,) = _field(r1, 6)
+    (av1,) = _field(_parse_proto(attr1), 2)
+    assert _field(_parse_proto(av1), 1)[0] == b"error"
+
+
+def test_otlp_proto_anyvalue_types():
+    from cardinalhq_otel_collector_ray.sinks.serializers import (
+        _any_value, _varint)
+    import struct as _s
+    assert _any_value(True) == b"\x10\x01"                 # bool_value=2
+    assert _any_value(7) == b"\x18\x07"                    # int_value=3
+    assert _any_value(1.5) == b"\x21" + _s.pack("<d", 1.5)  # double_value=4
+    assert _any_value("x") == b"\x0a\x01x"                 # string_value=1
+    assert _varint(300) == b"\xac\x02"
+
+
+def test_serialize_zstd_roundtrip_deterministic():
+    from cardinalhq_otel_collector_ray.sinks.serializers import decompress
+    batch = pa.table({"body": ["x"] * 3})
+    try:
+        data1, ext1 = serialize(batch, "body", compression="zstd")
+    except MarshalError:
+        pytest.skip("zstd codec unavailable in this environment")
+    data2, ext2 = serialize(batch, "body", compression="zstd")
+    assert ext1 == "txt.zst" and data1 == data2
+    assert decompress(data1, "zstd", decompressed_size=6) == b"x\nx\nx\n"
+
+
+def test_serialize_unknown_compression_rejected():
+    with pytest.raises(MarshalError):
+        serialize(pa.table({"body": ["x"]}), "body", compression="lz77")
 
 
 def test_stamp_columns_and_enrich_refresh(sf_dir):
