@@ -45,25 +45,36 @@ class MicroBatchAggregator:
 
     def consume(self, batch: pa.Table) -> pa.Table:
         """Absorb a micro-batch; return rows for every interval the new
-        watermark closes (emit shape: ts = interval start, C3)."""
-        df = batch.select(self.keys + [self.ts_col, self.value_col]).to_pandas()
-        ts = df[self.ts_col].to_numpy(dtype=np.int64)
+        watermark closes (emit shape: ts = interval start, C3).
+
+        Per-batch PRE-COMBINE first (one C++ ``group_by`` shrinks the batch
+        to ≤G partial rows), then a Python merge over only those partials —
+        never a row loop over the raw micro-batch."""
+        t = batch.select(self.keys + [self.ts_col, self.value_col])
+        ts = t[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         iv = (ts // self.interval_ms) * self.interval_ms
-        vals = df[self.value_col].to_numpy()
-        key_cols = [df[k].to_numpy() for k in self.keys]
-        for i in range(len(df)):
-            k = (int(iv[i]), *(c[i] for c in key_cols))
+        v = self.value_col
+        part = t.append_column("_iv", pa.array(iv)) \
+            .group_by(["_iv", *self.keys]) \
+            .aggregate([(v, "sum"), (v, "count"), (v, "min"), (v, "max")])
+        ivs = part["_iv"].to_numpy(zero_copy_only=False)
+        key_cols = [part[k].to_numpy(zero_copy_only=False) for k in self.keys]
+        sums = part[f"{v}_sum"].to_numpy(zero_copy_only=False)
+        counts = part[f"{v}_count"].to_numpy(zero_copy_only=False)
+        mins = part[f"{v}_min"].to_numpy(zero_copy_only=False)
+        maxs = part[f"{v}_max"].to_numpy(zero_copy_only=False)
+        for i in range(part.num_rows):  # ≤ G partial rows, not batch rows
+            k = (int(ivs[i]), *(c[i] for c in key_cols))
             s = self.state.get(k)
-            v = vals[i]
             if s is None:
-                self.state[k] = [v, 1, v, v]
+                self.state[k] = [sums[i], int(counts[i]), mins[i], maxs[i]]
             else:
-                s[0] += v
-                s[1] += 1
-                if v < s[2]:
-                    s[2] = v
-                if v > s[3]:
-                    s[3] = v
+                s[0] += sums[i]
+                s[1] += int(counts[i])
+                if mins[i] < s[2]:
+                    s[2] = mins[i]
+                if maxs[i] > s[3]:
+                    s[3] = maxs[i]
         if len(ts):
             self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
         return self._emit_closed()

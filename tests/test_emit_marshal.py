@@ -20,18 +20,19 @@ def test_emit_row_sections_and_metadata():
         "metadata.metric.name": "req.count",
         "metadata.metric.description": "requests",
         "metadata.metric.unit": "1",
-        "metadata.metric.aggregation_temporality": "cumulative",
-        "metadata.metric.is_monotonic": "true",
+        # reference key spellings (aggregate.go:178,186)
+        "metadata.metric.aggregationtemporality": "cumulative",
+        "metadata.metric.ismonotonic": "true",
     }
     row = emit_row(tags, "sum", 6.0, 10_000,
                    additional_attributes={"env": "prod"})
     assert row["name"] == "req.count"
     assert row["description"] == "requests"
     assert row["unit"] == "1"
-    # emitted sums are ALWAYS delta non-monotonic regardless of metadata
-    # (aggregate.go:96-101)
+    # defaults (delta, non-monotonic, aggregate.go:55-60) are set BEFORE
+    # setTags, so metadata overrides win (setMetricMetadata :167-191)
     assert row["mtype"] == "sum"
-    assert row["temporality"] == "delta" and row["monotonic"] is False
+    assert row["temporality"] == "cumulative" and row["monotonic"] is True
     # dp ts and start-ts = interval start (aggregate.go:64-67)
     assert row["ts_ms"] == row["start_ts_ms"] == 10_000
     assert row["resource_attrs"] == {"host.name": "h1"}
@@ -41,11 +42,87 @@ def test_emit_row_sections_and_metadata():
     assert row["dp_attrs"] == {"path": "/api", "env": "prod"}
 
 
+def test_emit_row_sum_defaults_without_metadata():
+    row = emit_row({"metadata.metric.name": "req"}, "sum", 1.0, 0)
+    assert row["temporality"] == "delta" and row["monotonic"] is False
+
+
+def test_emit_row_metadata_overrides_are_sum_only():
+    """setMetricMetadata returns early for non-Sum metrics
+    (aggregate.go:177-190): gauge temporality/monotonic stay None."""
+    row = emit_row({"metadata.metric.aggregationtemporality": "cumulative",
+                    "metadata.metric.ismonotonic": "true"}, "avg", 1.0, 0)
+    assert row["temporality"] is None and row["monotonic"] is None
+    # invalid temporality value ignored → default kept
+    row2 = emit_row({"metadata.metric.aggregationtemporality": "bogus"},
+                    "sum", 1.0, 0)
+    assert row2["temporality"] == "delta"
+    # ismonotonic: ANY value overrides; non-"true" → False
+    row3 = emit_row({"metadata.metric.ismonotonic": "yes"}, "sum", 1.0, 0)
+    assert row3["monotonic"] is False
+
+
+def test_emit_row_schema_url_and_scope_metadata():
+    row = emit_row({"metadata.resource.schemaurl": "https://s/r",
+                    "metadata.instrumentation.schemaurl": "https://s/i",
+                    "metadata.instrumentation.name": "lib",
+                    "metadata.instrumentation.version": "1.2"},
+                   "sum", 1.0, 0)
+    assert row["resource_schema_url"] == "https://s/r"
+    assert row["scope_schema_url"] == "https://s/i"
+    assert row["scope_name"] == "lib" and row["scope_version"] == "1.2"
+
+
 def test_emit_row_gauge():
     row = emit_row({"metadata.metric.name": "cpu"}, "avg", 0.5, 0)
     assert row["mtype"] == "gauge"
     assert row["temporality"] is None and row["monotonic"] is None
     assert row["value_d"] == 0.5
+
+
+def test_emit_stage_matches_emit_row(ray_session):
+    """The vectorized batch path must reproduce the pure reference function
+    row-for-row (including map-section splits and additional attrs)."""
+    import ray.data
+    from cardinalhq_otel_collector_ray.stages.emit import emit_stage
+    tag_dicts = [
+        {"resource.host": "h1", "metric.path": "/a",
+         "metadata.metric.name": "m1",
+         "metadata.metric.aggregationtemporality": "cumulative",
+         "metadata.metric.ismonotonic": "true"},
+        {"instrumentation.lib": "otel", "unprefixed": "x",
+         "metadata.metric.unit": "ms"},
+        {"metadata.instrumentation.name": "lib",
+         "metadata.resource.schemaurl": "https://s"},
+    ]
+    aggs = ["sum", "gauge", "sum"]
+    vals = [6.0, 0.5, 2.0]
+    ivs = [10_000, 20_000, 30_000]
+    batch = pa.table({
+        "tags": pa.array(tag_dicts, type=pa.map_(pa.string(), pa.string())),
+        "agg_type": pa.array(aggs),
+        "value": pa.array(vals, type=pa.float64()),
+        "interval_start_ms": pa.array(ivs, type=pa.int64()),
+    })
+    out = emit_stage(ray.data.from_arrow(batch),
+                     additional_attributes={"env": "prod"}).to_pandas()
+    assert len(out) == 3
+    for i in range(3):
+        want = emit_row(tag_dicts[i], aggs[i], vals[i], ivs[i],
+                        additional_attributes={"env": "prod"})
+        got = out.iloc[i]
+        for col in ("name", "description", "unit", "mtype", "ts_ms",
+                    "start_ts_ms", "value_d", "scope_name", "scope_version",
+                    "resource_schema_url", "scope_schema_url"):
+            w = want[col]
+            g = got[col]
+            assert (g == w) or (w in (None, "") and (g is None or g == "" or g != g)), \
+                (col, i, g, w)
+        assert (got["temporality"] == want["temporality"]
+                or (want["temporality"] is None and got["temporality"] is None))
+        assert dict(got["resource_attrs"]) == want["resource_attrs"]
+        assert dict(got["scope_attrs"]) == want["scope_attrs"]
+        assert dict(got["dp_attrs"]) == want["dp_attrs"]
 
 
 def _logs_batch(**overrides):
