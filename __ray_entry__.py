@@ -660,17 +660,20 @@ def _q_bpe_token_count(sf_dir: str):
 
 
 def _q_topk_users(sf_dir: str):
-    """Top-10 users by spend: two-phase grouped aggregate → global sort →
-    limit (deterministic tie-break by user_id)."""
-    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    """Top-10 users by spend: two-phase grouped aggregate (shuffle — each
+    user lands in exactly one block) → per-BLOCK top-k prune → driver
+    merges only ≤ k × blocks candidates (never the full per-user table).
+    Deterministic tie-break by user_id."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import (
+        distributed_top_k, grouped_aggregate)
     ds = _events_ms(sf_dir)
     agg = grouped_aggregate(ds, keys=["user_id"], value_col="value_cents",
-                            mode="driver").to_pandas()
-    agg = agg.sort_values(["agg_sum", "user_id"], ascending=[False, True],
-                          kind="mergesort").head(10)
-    return pd.DataFrame({"user_id": agg["user_id"].to_numpy(),
-                         "total_cents": agg["agg_sum"].astype("int64").to_numpy(),
-                         "n": agg["agg_count"].astype("int64").to_numpy()})
+                            mode="shuffle")
+    top = distributed_top_k(agg, 10, by=["agg_sum", "user_id"],
+                            ascending=[False, True])
+    return pd.DataFrame({"user_id": top["user_id"].to_numpy(),
+                         "total_cents": top["agg_sum"].astype("int64").to_numpy(),
+                         "n": top["agg_count"].astype("int64").to_numpy()})
 
 
 def _q_distinct_tokens(sf_dir: str):
@@ -857,6 +860,18 @@ def entry() -> Any:
     return sink_counts(routed_documents("/root/testdata/sf0.001")).to_pandas()
 
 
+def _q_drain_templates(sf_dir: str):
+    """drainprocessor analog (components.go:124): Drain fixed-depth-tree
+    template mining (He et al. 2017) per hash partition + global template
+    merge. Rows-only: iterative template mining has no SQL shape —
+    golden-clustering tests live in tests/test_drain.py; the count
+    invariant (sum(n_logs) == corpus rows) is asserted there."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.drain import drain_templates
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return drain_templates(ds, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
         "token_frequencies": _q_token_frequencies,
+        "drain_templates": _q_drain_templates,
     }
 
 

@@ -213,6 +213,30 @@ def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
     )
 
 
+def distributed_top_k(ds: ray.data.Dataset, k: int, by: list[str],
+                      ascending: list[bool] | bool = False):
+    """Global top-k WITHOUT materializing the dataset on the driver.
+
+    Per-BLOCK top-k prune first (each block keeps ≤ k rows — valid whenever
+    each ranked entity appears in exactly one block, e.g. after a grouped
+    aggregate), then the driver merges only ≤ k × blocks candidates.
+    Returns a pandas DataFrame of the final k rows (driver-sized by
+    construction). Deterministic: callers include a tie-break column in
+    ``by``.
+    """
+    import pandas as _pd
+
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(by)
+
+    def block_topk(df: _pd.DataFrame) -> _pd.DataFrame:
+        return df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    candidates = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return candidates.sort_values(by, ascending=ascending,
+                                  kind="mergesort").head(k)
+
+
 def salted_group_sum(ds: ray.data.Dataset, keys: list[str], value_col: str,
                      salt_buckets: int = 16,
                      id_col: str | None = None) -> ray.data.Dataset:
