@@ -215,7 +215,9 @@ def _q_fingerprint(sf_dir: str):
     from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
     from cardinalhq_otel_collector_ray.stages.textstats import sql_prefix_fingerprint
     ds = sql_prefix_fingerprint(tokenized_documents(sf_dir))
-    agg = grouped_aggregate(ds, keys=["fingerprint"], value_col="n_tok")
+    # fingerprint cardinality is template-bounded but not tiny → partitioned
+    agg = grouped_aggregate(ds, keys=["fingerprint"], value_col="n_tok",
+                            mode="partitioned")
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({"fingerprint": batch["fingerprint"],
@@ -668,7 +670,7 @@ def _q_topk_users(sf_dir: str):
         distributed_top_k, grouped_aggregate)
     ds = _events_ms(sf_dir)
     agg = grouped_aggregate(ds, keys=["user_id"], value_col="value_cents",
-                            mode="shuffle")
+                            mode="partitioned")
     top = distributed_top_k(agg, 10, by=["agg_sum", "user_id"],
                             ascending=[False, True])
     return pd.DataFrame({"user_id": top["user_id"].to_numpy(),

@@ -97,6 +97,30 @@ def bytes_hash64(arr) -> np.ndarray:
     return h
 
 
+def table_key_hash(batch, keys: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash of one or more key COLUMNS of an Arrow
+    table (buffer-vectorized; strings via ``bytes_hash64``, ints via an
+    avalanche multiply). The partition tag for every
+    partitioned-C++-merge / partitioned-apply stage."""
+    import pyarrow as pa
+
+    h = None
+    for k in keys:
+        col = batch[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+                or pa.types.is_binary(col.type)
+                or pa.types.is_large_binary(col.type)):
+            ch = bytes_hash64(col)
+        else:
+            ch = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                ch = ch * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x2545F4914F6CDD1D)
+        h = ch if h is None else combine_hash64(h, ch)
+    return h
+
+
 def poly_hash64(mat: np.ndarray, base: int = 1099511628211) -> np.ndarray:
     """Rolling polynomial hash over each row of an int matrix (uint64 wrap).
 

@@ -145,7 +145,8 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
 
 def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
                       precombine_batch_size: int | None = None,
-                      mode: str = "shuffle") -> ray.data.Dataset:
+                      mode: str = "shuffle",
+                      num_partitions: int = 64) -> ray.data.Dataset:
     """Non-windowed two-phase groupby (countconnector/sumconnector analog,
     ``distribution/components.go:15,25``): sum/count per key-set.
 
@@ -156,6 +157,12 @@ def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
       unbounded. Cost grows with the NUMBER of partial blocks (Ray's sort
       shuffle creates O(blocks²) map→reduce objects), so upstream block
       sizing matters more than row counts here.
+    - ``"partitioned"``: distributed like shuffle, but the exchange key is
+      ``hash(keys) % num_partitions`` (bounded int32 sort domain) and the
+      final merge is ONE C++ ``group_by`` per partition — skips the Ray
+      Aggregate operator's fixed seconds of sort overhead (BASELINE.md
+      note 7). Right for mid-cardinality groups where the driver merge is
+      unsafe but the Aggregate operator dominates wall time.
     - ``"driver"``: stream the pre-combined partials (one small batch per
       block — already reduced to ≤ G rows each) to the driver and finish
       with ONE C++ ``group_by``. The right choice when G (distinct groups)
@@ -175,6 +182,22 @@ def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
     # blocks per task and serialize the whole pipeline.
     partials = ds.map_batches(precombine, batch_format="pyarrow",
                               batch_size=precombine_batch_size)
+
+    if mode == "partitioned":
+        from ..functions.hashing import table_key_hash
+
+        def add_part(b: pa.Table) -> pa.Table:
+            tag = (table_key_hash(b, keys)
+                   % np.uint64(num_partitions)).astype(np.int32)
+            return b.append_column("_apart", pa.array(tag))
+
+        def per_part(t: pa.Table) -> pa.Table:
+            out = t.group_by(keys).aggregate(
+                [("_psum", "sum"), ("_pcount", "sum")])
+            return out.rename_columns(keys + ["agg_sum", "agg_count"])
+
+        return (partials.map_batches(add_part, batch_format="pyarrow")
+                .groupby("_apart").map_groups(per_part, batch_format="pyarrow"))
 
     if mode == "driver":
         import ray.data as rd

@@ -460,29 +460,26 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     than it is processed as chunk×chunk sub-matmuls (each bounded at
     max_block × pair-vocab) — still EXACT, never an O(m × vocab) dense
     matrix for an unbounded m in one worker.
+
+    Fully vectorized: distinct (row, word) pairs come from ONE Arrow
+    split + dictionary-encode + ``np.unique`` over the packed pair codes
+    (no Python loop over words); incidence is float32 (intersection counts
+    are exact ints < 2^24) while the Jaccard DIVISION runs in float64 —
+    bit-identical to the SQL oracle's DOUBLE division.
     """
-    def wordsets(chunk: pd.DataFrame) -> list[set]:
-        return [set(ws) for ws in chunk[text_col].str.split()]
-
-    def incidence(sets_a: list[set], sets_b: list[set]):
-        vocab: dict[str, int] = {}
-        for s in sets_a:
-            for w in s:
-                vocab.setdefault(w, len(vocab))
-        for s in sets_b:
-            for w in s:
-                vocab.setdefault(w, len(vocab))
-        def mat(sets):
-            m = np.zeros((len(sets), len(vocab)), dtype=np.float64)
-            for i, s in enumerate(sets):
-                m[i, [vocab[w] for w in s]] = 1.0
-            return m
-        return mat(sets_a), mat(sets_b)
-
-    def cross_pairs(ids_a, sets_a, ids_b, sets_b, same: bool) -> pd.DataFrame:
-        a, b = incidence(sets_a, sets_b)
-        sa, sb = a.sum(axis=1), b.sum(axis=1)
-        inter = a @ b.T
+    def cross_pairs(ids_a, ra, ca, ids_b, rb, cb, same: bool) -> pd.DataFrame:
+        # remap the two chunks' word codes onto their joint (small) vocab
+        uc, inv = np.unique(np.concatenate([ca, cb]), return_inverse=True)
+        a = np.zeros((len(ids_a), len(uc)), dtype=np.float32)
+        a[ra, inv[:len(ca)]] = 1.0
+        if same:
+            b = a
+        else:
+            b = np.zeros((len(ids_b), len(uc)), dtype=np.float32)
+            b[rb, inv[len(ca):]] = 1.0
+        sa = a.sum(axis=1, dtype=np.float64)
+        sb = b.sum(axis=1, dtype=np.float64)
+        inter = (a @ b.T).astype(np.float64)
         union = sa[:, None] + sb[None, :] - inter
         jac = inter / np.maximum(union, 1.0)
         if same:
@@ -494,16 +491,24 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                              "jaccard": np.round(jac[ia[keep], ib[keep]], 6)})
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        # float64 throughout: counts are exact ints, so the division is
-        # bit-identical to the SQL oracle's DOUBLE division
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
-        chunks = [(ids[i:i + max_block],
-                   wordsets(g.iloc[i:i + max_block]))
-                  for i in range(0, len(g), max_block)]
-        out = [cross_pairs(ca_ids, ca_sets, cb_ids, cb_sets, same=(i == j))
-               for i, (ca_ids, ca_sets) in enumerate(chunks)
-               for j, (cb_ids, cb_sets) in enumerate(chunks) if j >= i]
+        n = len(g)
+        lists = pc.split_pattern(pa.array(g[text_col], type=pa.string()), " ")
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        enc = pc.dictionary_encode(lists.values)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vsize = len(enc.dictionary)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        upairs = np.unique(row_of * vsize + codes)  # distinct (row, word)
+        rows_u, codes_u = np.divmod(upairs, vsize)
+        bounds = list(range(0, n, max_block)) + [n]
+        chunks = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = (rows_u >= s) & (rows_u < e)
+            chunks.append((ids[s:e], rows_u[m] - s, codes_u[m]))
+        out = [cross_pairs(*chunks[i], *chunks[j], same=(i == j))
+               for i in range(len(chunks)) for j in range(i, len(chunks))]
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),

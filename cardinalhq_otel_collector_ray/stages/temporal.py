@@ -26,27 +26,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import bytes_hash64, combine_hash64
+from ..functions.hashing import table_key_hash as _key_hash
 
 DEFAULT_TEMPORAL_PARTITIONS = 64
-
-
-def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
-    """Deterministic uint64 hash of the key columns, buffer-vectorized."""
-    h = None
-    for k in keys:
-        col = batch[k]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
-                or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            ch = bytes_hash64(col)
-        else:
-            ch = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            with np.errstate(over="ignore"):
-                ch = ch * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x2545F4914F6CDD1D)
-        h = ch if h is None else combine_hash64(h, ch)
-    return h
 
 
 def partitioned_apply(ds: ray.data.Dataset, keys: list[str], kernel,
@@ -220,8 +202,10 @@ def sliding_window_aggregate(ds: ray.data.Dataset, keys: list[str],
 
     from .aggregate import grouped_aggregate
     exploded = ds.map_batches(explode, batch_format="pyarrow")
+    # window × key cardinality is mid-range (grows with the corpus time
+    # span): partitioned C++ merge — distributed, no Aggregate-op overhead
     agg = grouped_aggregate(exploded, keys=keys + ["window_start"],
-                            value_col=value_col)
+                            value_col=value_col, mode="partitioned")
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in keys + ["window_start"]}
