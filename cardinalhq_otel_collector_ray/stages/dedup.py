@@ -406,15 +406,105 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
     return _pair_dedup(pairs, "hamming", "min")
 
 
+def cluster_pairs_distributed(pairs_ds: ray.data.Dataset,
+                              id_a: str = "id_a", id_b: str = "id_b", *,
+                              num_partitions: int = 32,
+                              max_iters: int = 50) -> ray.data.Dataset:
+    """Near-dup PAIRS → connected components by DISTRIBUTED min-label
+    propagation — the 100 TB path when the verified pair set itself is too
+    large for the driver union-find (``cluster_pairs``).
+
+    Each round: (1) co-partitioned hash join edge.src → current label +
+    partitioned min over (dst ∪ self), then (2) one POINTER-JUMP round
+    (relabel every id by its label's own label) so label distance halves —
+    rounds needed ≈ log₂(component diameter), not diameter. Labels
+    monotonically decrease, so convergence = the label SUM stops changing
+    (checked from per-block partial sums — one tiny row per block reaches
+    the driver). Returns a Dataset (id, cluster) with cluster = min id of
+    the component.
+    """
+    import ray.data as rd
+
+    def symm(b: pa.Table) -> pa.Table:
+        a = b[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": np.concatenate([a, c]),
+                         "dst": np.concatenate([c, a])})
+
+    edges = pairs_ds.map_batches(symm, batch_format="pyarrow").materialize()
+
+    def _min_label_per_id(ds: ray.data.Dataset) -> ray.data.Dataset:
+        def add_part(b: pa.Table) -> pa.Table:
+            k = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tag = ((k * np.int64(2654435761)) % np.int64(num_partitions)
+                   ).astype(np.int32)
+            return b.append_column("_part", pa.array(tag))
+
+        def per_part(t: pa.Table) -> pa.Table:
+            out = t.group_by(["id"]).aggregate([("label", "min")])
+            return out.rename_columns(["id", "label"])
+
+        return (ds.map_batches(add_part, batch_format="pyarrow")
+                .groupby("_part").map_groups(per_part, batch_format="pyarrow"))
+
+    labels = _min_label_per_id(edges.map_batches(
+        lambda b: pa.table({"id": b["src"], "label": b["src"]}),
+        batch_format="pyarrow")).materialize()
+
+    def _label_sum(ds: ray.data.Dataset) -> int:
+        partials = ds.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int(pc.sum(b["label"]).as_py() or 0)])}),
+            batch_format="pyarrow")
+        return sum(r["s"] for r in partials.take_all())
+
+    from .join import bucketed_hash_join
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iters):
+        # (1) edge propagation: dst inherits min(label(src), own label)
+        lab_as_src = labels.map_batches(
+            lambda b: pa.table({"src": b["id"], "label": b["label"]}),
+            batch_format="pyarrow")
+        cand = bucketed_hash_join(edges, lab_as_src, on="src",
+                                  num_buckets=num_partitions)
+        prop = cand.map_batches(
+            lambda b: pa.table({"id": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow")
+        labels = _min_label_per_id(prop.union(labels)) \
+            .repartition(num_partitions).materialize()
+        # (2) pointer jump: id's label ← label(label(id)) — halves the
+        # remaining label distance each round
+        links = labels.map_batches(
+            lambda b: pa.table({"src": b["label"], "dst": b["id"]}),
+            batch_format="pyarrow")
+        jumped = bucketed_hash_join(links, labels.map_batches(
+            lambda b: pa.table({"src": b["id"], "label": b["label"]}),
+            batch_format="pyarrow"), on="src", num_buckets=num_partitions)
+        jump_prop = jumped.map_batches(
+            lambda b: pa.table({"id": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow")
+        labels = _min_label_per_id(jump_prop.union(labels)) \
+            .repartition(num_partitions).materialize()
+        cur = _label_sum(labels)
+        if cur == prev_sum:  # monotone → fixed point reached
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({"id": b["id"], "cluster": b["label"]}),
+        batch_format="pyarrow")
+
+
 def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
                   id_b: str = "id_b") -> pd.DataFrame:
     """Near-dup PAIRS → connected-component CLUSTERS (id → cluster root).
 
     Driver-side union-find: correct whenever the verified pair set is
     coordinator-sized (near-dups are the rare case — the same bound as the
-    hot-bucket prefilter). For a pathological pair explosion, iterate
-    min-label propagation with groupby rounds instead (guide pattern);
-    the pair sets our LSH emits are filtered and deduped first.
+    hot-bucket prefilter). When the pair set itself outgrows the driver,
+    use ``cluster_pairs_distributed`` (min-label propagation with
+    co-partitioned rounds) — same (id, cluster=min id) output, asserted
+    equal in tests.
     Returns a DataFrame (id, cluster) where cluster = min id of the
     component — the canonical "keep the representative" shape.
     """

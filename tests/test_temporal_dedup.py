@@ -249,3 +249,22 @@ def test_cluster_pairs_union_find():
     out = cluster_pairs(pairs)
     got = dict(zip(out["id"], out["cluster"]))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cluster_pairs_distributed_matches_union_find():
+    """Min-label propagation (the 100 TB path) must produce the same
+    (id, cluster=min id) assignment as the driver union-find, including
+    multi-hop chains that need several propagation rounds."""
+    from cardinalhq_otel_collector_ray.stages.dedup import (
+        cluster_pairs, cluster_pairs_distributed)
+    # a 10-node path (worst-case diameter), a triangle, one isolated pair
+    edges = [(i, i + 1) for i in range(10, 19)] + \
+            [(1, 2), (2, 3), (1, 3), (100, 101)]
+    ds = ray.data.from_arrow(pa.table({
+        "id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]}))
+    want = cluster_pairs(ds).sort_values("id").reset_index(drop=True)
+    got = cluster_pairs_distributed(ds, num_partitions=4).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+    assert got[got["id"] == 18]["cluster"].iloc[0] == 10  # 9 hops propagated
