@@ -108,6 +108,102 @@ def _s_route(ds, cfg):
     return route.route_stage(ds, rules, default_sink=cfg.get("default", "default"))
 
 
+def _s_epoch_ms(ds, cfg):
+    """Timestamp column → int64 epoch-milliseconds (the reference's
+    epoch-ms ↔ timestamp scalar conversions, aggregate.go:64-66)."""
+    col, out = cfg["column"], cfg.get("out", cfg["column"])
+
+    _UNIT_PER_MS = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}
+
+    def fn(b: pa.Table) -> pa.Table:
+        c = b[col]
+        unit = c.type.unit if pa.types.is_timestamp(c.type) else "ms"
+        raw = c.cast(pa.int64())
+        per = _UNIT_PER_MS[unit]
+        if per is None:  # seconds → multiply
+            ms = pc.multiply(raw, 1000)
+        elif per == 1:
+            ms = raw
+        else:  # sub-ms units → floor divide (truncation, like pdata)
+            ms = pc.divide(raw, per)
+        if out in b.column_names:
+            return b.set_column(b.column_names.index(out), out, ms)
+        return b.append_column(out, ms)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _s_interval_aggregate(ds, cfg):
+    """C2 interval groupby-aggregate (aggregationprocessor analog)."""
+    from ..stages.aggregate import interval_aggregate
+    return interval_aggregate(ds, ts_col=cfg["ts"],
+                              interval_ms=cfg["interval_ms"],
+                              keys=cfg["keys"], value_col=cfg["value"],
+                              out_ts_col=cfg.get("out_ts"),
+                              mode=cfg.get("mode", "shuffle"))
+
+
+def _s_aggregate(ds, cfg):
+    """count/sum connector analog (non-windowed grouped aggregate)."""
+    from ..stages.aggregate import grouped_aggregate
+    return grouped_aggregate(ds, keys=cfg["keys"], value_col=cfg["value"],
+                             mode=cfg.get("mode", "shuffle"))
+
+
+def _s_summary_split(ds, cfg):
+    """C4 summarysplit explode."""
+    from ..stages.summarysplit import summarysplit_stage
+    return summarysplit_stage(ds, **cfg.get("options", {}))
+
+
+def _s_logdedup(ds, cfg):
+    from ..stages.temporal import interval_dedup
+    return interval_dedup(ds, keys=cfg["keys"], ts_col=cfg["ts"],
+                          interval_ms=cfg["interval_ms"],
+                          tiebreak_cols=cfg.get("tiebreak"))
+
+
+def _s_sessionize(ds, cfg):
+    from ..stages.temporal import sessionize
+    return sessionize(ds, key=cfg["key"], ts_col=cfg["ts"],
+                      gap_ms=cfg["gap_ms"])
+
+
+def _s_cumulative_to_delta(ds, cfg):
+    from ..stages.temporal import cumulative_to_delta
+    return cumulative_to_delta(ds, keys=cfg["keys"], ts_col=cfg["ts"],
+                               value_col=cfg["value"],
+                               out=cfg.get("out", "delta"),
+                               tiebreak_cols=cfg.get("tiebreak"))
+
+
+def _s_delta_to_rate(ds, cfg):
+    from ..stages.temporal import delta_to_rate
+    return delta_to_rate(ds, keys=cfg["keys"], ts_col=cfg["ts"],
+                         value_col=cfg["value"], out=cfg.get("out", "rate"),
+                         tiebreak_cols=cfg.get("tiebreak"))
+
+
+def _s_drain(ds, cfg):
+    from ..stages.drain import drain_templates
+    return drain_templates(ds, cfg["text"], cfg["id"],
+                           sim_threshold=cfg.get("sim_threshold", 0.5))
+
+
+def _s_dedup_exact(ds, cfg):
+    from ..stages.dedup import exact_dedup_stats
+    return exact_dedup_stats(ds, content_col=cfg["content"], id_col=cfg["id"])
+
+
+def _s_quality_stats(ds, cfg):
+    from ..stages.textstats import quality_stats
+    return quality_stats(ds, text_col=cfg.get("text", "text"))
+
+
+def _s_langid(ds, cfg):
+    from ..stages.textstats import langid_scores
+    return langid_scores(ds, text_col=cfg.get("text", "text"))
+
+
 _STAGES: dict[str, StageFn] = {
     "parse_regex": _s_parse_regex,
     "flag_regex": _s_flag_regex,
@@ -121,6 +217,18 @@ _STAGES: dict[str, StageFn] = {
     "hash": _s_hash,
     "select": _s_select,
     "route": _s_route,
+    "epoch_ms": _s_epoch_ms,
+    "interval_aggregate": _s_interval_aggregate,
+    "aggregate": _s_aggregate,
+    "summary_split": _s_summary_split,
+    "logdedup": _s_logdedup,
+    "sessionize": _s_sessionize,
+    "cumulative_to_delta": _s_cumulative_to_delta,
+    "delta_to_rate": _s_delta_to_rate,
+    "drain": _s_drain,
+    "dedup_exact": _s_dedup_exact,
+    "quality_stats": _s_quality_stats,
+    "langid": _s_langid,
 }
 
 

@@ -133,3 +133,46 @@ def test_topology_per_sink_chains(sf_dir):
     c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
     n_slow = c.execute(r"SELECT count(*) FROM documents WHERE regexp_matches(text, '\bslow\b')").fetchone()[0]
     assert len(main) == total_docs - n_slow
+
+
+def test_spec_new_stage_kinds(sf_dir):
+    """Round-2 spec vocabulary: interval_aggregate / logdedup / sessionize /
+    temporal / drain / dedup / textstats kinds compile and run."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+    agg = compile_pipeline({
+        "source": {"kind": "parquet", "table": "events",
+                   "columns": ["event_id", "event_type", "ts", "value"]},
+        "stages": [
+            {"kind": "epoch_ms", "column": "ts", "out": "ts_ms"},
+            {"kind": "interval_aggregate", "ts": "ts_ms",
+             "interval_ms": 3_600_000, "keys": ["event_type"],
+             "value": "value"},
+        ],
+    }, sf_dir).to_pandas()
+    assert {"event_type", "agg_sum", "agg_count"} <= set(agg.columns)
+    assert len(agg) > 0
+
+    mined = compile_pipeline({
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text"]},
+        "stages": [{"kind": "drain", "text": "text", "id": "doc_id"}],
+    }, sf_dir).to_pandas()
+    assert mined["n_logs"].sum() > 0
+
+    dedup = compile_pipeline({
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text"]},
+        "stages": [{"kind": "dedup_exact", "content": "text", "id": "doc_id"}],
+    }, sf_dir).to_pandas()
+    assert {"text", "keep_id", "n_copies"} <= set(dedup.columns)
+
+    sess = compile_pipeline({
+        "source": {"kind": "parquet", "table": "events",
+                   "columns": ["user_id", "ts"]},
+        "stages": [
+            {"kind": "epoch_ms", "column": "ts", "out": "ts_ms"},
+            {"kind": "sessionize", "key": "user_id", "ts": "ts_ms",
+             "gap_ms": 1_800_000},
+        ],
+    }, sf_dir).to_pandas()
+    assert {"session_id", "session_start", "n_events"} <= set(sess.columns)
