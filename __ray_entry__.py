@@ -280,6 +280,17 @@ def _q_wordset_jaccard(sf_dir: str):
     return wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.9)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact word-BIGRAM-set Jaccard near-dup pairs (the n-gram Jaccard
+    dedup variant): order-sensitive shingles catch shuffled-word false
+    positives the word-set variant accepts."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import wordset_jaccard_pairs
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return wordset_jaccard_pairs(ds, "text", "doc_id", "lang",
+                                 threshold=0.75, ngram=2)
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Rows-only check (LSH is approximate — no exact SQL oracle)."""
     from cardinalhq_otel_collector_ray.sources import read_table
@@ -892,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logdedup_events": _q_logdedup,
         "knn_bruteforce": _q_knn,
         "wordset_jaccard": _q_wordset_jaccard,
+        "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -1156,6 +1168,29 @@ FROM inter
 JOIN sizes sa ON inter.id_a = sa.doc_id
 JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+""",
+        "ngram_jaccard": r"""
+WITH ex AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bg AS (
+  SELECT DISTINCT doc_id, lang,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM ex QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM bg a JOIN bg b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.75
 """,
         "embedding_neardup": r"""
 WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -537,8 +537,10 @@ def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
 
 def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                           block_col: str, threshold: float,
-                          max_block: int = 4096) -> ray.data.Dataset:
-    """Exact distinct-word-set Jaccard pairs within blocks.
+                          max_block: int = 4096,
+                          ngram: int = 1) -> ray.data.Dataset:
+    """Exact distinct word-set (``ngram=1``) or word-n-gram-set Jaccard
+    pairs within blocks.
 
     Blocked all-pairs: within each ``block_col`` group, build the doc ×
     batch-vocab incidence matrix and get intersection counts with ONE
@@ -590,8 +592,24 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vsize = len(enc.dictionary)
         row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-        upairs = np.unique(row_of * vsize + codes)  # distinct (row, word)
-        rows_u, codes_u = np.divmod(upairs, vsize)
+        if ngram > 1:
+            # consecutive n-gram codes: window positions whose span stays
+            # within one row; combined code base-vsize (compact afterwards)
+            span = len(codes) - (ngram - 1)
+            if span <= 0:
+                codes = np.empty(0, dtype=np.int64)
+                row_of = np.empty(0, dtype=np.int64)
+            else:
+                valid = row_of[:span] == row_of[ngram - 1:]
+                comb = np.zeros(span, dtype=np.int64)
+                for j in range(ngram):
+                    comb = comb * vsize + codes[j:j + span]
+                row_of = row_of[:span][valid]
+                comb = comb[valid]
+                uc, codes = np.unique(comb, return_inverse=True)
+                vsize = len(uc)
+        upairs = np.unique(row_of * vsize + codes)  # distinct (row, gram)
+        rows_u, codes_u = np.divmod(upairs, max(vsize, 1))
         bounds = list(range(0, n, max_block)) + [n]
         chunks = []
         for s, e in zip(bounds[:-1], bounds[1:]):

@@ -268,3 +268,27 @@ def test_cluster_pairs_distributed_matches_union_find():
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"))
     assert got[got["id"] == 18]["cluster"].iloc[0] == 10  # 9 hops propagated
+
+
+def test_ngram_jaccard_order_sensitive():
+    """Bigram sets distinguish word ORDER: same word multiset, different
+    order → low bigram Jaccard; identical order → 1.0. Chunked guard must
+    stay exact for n-grams too."""
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "lang": ["en"] * 3,
+        "text": ["a b c d e", "a b c d e", "e d c b a"],
+    }))
+    out = wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5,
+                                ngram=2).to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
+    assert out.iloc[0]["jaccard"] == 1.0
+    # word-SET variant cannot tell 1 and 3 apart (same words)
+    ws = wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5) \
+        .to_pandas()
+    assert (1, 3) in set(zip(ws["id_a"], ws["id_b"]))
+    chunked = wordset_jaccard_pairs(ds, "text", "doc_id", "lang",
+                                    threshold=0.5, ngram=2, max_block=2) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["id_a", "id_b"]).reset_index(drop=True), chunked)
