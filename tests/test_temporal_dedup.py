@@ -292,3 +292,43 @@ def test_ngram_jaccard_order_sensitive():
         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         out.sort_values(["id_a", "id_b"]).reset_index(drop=True), chunked)
+
+
+def test_kll_quantile_accuracy_and_merge():
+    """KLL sketch: rank error small at k=200; merging shard sketches ≈
+    one sketch over the union; byte round-trip identical; deterministic."""
+    from cardinalhq_otel_collector_ray.stages.sketch import KLLSketch
+    rng = np.random.default_rng(11)
+    data = rng.normal(100.0, 25.0, size=100_000)
+    s = KLLSketch(200).add(data)
+    ranks = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = s.quantile(q)
+        # rank of the estimate must be within 2% of the target rank
+        rank_err = abs(np.searchsorted(ranks, est) / len(ranks) - q)
+        assert rank_err < 0.02, (q, est, rank_err)
+    halves = [KLLSketch(200).add(data[:50_000]),
+              KLLSketch(200).add(data[50_000:])]
+    merged = halves[0].merge(halves[1])
+    for q in (0.1, 0.5, 0.9):
+        rank_err = abs(np.searchsorted(ranks, merged.quantile(q)) / len(ranks) - q)
+        assert rank_err < 0.03, (q, rank_err)
+    # deterministic: same input, same sketch bytes and values
+    s2 = KLLSketch(200).add(data)
+    assert s.to_bytes() == s2.to_bytes()
+    rt = KLLSketch.from_bytes(s.to_bytes())
+    assert rt.quantile(0.5) == s.quantile(0.5)
+
+
+def test_approx_quantiles_per_key_dataset():
+    from cardinalhq_otel_collector_ray.stages.sketch import approx_quantiles_per_key
+    rng = np.random.default_rng(12)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, "a", "b")
+    vals = np.where(keys == "a", rng.uniform(0, 100, n),
+                    rng.uniform(1000, 2000, n))
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals}))
+    out = approx_quantiles_per_key(ds, "k", "v", qs=[0.5]).to_pandas() \
+        .set_index("k")["q_0_5"]
+    assert 40 < out["a"] < 60
+    assert 1400 < out["b"] < 1600
