@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -76,49 +77,41 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     all_cols = [on] + [c for c in lcols if c != on] + \
                [c for c in r_out if c != on]
 
-    def _kind(t) -> str:
-        if pa.types.is_floating(t):
-            return "float"
-        if pa.types.is_integer(t):
-            return "int"
-        return "object"
-
-    dtypes = {}
-    for name, t in zip(l_schema.names, l_schema.types):
-        dtypes[name] = _kind(t)
+    arrow_types = dict(zip(l_schema.names, l_schema.types))
     for name, t in zip(r_schema.names, r_schema.types):
-        dtypes[r_renames.get(name, name)] = _kind(t)
+        arrow_types.setdefault(r_renames.get(name, name), t)
 
-    def tag(side: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            if side == "r":
-                df = df.rename(columns=r_renames)
-            df = df.copy()
-            for c in all_cols:
-                if c not in df.columns:
-                    dt = dtypes[c]
-                    if dt == "float":
-                        df[c] = np.full(len(df), np.nan)
-                    elif dt == "int":
-                        df[c] = pd.Series([pd.NA] * len(df), dtype="Int64")
-                    else:
-                        df[c] = pd.Series([None] * len(df), dtype="object")
-            k = df[on].to_numpy().astype(np.int64)
-            df["_bucket"] = (k * np.int64(2654435761) + np.int64(12345)) \
-                % np.int64(num_buckets)
-            df["_side"] = side
-            return df[all_cols + ["_bucket", "_side"]]
+    def tag(side_code: int):
+        # Arrow-native tagging: typed-null placeholders (pa.nulls — no
+        # pandas conversion/copies), numpy bucket hash, int8 side marker
+        def fn(t: pa.Table) -> pa.Table:
+            if side_code == 1:
+                t = t.rename_columns([r_renames.get(c, c)
+                                      for c in t.column_names])
+            n = t.num_rows
+            cols = {c: (t[c] if c in t.column_names
+                        else pa.nulls(n, arrow_types[c])) for c in all_cols}
+            k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols["_bucket"] = pa.array(
+                ((k * np.int64(2654435761) + np.int64(12345))
+                 % np.int64(num_buckets)).astype(np.int32))
+            cols["_side"] = pa.array(np.full(n, side_code, dtype=np.int8))
+            return pa.table(cols)
         return fn
 
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.map_batches(tag("r"), batch_format="pandas")
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
     both = lt.union(rt)
     l_keep = [on] + [c for c in lcols if c != on]
     r_keep = [on] + [c for c in r_out if c != on]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == "l"][l_keep]
-        r = g[g["_side"] == "r"][r_keep]
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        # split sides FIRST, then select each side's own (null-free)
+        # columns — dtypes survive the pandas conversion intact
+        lmask = pc.equal(g["_side"], 0)
+        l = g.filter(lmask).select(l_keep).to_pandas()
+        r = g.filter(pc.invert(lmask)).select(r_keep).to_pandas()
         return l.merge(r, on=on, how=how)
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pyarrow")
