@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -17,6 +18,39 @@ import ray.data
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1)
     return mat / np.maximum(n, 1e-30)[:, None]
+
+
+def _per_block_topk(k: int, exclude_self: bool):
+    """EXACT per-block top-k prune of (qid, id, score) rows: keep, per qid,
+    every row whose score ties-or-beats the block's k-th best — a global
+    top-k member can never be dropped (if ≥k block rows beat it, they beat
+    it globally too), ties survive for the (score desc, id asc) tie-break
+    in the final combine. Shrinks the per-qid shuffle from n_rows to
+    ≈ k × blocks — the same pre-combine discipline as every aggregate."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        if exclude_self:
+            t = t.filter(pc.invert(pc.equal(t["qid"], t["id"])))
+            if t.num_rows == 0:
+                return t
+        qid = t["qid"].to_numpy(zero_copy_only=False)
+        score = t["score"].to_numpy(zero_copy_only=False)
+        order = np.argsort(qid, kind="mergesort")
+        qs = qid[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        bounds = np.append(starts, len(qs))
+        keep = np.zeros(len(qid), dtype=bool)
+        for s, e in zip(starts, bounds[1:]):
+            idx = order[s:e]
+            sc = score[idx]
+            if len(sc) <= k:
+                keep[idx] = True
+            else:
+                kth = np.partition(sc, -k)[-k]
+                keep[idx[sc >= kth]] = True
+        return t.filter(pa.array(keep))
+    return fn
 
 
 class BruteForceScorer:
@@ -59,10 +93,10 @@ def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
     scored = ds.map_batches(BruteForceScorer,
                             fn_constructor_args=(qref, vec_col, id_col),
                             batch_format="pyarrow", concurrency=concurrency)
+    scored = scored.map_batches(_per_block_topk(k, exclude_self),
+                                batch_format="pyarrow")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            g = g[g["qid"] != g["id"]]
         g = g.sort_values(["score", "id"], ascending=[False, True],
                           kind="mergesort").head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
@@ -145,9 +179,10 @@ def knn_ivf(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
 
     scored = ds.map_batches(Scorer, batch_format="pyarrow",
                             concurrency=concurrency)
+    scored = scored.map_batches(_per_block_topk(k, True),
+                                batch_format="pyarrow")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["qid"] != g["id"]]
         g = g.sort_values(["score", "id"], ascending=[False, True],
                           kind="mergesort").head(k)
         return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
@@ -244,9 +279,10 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
                              "score": pa.array(np.concatenate(out_s))})
 
     scored = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+    scored = scored.map_batches(_per_block_topk(k, True),
+                                batch_format="pyarrow")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["qid"] != g["id"]]
         g = g.sort_values(["score", "id"], ascending=[False, True],
                           kind="mergesort").head(k)
         return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
