@@ -81,6 +81,89 @@ def decode_stage(ds: ray.data.Dataset, concurrency: int = 2,
                           concurrency=concurrency)
 
 
+def byte_histogram_features(ds: ray.data.Dataset, payload_col: str = "payload",
+                            bins: int = 16, out: str = "features"
+                            ) -> ray.data.Dataset:
+    """REAL feature extraction over opaque binary payloads: an L1-normalized
+    byte-value histogram per row (``bins`` must divide 256) — the
+    codec-free member of the multimodal feature family, fully vectorized
+    over the flattened Arrow binary buffer (one ``np.add.at`` scatter per
+    batch, no per-row Python). Output: ``list<float32>`` feature column
+    ready for the ANN / embedding-dedup operators."""
+    assert 256 % bins == 0
+    shift = 8 - int(np.log2(bins))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.large_binary())  # int64 offsets, slice-safe
+        n = len(col)
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset: col.offset + n + 1]
+        start, end = int(offsets[0]), int(offsets[-1])
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[start:end]
+        offsets = offsets - start
+        lens = np.diff(offsets)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = np.zeros(n * bins, dtype=np.int64)
+        np.add.at(hist, row_of * bins + (data >> shift).astype(np.int64), 1)
+        hist = hist.reshape(n, bins).astype(np.float32)
+        hist /= np.maximum(lens, 1)[:, None].astype(np.float32)
+        flat = pa.array(hist.reshape(-1))
+        feats = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * bins, bins, dtype=np.int32)), flat)
+        return batch.append_column(out, feats)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class ImageResizer:
+    """Actor-pool resize stage — plumbing real (schema, batch sizing, actor
+    signature), pixel math gated behind the codec import like the decoder:
+    without PIL it stamps the TARGET dims and passes the payload through
+    untouched (strict=True raises)."""
+
+    def __init__(self, width: int, height: int, strict: bool = False):
+        self.width, self.height = width, height
+        try:
+            from PIL import Image  # noqa: F401
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires PIL, which is not installed; "
+                    "run with strict=False for the passthrough stub")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._pil is not None:  # pragma: no cover - no PIL here
+            import io
+            out = []
+            for b in batch["payload"].to_pylist():
+                img = self._pil.open(io.BytesIO(b)).resize(
+                    (self.width, self.height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
+            batch = batch.set_column(batch.column_names.index("payload"),
+                                     "payload", pa.array(out, type=pa.binary()))
+        n = batch.num_rows
+        batch = batch.append_column(
+            "target_width", pa.array(np.full(n, self.width, dtype=np.int64)))
+        return batch.append_column(
+            "target_height", pa.array(np.full(n, self.height, dtype=np.int64)))
+
+
+def resize_stage(ds: ray.data.Dataset, width: int, height: int,
+                 concurrency: int = 2, batch_size: int = 256,
+                 strict: bool = False) -> ray.data.Dataset:
+    return ds.map_batches(ImageResizer,
+                          fn_constructor_args=(width, height),
+                          fn_constructor_kwargs={"strict": strict},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 def frame_sample_stage(ds: ray.data.Dataset, every_n: int = 10,
                        id_col: str = "doc_id") -> ray.data.Dataset:
     """Frame-sampling analog: deterministic keep-every-nth by integer-id
