@@ -59,39 +59,54 @@ def map_words_to_ids(words_list: pa.Array, vocab: dict[str, int],
                                     pa.array(token_ids, type=pa.int32()))
 
 
-def char_shingles_u64(texts: list[str] | np.ndarray, k: int = 4
-                      ) -> tuple[np.ndarray, np.ndarray]:
+def char_shingles_u64(texts, k: int = 4,
+                      max_bytes: int = 4096) -> tuple[np.ndarray, np.ndarray]:
     """All k-char shingles of every text as uint64 codes, batch-vectorized.
 
     Returns ``(doc_boundaries, shingle_codes)`` where ``doc_boundaries`` is
     the int64 start offset of each doc's shingles in ``shingle_codes``
-    (length n_docs+1). Texts are concatenated once; k-wide sliding windows
-    are taken with ``np.lib.stride_tricks``; windows crossing document
-    boundaries are masked out. No per-row Python loop.
+    (length n_docs+1). An Arrow string array's UTF-8 buffers are read
+    DIRECTLY (zero-copy — no per-row ``encode``); a list of str falls back
+    to one concat. k-wide sliding windows come from
+    ``np.lib.stride_tricks``; windows crossing document boundaries or past
+    the per-doc ``max_bytes`` cap are masked out. No per-row Python loop.
     """
-    n = len(texts)
-    enc = [t.encode("utf-8", "ignore")[:4096] for t in texts]  # cap pathological rows
-    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
-    buf = np.frombuffer(b"".join(enc) + b"\x00" * k, dtype=np.uint8)
-    total = int(lens.sum())
-    starts = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=starts[1:])
-    if total == 0:
-        return starts, np.empty(0, dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(buf[: total + k - 1], k)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        arr = texts.cast(pa.large_utf8())
+        n = len(arr)
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset: arr.offset + n + 1]
+        lo, hi = int(offsets[0]), int(offsets[-1])
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[lo:hi]
+        starts = offsets - lo
+        lens = np.diff(starts)
+    else:
+        n = len(texts)
+        enc = [t.encode("utf-8", "ignore") for t in texts]
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+        data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+    capped = np.minimum(lens, max_bytes)  # cap pathological rows
+    if len(data) == 0:
+        return np.zeros(n + 1, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    buf = np.concatenate([data, np.zeros(k, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(buf[: len(data) + k - 1], k)
     # polynomial code of each window (uint64 wrap is fine for hashing)
     codes = np.zeros(win.shape[0], dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):
             codes = codes * np.uint64(1099511628211) + win[:, j].astype(np.uint64)
-    # number of valid shingles per doc: max(len - k + 1, 0)
-    n_sh = np.maximum(lens - (k - 1), 0)
+    # number of valid shingles per doc: max(min(len, cap) - k + 1, 0)
+    n_sh = np.maximum(capped - (k - 1), 0)
     sh_starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_sh, out=sh_starts[1:])
-    keep = np.zeros(win.shape[0], dtype=bool)
     # valid window index ranges per doc: [starts[i], starts[i] + n_sh[i])
     idx = np.arange(win.shape[0], dtype=np.int64)
     doc_of = np.searchsorted(starts, idx, side="right") - 1
+    doc_of = np.clip(doc_of, 0, n - 1)
     keep = idx < (starts[doc_of] + n_sh[doc_of])
     return sh_starts, codes[keep]
 

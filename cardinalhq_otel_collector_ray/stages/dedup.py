@@ -125,11 +125,13 @@ class MinHasher:
         self.r = num_perm // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        # shingling reads the Arrow UTF-8 buffers directly — no per-row
+        # encode; signatures ship as one fixed-size-binary buffer with a
+        # vectorized take for the per-band repeat (no per-doc tobytes)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        starts, codes = char_shingles_u64(texts, k=self.k)
+        starts, codes = char_shingles_u64(batch[self.text_col], k=self.k)
         sig = _minhash_sigs(codes, starts, self.num_perm, seed=self.seed)
-        n = len(texts)
+        n = len(ids)
         band_rows = sig.reshape(n, self.bands, self.r)
         # hash each band's r values into one uint64
         bh = np.zeros((n, self.bands), dtype=np.uint64)
@@ -139,13 +141,16 @@ class MinHasher:
         out_id = np.repeat(ids, self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         out_bh = bh.reshape(-1).view(np.int64)
-        sig_bytes = [sig[i].tobytes() for i in range(n)]
-        out_sig = np.repeat(np.asarray(sig_bytes, dtype=object), self.bands)
+        sig_fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.num_perm * 8), n,
+            [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())])
+        out_sig = pc.take(sig_fsb, pa.array(np.repeat(
+            np.arange(n, dtype=np.int64), self.bands)))
         return pa.table({
             "id": pa.array(out_id),
             "band": pa.array(out_band),
             "band_hash": pa.array(out_bh),
-            "sig": pa.array(out_sig, type=pa.binary()),
+            "sig": out_sig,
         })
 
 
