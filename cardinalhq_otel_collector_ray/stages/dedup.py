@@ -343,13 +343,16 @@ def _bucketed_pairs(index: ray.data.Dataset, key: str, *, sig_col: str,
 
 def simhash64(ds: ray.data.Dataset, text_col: str, out: str = "simhash") -> ray.data.Dataset:
     """64-bit word-frequency SimHash per row, fully vectorized:
-    explode words → 64-bit word hashes → per-bit ±1 weighted sums via
-    ``np.add.reduceat`` → sign bits."""
+    explode words → buffer-level 64-bit word hashes (no Python string
+    materialization) → per-bit ±1 weighted sums via ``np.add.reduceat`` →
+    sign bits."""
+    from ..functions.hashing import bytes_hash64
+
     def fn(batch: pa.Table) -> pa.Table:
         words = split_words(batch[text_col])
         offsets, values = list_offsets_values(words)
         n = len(offsets) - 1
-        wh = stable_str_hash64(values.to_pylist())
+        wh = bytes_hash64(values)
         acc = np.zeros((n, 64), dtype=np.int64)
         if len(wh):
             red_idx = np.minimum(offsets[:-1], len(wh) - 1)

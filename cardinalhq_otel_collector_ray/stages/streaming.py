@@ -114,11 +114,15 @@ class _BucketAggregator:
 def streaming_interval_aggregate(batches, *, keys: list[str], ts_col: str,
                                  value_col: str, interval_ms: int,
                                  key_col_for_bucket: str, num_buckets: int = 4,
-                                 allowed_lateness_ms: int = 0) -> pa.Table:
+                                 allowed_lateness_ms: int = 0,
+                                 max_pending: int = 64) -> pa.Table:
     """Drive an actor-per-bucket incremental aggregation over an iterator of
     Arrow micro-batches (a stream tail / kafka-partition analog). Records
     route to ``hash(key) % num_buckets`` actors; per-bucket arrival order is
-    preserved (the kafka-partition ordering guarantee). Returns the full
+    preserved by ACTOR TASK ORDERING (an actor executes its calls in
+    submission order), so ingestion is fully PIPELINED — no per-batch
+    ``ray.get`` barrier; results are collected in ``max_pending`` windows
+    (bounds driver memory and applies backpressure). Returns the full
     emitted table (incremental emissions + final flush)."""
     actors = [_BucketAggregator.remote(keys=keys, ts_col=ts_col,
                                        value_col=value_col,
@@ -126,17 +130,20 @@ def streaming_interval_aggregate(batches, *, keys: list[str], ts_col: str,
                                        allowed_lateness_ms=allowed_lateness_ms)
               for _ in range(num_buckets)]
     emitted = []
+    pending: list = []
     for batch in batches:
         h = pd.util.hash_array(
             np.asarray(batch[key_col_for_bucket].to_pylist(), dtype=object))
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)
-        refs = []
         for b in range(num_buckets):
             sub = batch.filter(pa.array(bucket == b))
             if sub.num_rows:
-                refs.append(actors[b].consume.remote(sub))
-        emitted.extend(ray.get(refs))
-    emitted.extend(ray.get([a.flush.remote() for a in actors]))
+                pending.append(actors[b].consume.remote(sub))
+        if len(pending) >= max_pending:
+            emitted.extend(ray.get(pending))
+            pending = []
+    pending.extend(a.flush.remote() for a in actors)
+    emitted.extend(ray.get(pending))
     real = [t for t in emitted if t.num_rows]
     if not real:
         return emitted[0] if emitted else pa.table({})
