@@ -114,13 +114,31 @@ class PartitionedSink:
         with_pid = ds.map_batches(add_pid, batch_format="pyarrow")
 
         if done:
-            done_keys = {(e.sink, int(e.partition_id.rsplit("/", 1)[1])) for e in done.values()}
+            # route → sorted done-pid array; the per-batch filter is then
+            # dictionary-encode (sink cardinality is tiny) + one np.isin
+            # per distinct route — vectorized, no per-row tuple lookups
+            # (this is the HOT path of a resumed run: every surviving row
+            # passes through it)
+            done_by_route: dict[str, np.ndarray] = {}
+            for e in done.values():
+                done_by_route.setdefault(e.sink, []).append(
+                    int(e.partition_id.rsplit("/", 1)[1]))
+            done_by_route = {r: np.unique(np.asarray(p, dtype=np.int64))
+                             for r, p in done_by_route.items()}
 
             def drop_done(batch: pa.Table) -> pa.Table:
-                routes = np.asarray(batch[route_col].to_pylist(), dtype=object)
+                routes = batch[route_col]
+                if isinstance(routes, pa.ChunkedArray):
+                    routes = routes.combine_chunks()
+                enc = routes.dictionary_encode()
+                ridx = enc.indices.to_numpy(zero_copy_only=False)
                 pids = batch["_pid"].to_numpy(zero_copy_only=False)
-                mask = np.asarray([(r, int(p)) not in done_keys
-                                   for r, p in zip(routes, pids)])
+                mask = np.ones(len(pids), dtype=bool)
+                for j, r in enumerate(enc.dictionary.to_pylist()):
+                    done_p = done_by_route.get(r)
+                    if done_p is not None and len(done_p):
+                        sel = ridx == j
+                        mask[sel] = ~np.isin(pids[sel], done_p)
                 return batch.filter(pa.array(mask))
             with_pid = with_pid.map_batches(drop_done, batch_format="pyarrow")
 

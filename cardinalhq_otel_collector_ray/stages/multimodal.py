@@ -63,12 +63,19 @@ class ImageDecoder:
             w = np.asarray(widths, dtype=np.int64); h = np.asarray(heights, dtype=np.int64)
             m = np.asarray(modes, dtype=object)
         else:
-            # deterministic fake decode — byte length + first byte
-            lens = pa.compute.binary_length(payload).to_numpy(zero_copy_only=False)
-            firsts = np.asarray([b[0] if len(b) else 0 for b in payload.to_pylist()],
-                                dtype=np.int64)
+            # deterministic fake decode — byte length + first byte,
+            # read straight from the binary buffers (no Python bytes)
+            lb = payload.cast(pa.large_binary())
+            n = len(lb)
+            offs = np.frombuffer(lb.buffers()[1], dtype=np.int64)[
+                lb.offset: lb.offset + n + 1]
+            data = np.frombuffer(lb.buffers()[2], dtype=np.uint8)
+            lens = np.diff(offs)
+            firsts = np.zeros(n, dtype=np.int64)
+            nz = lens > 0
+            firsts[nz] = data[offs[:-1][nz]]
             w, h = lens.astype(np.int64), firsts
-            m = np.full(len(w), "FAKE", dtype=object)
+            m = np.full(n, "FAKE", dtype=object)
         batch = batch.append_column("width", pa.array(w))
         batch = batch.append_column("height", pa.array(h))
         return batch.append_column("mode", pa.array(m, type=pa.string()))
