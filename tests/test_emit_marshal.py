@@ -327,3 +327,38 @@ def test_route_dests_override(sf_dir, tmp_path):
     assert q_entries and all(e.path.startswith(q_root) for e in q_entries)
     others = [e for e in entries if e.sink != "quarantine"]
     assert others and all(e.path.startswith(main_root) for e in others)
+
+
+def test_sumo_idempotent_and_nonmutating():
+    """sumo_marshaler_test.go:70-321 parity: marshaling twice yields
+    identical bytes and never mutates the input batch."""
+    batch = _logs_batch()
+    before = batch.to_pylist()
+    out1 = marshal_sumo_ic(batch, record_attr_cols=("level",))
+    out2 = marshal_sumo_ic(batch, record_attr_cols=("level",))
+    assert out1 == out2
+    assert batch.to_pylist() == before
+
+
+def test_sumo_quote_and_newline_escaping():
+    """Quote-escaping golden: bodies containing quotes/newlines must stay
+    valid JSON-lines and round-trip exactly."""
+    tricky = 'say "hi"\nline2\t\\backslash'
+    out = marshal_sumo_ic(_logs_batch(body=[tricky]),
+                          record_attr_cols=("level",))
+    lines = out.decode().strip().split("\n")
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    msg = json.loads(rec["message"])
+    assert msg["log"] == tricky
+
+
+def test_jsonl_round_trip():
+    """exporter_test.go:36-40 JSONEq analog: OTLP-JSON-lines round-trip
+    reproduces every record."""
+    from cardinalhq_otel_collector_ray.sinks.serializers import marshal_jsonl
+    batch = pa.table({"a": [1, 2], "b": ["x", 'y "q"'], "c": [1.5, None]})
+    lines = marshal_jsonl(batch).decode().strip().split("\n")
+    got = [json.loads(ln) for ln in lines]
+    assert got == [{"a": 1, "b": "x", "c": 1.5},
+                   {"a": 2, "b": 'y "q"', "c": None}]
