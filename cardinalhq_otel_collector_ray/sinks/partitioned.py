@@ -56,8 +56,16 @@ class PartitionedSink:
                  fmt: str = "parquet", compression: str | None = None,
                  notifier=None):
         from .serializers import EXTENSIONS, MARSHALERS
+        # config-validation at BUILD time, not first write (the reference
+        # factory rejects bad marshaler configs at exporter build,
+        # exporter/awss3exporter/factory.go:115-117)
         if fmt not in MARSHALERS:
             raise ValueError(f"unknown sink format {fmt!r}; known: {sorted(MARSHALERS)}")
+        if compression not in _COMPRESSION_SUFFIX:
+            raise ValueError(f"unknown sink compression {compression!r}; "
+                             f"known: {sorted(k for k in _COMPRESSION_SUFFIX if k)}")
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
         self.root = root
         self.run_ts = run_ts
         self.num_partitions = num_partitions

@@ -200,3 +200,20 @@ def test_partition_key_golden_exact_string():
     from datetime import timezone, timedelta
     sink_tz = PartitionedSink("/t", 1706078400.0, tz=timezone(timedelta(hours=5)))
     assert "hour=11" in sink_tz.object_path("a", 0)
+
+
+def test_sink_config_validation_at_build(tmp_path):
+    """Factory-rejects-at-build parity (awss3exporter factory.go:115-117):
+    bad format / compression / partition count fail at sink CONSTRUCTION,
+    never at first write."""
+    import pytest
+    from cardinalhq_otel_collector_ray.sinks.partitioned import PartitionedSink
+    with pytest.raises(ValueError, match="unknown sink format"):
+        PartitionedSink(str(tmp_path), 0.0, fmt="avro")
+    with pytest.raises(ValueError, match="unknown sink compression"):
+        PartitionedSink(str(tmp_path), 0.0, compression="lz77")
+    with pytest.raises(ValueError, match="num_partitions"):
+        PartitionedSink(str(tmp_path), 0.0, num_partitions=0)
+    # zstd is a valid build-time choice (extension .zst, writer.go:157-191)
+    s = PartitionedSink(str(tmp_path), 0.0, fmt="jsonl", compression="zstd")
+    assert s.extension == "jsonl.zst"
