@@ -130,7 +130,7 @@ def _q_summary_split(sf_dir: str):
     ds = _events_ms(sf_dir)
     summaries = interval_aggregate(ds, ts_col="ts_ms", interval_ms=600_000,
                                    keys=["event_type"], value_col="value_cents",
-                                   out_ts_col="ts_ms")
+                                   out_ts_col="ts_ms", mode="partitioned")
 
     def to_summary_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -525,7 +525,8 @@ def _q_emit_shape(sf_dir: str):
     ds = _events_ms(sf_dir)
     agg = interval_aggregate(ds, ts_col="ts_ms", interval_ms=600_000,
                              keys=["event_type"], value_col="value_cents",
-                             out_ts_col="interval_start_ms")
+                             out_ts_col="interval_start_ms",
+                             mode="partitioned")
 
     def to_tagged(batch: pa.Table) -> pa.Table:
         tags = [{

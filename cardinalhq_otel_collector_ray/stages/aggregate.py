@@ -76,8 +76,10 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
     override column in ``keys``).
 
     ``mode``: "shuffle" = distributed groupby (unbounded interval×key
-    cardinality); "driver" = coordinator merge of the per-block partials
-    (bounded cardinality — same tradeoff as ``grouped_aggregate``).
+    cardinality); "partitioned" = distributed bounded-tag C++ merge (mid
+    cardinality — skips the Aggregate operator's fixed sort overhead);
+    "driver" = coordinator merge of the per-block partials (bounded
+    cardinality — same tradeoff as ``grouped_aggregate``).
     """
     if interval_ms < 1000:
         # reference floor: metric_aggregation.interval ≥ 1 s
@@ -95,7 +97,24 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
         return part.rename_columns(group_cols + ["_psum", "_pcount", "_pmin", "_pmax"])
 
     partials = ds.map_batches(precombine, batch_format="pyarrow")
-    if mode == "driver":
+    if mode == "partitioned":
+        from ..functions.hashing import table_key_hash
+
+        def add_part(b: pa.Table) -> pa.Table:
+            tag = (table_key_hash(b, group_cols) % np.uint64(64)).astype(np.int32)
+            return b.append_column("_apart", pa.array(tag))
+
+        def per_part(t: pa.Table) -> pa.Table:
+            out = t.group_by(group_cols).aggregate(
+                [("_psum", "sum"), ("_pcount", "sum"),
+                 ("_pmin", "min"), ("_pmax", "max")])
+            return out.rename_columns(group_cols + ["agg_sum", "agg_count",
+                                                    "agg_min", "agg_max"])
+
+        combined = (partials.map_batches(add_part, batch_format="pyarrow")
+                    .groupby("_apart").map_groups(per_part,
+                                                  batch_format="pyarrow"))
+    elif mode == "driver":
         import ray.data as rd
         # Scale guard (same as grouped_aggregate): interval × key
         # cardinality grows with the corpus time span, so the driver merge

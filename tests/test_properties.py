@@ -103,3 +103,119 @@ def test_router_first_match_wins_and_total(vals):
     for v, r in zip(vals, routes):
         expect = "s1" if v == "a" else ("s2" if v == "b" else "rest")
         assert r == expect, (v, r)
+
+
+# ---------------------- temporal kernels vs naive pandas reference --------
+# The segmented-vectorized rewrites must agree with the obvious per-key
+# pandas implementation on arbitrary keyed event streams.
+
+import pyarrow as _pa
+import ray.data as _rd
+from hypothesis import HealthCheck
+
+_events_strategy = st.lists(
+    st.tuples(st.integers(0, 5),           # key
+              st.integers(0, 10_000),      # ts
+              st.integers(-1000, 1000)),   # value
+    min_size=1, max_size=60)
+
+
+def _mk_ds(rows):
+    ks, ts, vs = zip(*rows)
+    ids = list(range(len(rows)))
+    return _rd.from_arrow(_pa.table({
+        "id": ids, "k": list(ks), "ts": list(ts), "v": list(vs)})), ids
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_events_strategy)
+def test_cumulative_to_delta_matches_pandas(rows):
+    from cardinalhq_otel_collector_ray.stages.temporal import cumulative_to_delta
+    ds, _ = _mk_ds(rows)
+    got = cumulative_to_delta(ds, keys=["k"], ts_col="ts", value_col="v",
+                              tiebreak_cols=["id"], num_partitions=3) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+    ref = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    ref["id"] = range(len(ref))
+    ref = ref.sort_values(["k", "ts", "id"], kind="mergesort")
+    ref["delta"] = ref.groupby("k")["v"].diff()
+    ref = ref.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["delta"], ref["delta"],
+                                   check_names=False)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_events_strategy)
+def test_delta_to_cumulative_matches_pandas(rows):
+    from cardinalhq_otel_collector_ray.stages.temporal import delta_to_cumulative
+    ds, _ = _mk_ds(rows)
+    got = delta_to_cumulative(ds, keys=["k"], ts_col="ts", value_col="v",
+                              tiebreak_cols=["id"], num_partitions=3) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+    ref = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    ref["id"] = range(len(ref))
+    ref = ref.sort_values(["k", "ts", "id"], kind="mergesort")
+    ref["cumulative"] = ref.groupby("k")["v"].cumsum()
+    ref = ref.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["cumulative"].astype("int64"), ref["cumulative"].astype("int64"),
+        check_names=False)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_events_strategy)
+def test_sessionize_matches_pandas(rows):
+    from cardinalhq_otel_collector_ray.stages.temporal import sessionize
+    GAP = 500
+    ds, _ = _mk_ds(rows)
+    got = sessionize(ds, key="k", ts_col="ts", gap_ms=GAP, num_partitions=3) \
+        .to_pandas().sort_values(["k", "session_id"]).reset_index(drop=True)
+    import pandas as pd
+    import numpy as np
+    ref_rows = []
+    df = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    for k, g in df.groupby("k"):
+        ts = np.sort(g["ts"].to_numpy())
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > GAP
+        sid = np.cumsum(new) - 1
+        for s in np.unique(sid):
+            seg = ts[sid == s]
+            ref_rows.append((k, int(s), int(seg.min()), int(seg.max()),
+                             len(seg)))
+    ref = pd.DataFrame(ref_rows, columns=[
+        "k", "session_id", "session_start", "session_end", "n_events"]) \
+        .sort_values(["k", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[ref.columns].astype("int64"), ref.astype("int64"))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_events_strategy)
+def test_interval_dedup_matches_pandas(rows):
+    from cardinalhq_otel_collector_ray.stages.temporal import interval_dedup
+    IV = 1000
+    ds, _ = _mk_ds(rows)
+    got = interval_dedup(ds, keys=["k"], ts_col="ts", interval_ms=IV,
+                         tiebreak_cols=["id"], num_partitions=3) \
+        .to_pandas().sort_values(["k", "_interval"]).reset_index(drop=True)
+    import pandas as pd
+    ref = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    ref["id"] = range(len(ref))
+    ref["_interval"] = (ref["ts"] // IV) * IV
+    ref = ref.sort_values(["ts", "id"], kind="mergesort")
+    g = ref.groupby(["k", "_interval"], as_index=False)
+    first = g.first()
+    first["dedup_count"] = g.size()["size"].values
+    first = first.sort_values(["k", "_interval"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "_interval", "id", "dedup_count"]].astype(
+            {"_interval": "int64", "id": "int64", "dedup_count": "int64"}),
+        first[["k", "_interval", "id", "dedup_count"]].astype(
+            {"_interval": "int64", "id": "int64", "dedup_count": "int64"}))
