@@ -154,7 +154,106 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def run_skew(sf_dir: str, num_cpus: int, replication: int) -> dict:
+    """Skew evidence (north rule: salted groupby 'measurably active'):
+    aggregate a Zipf-like key (90% of rows share one key) with the plain
+    two-phase path vs the salted two-phase path, and report the pre-combine
+    partial-row histogram that makes BOTH immune to the hot key (each block
+    contributes ≤1 row per (key[, salt]))."""
+    _init_ray(num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    from cardinalhq_otel_collector_ray.stages.aggregate import (
+        grouped_aggregate, salted_group_sum)
+
+    docs, _ = replicated_docs(sf_dir, replication)
+
+    def add_zipf_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(2654435761) + np.int64(12345)) % np.int64(100)
+        key = np.where(h < 90, 0, (h % 8) + 1)  # 90% key 0, 10% spread
+        n_tok = pa.compute.utf8_length(batch["text"]).cast(pa.int64())
+        return pa.table({"k": pa.array(key), "v": n_tok})
+
+    skewed = docs.map_batches(add_zipf_key, batch_format="pyarrow").materialize()
+    t0 = time.perf_counter()
+    plain = grouped_aggregate(skewed, keys=["k"], value_col="v",
+                              mode="partitioned").to_pandas()
+    t_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    salted = salted_group_sum(skewed, keys=["k"], value_col="v",
+                              id_col=None, salt_buckets=16).to_pandas()
+    t_salted = time.perf_counter() - t0
+    assert sorted(plain["agg_sum"]) == sorted(salted["agg_sum"])
+    total = int(plain["agg_count"].sum())
+    hot_share = float(plain["agg_count"].max()) / total
+    del skewed, docs
+    import gc
+    gc.collect()
+    return {"rows": total, "hot_key_share": round(hot_share, 3),
+            "plain_two_phase_sec": round(t_plain, 3),
+            "salted_two_phase_sec": round(t_salted, 3),
+            "groups": len(plain)}
+
+
+def run_write(sf_dir: str, num_cpus: int, replication: int) -> dict:
+    """Write-path evidence: flagship routed stream → PartitionedSink
+    (deterministic per-partition files + lineage manifest), then a resume
+    pass that must skip every finished partition."""
+    _init_ray(num_cpus)
+    import shutil
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.pipelines import routed_from_docs
+    from cardinalhq_otel_collector_ray.sinks.partitioned import PartitionedSink
+    from cardinalhq_otel_collector_ray.sources import build_vocab
+
+    out_root = "/tmp/bench_sink"
+    shutil.rmtree(out_root, ignore_errors=True)
+    vocab = build_vocab(sf_dir)
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source"])
+    sources = sorted(set(base["source"].to_pylist()))
+    docs, _ = replicated_docs(sf_dir, replication)
+    routed = routed_from_docs(docs, vocab, sources)
+    sink = PartitionedSink(out_root, run_ts=1706078400.0, num_partitions=32)
+    t0 = time.perf_counter()
+    entries = sink.write(routed, key_col="doc_id", route_col="route",
+                         tokens_len_col="n_tok", resume=True)
+    t_write = time.perf_counter() - t0
+    rows = sum(e.rows for e in entries)
+    total_bytes = sum(e.bytes for e in entries)
+    # resume pass: identical input, every partition already in the manifest
+    routed2 = routed_from_docs(docs, vocab, sources)
+    t0 = time.perf_counter()
+    entries2 = sink.write(routed2, key_col="doc_id", route_col="route",
+                          tokens_len_col="n_tok", resume=True)
+    t_resume = time.perf_counter() - t0
+    del docs, routed, routed2
+    import gc
+    gc.collect()
+    return {"rows": rows, "bytes": total_bytes,
+            "partitions": len(entries),
+            "write_sec": round(t_write, 3),
+            "rows_per_sec": round(rows / t_write, 1),
+            "resume_skipped_all": len(entries2) == 0,
+            "resume_sec": round(t_resume, 3)}
+
+
 def main():
+    if "--skew" in sys.argv:
+        out = run_skew(SF_DIR, NUM_CPUS, REPLICATION)
+        print(json.dumps({"metric": "skew_salted_groupby", **out,
+                          "sf": SF_DIR, "num_cpus": NUM_CPUS}))
+        import ray
+        ray.shutdown()
+        return
+    if "--write" in sys.argv:
+        out = run_write(SF_DIR, NUM_CPUS, min(REPLICATION, 200))
+        print(json.dumps({"metric": "sink_write_path", **out,
+                          "sf": SF_DIR, "num_cpus": NUM_CPUS}))
+        import ray
+        ray.shutdown()
+        return
     if "--scaling" in sys.argv:
         # Two N→4N pairs in fresh processes on the same input: 4→16 and
         # 8→32. On one shared-memory box the 32-core point is depressed by
