@@ -178,7 +178,8 @@ def run_skew(sf_dir: str, num_cpus: int, replication: int) -> dict:
     skewed = docs.map_batches(add_zipf_key, batch_format="pyarrow").materialize()
     t0 = time.perf_counter()
     plain = grouped_aggregate(skewed, keys=["k"], value_col="v",
-                              mode="partitioned").to_pandas()
+                              mode="partitioned",
+                              coalesce_partials=True).to_pandas()
     t_plain = time.perf_counter() - t0
     t0 = time.perf_counter()
     salted = salted_group_sum(skewed, keys=["k"], value_col="v",

@@ -155,7 +155,8 @@ class MinHasher:
 
 
 def hot_bucket_keys(index: ray.data.Dataset, key: str,
-                    num_partitions: int = 64) -> np.ndarray:
+                    num_partitions: int = 64,
+                    coalesce_partials: bool = False) -> np.ndarray:
     """Sorted array of ``key`` values occurring ≥2 times globally.
 
     Fully distributed count merge: per-block C++ ``group_by`` partials
@@ -179,7 +180,13 @@ def hot_bucket_keys(index: ray.data.Dataset, key: str,
         return c.filter(pc.greater_equal(c["_n_sum"], 2)).select([key])
 
     partials = index.map_batches(count_batch, batch_format="pyarrow")
-    hot = partials.groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    if coalesce_partials:
+        # coalesce skinny partial blocks before the sort — wins when the
+        # index has many blocks (O(blocks×partitions) shuffle objects,
+        # BASELINE.md note 4); skip at a handful of blocks
+        partials = partials.repartition(num_partitions)
+    hot = partials.groupby("_part").map_groups(per_part,
+                                               batch_format="pyarrow")
     arrs = [b[key].to_numpy(zero_copy_only=False)
             for b in hot.iter_batches(batch_format="pyarrow") if b.num_rows]
     return np.sort(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.int64)
