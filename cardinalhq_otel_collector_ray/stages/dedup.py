@@ -53,7 +53,9 @@ def exact_dedup(ds: ray.data.Dataset, content_col: str, id_col: str,
     return parted.groupby("_cpart").map_groups(per_part, batch_format="pandas")
 
 
-def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
+def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str,
+                      num_partitions: int = 64,
+                      coalesce_partials: bool = False) -> ray.data.Dataset:
     """Per distinct content: (content, keep_id=min(id), n_copies).
 
     Fully C++ two-phase: per-block pyarrow ``group_by(content)`` partials
@@ -64,8 +66,6 @@ def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str) -> ra
     the partition group_by, so hash collisions can't merge contents).
     SQL-equivalent: ``SELECT content, min(id), count(*) GROUP BY content``.
     """
-    num_partitions = 64
-
     def precombine(batch: pa.Table) -> pa.Table:
         part = batch.select([content_col, id_col]).group_by([content_col]) \
             .aggregate([(id_col, "min"), (id_col, "count")])
@@ -80,6 +80,8 @@ def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str) -> ra
         return g.rename_columns([content_col, "keep_id", "n_copies"])
 
     partials = ds.map_batches(precombine, batch_format="pyarrow")
+    if coalesce_partials:  # many-block inputs: see CLAUDE.md sort-cost note
+        partials = partials.repartition(num_partitions)
     return partials.groupby("_cpart").map_groups(per_part, batch_format="pyarrow")
 
 
