@@ -82,17 +82,27 @@ class BruteForceScorer:
 
 
 def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
-                    id_col: str, k: int, concurrency: int = 2,
+                    id_col: str, k: int, concurrency: int | None = None,
                     exclude_self: bool = True) -> ray.data.Dataset:
     """Exact top-k cosine neighbors per query.
 
     Deterministic ranking: (score desc, id asc) tie-break; scores rounded
     to 6 dp AFTER ranking for float-parity with a SQL oracle.
+
+    ``concurrency=None`` (default) runs the scorer as ELASTIC stateless
+    tasks — the broadcast query matrix is small and rides the serialized
+    callable, so there is no actor-pool startup cost and no fixed pool to
+    size per cluster; pass an int for a pinned actor pool when the query
+    set is big enough that per-task shipping matters.
     """
     qref = ray.put(queries)
-    scored = ds.map_batches(BruteForceScorer,
-                            fn_constructor_args=(qref, vec_col, id_col),
-                            batch_format="pyarrow", concurrency=concurrency)
+    if concurrency is None:
+        scored = ds.map_batches(BruteForceScorer(qref, vec_col, id_col),
+                                batch_format="pyarrow")
+    else:
+        scored = ds.map_batches(BruteForceScorer,
+                                fn_constructor_args=(qref, vec_col, id_col),
+                                batch_format="pyarrow", concurrency=concurrency)
     scored = scored.map_batches(_per_block_topk(k, exclude_self),
                                 batch_format="pyarrow")
 
@@ -125,7 +135,7 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
 def knn_ivf(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
             k: int, *, n_centroids: int = 16, nprobe: int = 4,
             sample_size: int = 2048, seed: int = 13,
-            concurrency: int = 2) -> ray.data.Dataset:
+            concurrency: int | None = None) -> ray.data.Dataset:
     """IVF ANN: k-means coarse quantizer (trained once on a driver sample,
     broadcast) → each row assigned to its nearest centroid → queries score
     only rows in their ``nprobe`` nearest cells. The classical alternative
@@ -177,8 +187,11 @@ def knn_ivf(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
                              "id": pa.array(np.concatenate(out_id)),
                              "score": pa.array(np.concatenate(out_s))})
 
-    scored = ds.map_batches(Scorer, batch_format="pyarrow",
-                            concurrency=concurrency)
+    # elastic stateless tasks by default (tiny broadcast state rides the
+    # callable; no actor-pool startup) — int pins an actor pool
+    scorer = Scorer() if concurrency is None else Scorer
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    scored = ds.map_batches(scorer, batch_format="pyarrow", **kwargs)
     scored = scored.map_batches(_per_block_topk(k, True),
                                 batch_format="pyarrow")
 
@@ -220,7 +233,8 @@ class LshBucketer:
 
 def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
             k: int, dim: int, nbits: int = 8, seed: int = 11,
-            probe_radius: int = 1, concurrency: int = 2) -> ray.data.Dataset:
+            probe_radius: int = 1,
+            concurrency: int | None = None) -> ray.data.Dataset:
     """LSH-pruned ANN with MULTI-PROBE: score rows in every bucket within
     Hamming distance ``probe_radius`` of each query's bucket (single-probe
     recall collapses on weakly-clustered data — real neighbors routinely
@@ -278,7 +292,9 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
                              "id": pa.array(np.concatenate(out_id)),
                              "score": pa.array(np.concatenate(out_s))})
 
-    scored = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+    scorer = Scorer() if concurrency is None else Scorer
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    scored = ds.map_batches(scorer, batch_format="pyarrow", **kwargs)
     scored = scored.map_batches(_per_block_topk(k, True),
                                 batch_format="pyarrow")
 
