@@ -81,8 +81,14 @@ class ImageDecoder:
         return batch.append_column("mode", pa.array(m, type=pa.string()))
 
 
-def decode_stage(ds: ray.data.Dataset, concurrency: int = 2,
+def decode_stage(ds: ray.data.Dataset, concurrency: int | None = None,
                  batch_size: int = 256, strict: bool = False) -> ray.data.Dataset:
+    """Default: elastic stateless tasks (the stub decoder carries no model
+    state). A REAL codec deployment passes ``concurrency=N`` so the model/
+    codec loads once per actor in ``__init__``."""
+    if concurrency is None:
+        return ds.map_batches(ImageDecoder(strict=strict),
+                              batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(ImageDecoder, fn_constructor_kwargs={"strict": strict},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
@@ -162,8 +168,11 @@ class ImageResizer:
 
 
 def resize_stage(ds: ray.data.Dataset, width: int, height: int,
-                 concurrency: int = 2, batch_size: int = 256,
+                 concurrency: int | None = None, batch_size: int = 256,
                  strict: bool = False) -> ray.data.Dataset:
+    if concurrency is None:  # see decode_stage
+        return ds.map_batches(ImageResizer(width, height, strict=strict),
+                              batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(ImageResizer,
                           fn_constructor_args=(width, height),
                           fn_constructor_kwargs={"strict": strict},
