@@ -380,6 +380,67 @@ def _q_sample(sf_dir: str):
     return probabilistic_sample(ds, "event_id", 10)
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    """Exact bloom-accelerated semi-join: events of BUILDING-segment
+    customers. Bitmap built distributed over the customer side (fixed-size
+    per-block partials, tree-merge OR), broadcast once, big side pruned
+    BEFORE the only shuffle; exact co-partitioned semi-join removes bloom
+    false positives. Output: per-type counts (BIGINT cents)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.join import bloom_semi_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    def to_keys(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["c_mktsegment"], "BUILDING"))
+        return pa.table({"user_id": sel["c_custkey"]})
+    keys = cust.map_batches(to_keys, batch_format="pyarrow")
+    ev = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "value_cents"])
+    kept = bloom_semi_join(ev, keys, on="user_id", num_bits=1 << 18)
+    agg = grouped_aggregate(kept, keys=["event_type"], value_col="value_cents",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("event_type", kind="mergesort")
+    return pd.DataFrame({
+        "event_type": agg["event_type"].to_numpy(),
+        "n": agg["agg_count"].astype("int64").to_numpy(),
+        "sum_cents": agg["agg_sum"].astype("int64").to_numpy(),
+    })
+
+
+def _q_reservoir_sample(sf_dir: str):
+    """Deterministic distributed reservoir: exactly 500 events, global
+    bottom-k by hashed priority (per-block prune -> k x blocks driver
+    merge; never the full table)."""
+    from cardinalhq_otel_collector_ray.stages.sample import priority_sample
+    ds = _events_ms(sf_dir).select_columns(["event_id", "event_type", "ts_ms"])
+    out = priority_sample(ds, "event_id", 500, salt=777)
+    return pd.DataFrame({
+        "event_id": out["event_id"].astype("int64").to_numpy(),
+        "event_type": out["event_type"].to_numpy(),
+        "ts_ms": out["ts_ms"].astype("int64").to_numpy(),
+        "pri": out["pri"].astype("int64").to_numpy(),
+    })
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sample: bottom-50 of each event_type by
+    hashed priority (per-block per-key prune, one partitioned merge)."""
+    from cardinalhq_otel_collector_ray.stages.sample import stratified_sample
+    ds = _events_ms(sf_dir).select_columns(["event_id", "event_type", "ts_ms"])
+    out = stratified_sample(ds, key="event_type", id_col="event_id", k=50,
+                            salt=777)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+            "ts_ms": df["ts_ms"].astype("int64"),
+            "pri": df["pri"].astype("int64"),
+        })
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_transform(sf_dir: str):
     """OTTL-ish transform chain: replace_pattern (redaction) + hash + rename."""
     from cardinalhq_otel_collector_ray.sources import read_table
@@ -828,6 +889,41 @@ def _q_anomaly_zscore(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _q_anomaly_iforest(sf_dir: str):
+    """isolationforestprocessor (components.go:131,718) as a REAL isolation
+    forest: deterministic driver fit on a hash-priority bounded sample,
+    forest broadcast once, vectorized level-synchronous scoring per batch,
+    then distributed top-100 most-anomalous events (per-block prune; the
+    driver only merges k x blocks candidates). Rows-only: a trained-model
+    scorer is not SQL-expressible."""
+    from cardinalhq_otel_collector_ray.sources import table_num_rows
+    from cardinalhq_otel_collector_ray.stages.anomaly import (
+        IsolationForest, deterministic_sample_matrix, iforest_score_stage)
+    from cardinalhq_otel_collector_ray.stages.aggregate import distributed_top_k
+
+    feature_cols = ["value_cents", "tod_ms"]
+
+    def feats(batch: pa.Table) -> pa.Table:
+        tod = pc.subtract(batch["ts_ms"],
+                          pc.multiply(pc.divide(batch["ts_ms"], 86_400_000),
+                                      86_400_000))
+        return batch.append_column("tod_ms", tod)
+
+    ds = _events_ms(sf_dir).map_batches(feats, batch_format="pyarrow")
+    X = deterministic_sample_matrix(
+        ds, feature_cols, id_col="event_id", target_rows=4096,
+        total_rows=table_num_rows(sf_dir, "events"))
+    forest = IsolationForest(n_trees=64, sample_size=256, seed=7).fit(X)
+    scored = iforest_score_stage(ds, forest, feature_cols)
+    top = distributed_top_k(scored, 100, by=["iforest_score", "event_id"],
+                            ascending=[False, True])
+    return pd.DataFrame({
+        "event_id": top["event_id"].astype("int64").to_numpy(),
+        "event_type": top["event_type"].to_numpy(),
+        "score": np.round(top["iforest_score"].to_numpy(), 6),
+    })
+
+
 def _q_tail_sampling(sf_dir: str):
     """tailsamplingprocessor analog (components.go:145): keep EVERY event
     of users who produced ≥1 'error' event — a broadcast semi join on the
@@ -912,14 +1008,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "count_by_type": _q_count_by_type,
         "sample_events": _q_sample,
+        "reservoir_sample": _q_reservoir_sample,
+        "stratified_sample": _q_stratified_sample,
         "transform_chain": _q_transform,
         "delta_to_rate": _q_delta_to_rate,
         "unroll_tokens": _q_unroll_tokens,
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
+        "bloom_semi_join": _q_bloom_semi_join,
         "knn_lsh": _q_knn_lsh,
         "parse_props": _q_parse_props,
         "anomaly_zscore": _q_anomaly_zscore,
+        "anomaly_iforest": _q_anomaly_iforest,
         "tail_sampling": _q_tail_sampling,
         "frame_sample": _q_frame_sample,
         "delta_to_cumulative": _q_delta_to_cumulative,
@@ -1220,6 +1320,25 @@ FROM ev GROUP BY event_type
         "sample_events": _SQL_EVENTS + r"""
 SELECT event_id, event_type, ts_ms FROM ev
 WHERE (event_id * 2654435761 + 12345) % 1000 < 100
+""",
+        "bloom_semi_join": _SQL_EVENTS + r"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents
+FROM ev
+WHERE user_id IN (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+GROUP BY event_type
+""",
+        "reservoir_sample": _SQL_EVENTS + r"""
+SELECT event_id, event_type, ts_ms,
+       (event_id * 2654435761 + 777) % 1000003 AS pri
+FROM ev ORDER BY pri, event_id LIMIT 500
+""",
+        "stratified_sample": _SQL_EVENTS + r"""
+SELECT event_id, event_type, ts_ms,
+       (event_id * 2654435761 + 777) % 1000003 AS pri
+FROM ev
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY pri, event_id) <= 50
 """,
         "transform_chain": r"""
 SELECT event_id, regexp_replace(props, '\d+', '#', 'g') AS props_redacted,

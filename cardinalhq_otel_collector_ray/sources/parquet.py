@@ -32,3 +32,11 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
         by_bytes = max(1, -(-size // TARGET_BLOCK_BYTES))
         kwargs["override_num_blocks"] = max(by_bytes, 8) if size >= (1 << 20) else by_bytes
     return ray.data.read_parquet(path, columns=columns, filter=filter, **kwargs)
+
+
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from Parquet footer metadata — no data pages read.
+    The cheap way to size hash-priority sample cutoffs without executing
+    the pipeline an extra time."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows

@@ -115,3 +115,134 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     return both.groupby("_bucket").map_groups(join_bucket,
                                               batch_format="pyarrow")
+
+
+# --- Bloom-filter semi-join -------------------------------------------------
+#
+# For "big table ∈ medium key set" where the key set is too large to
+# broadcast exactly but its BLOOM BITMAP is small: build the bitmap
+# distributed over the key side, OR the per-block partials in a tree, then
+# prefilter the big side with the broadcast bitmap (drops most non-matching
+# rows before any shuffle) and finish with an exact co-partitioned
+# semi-join of the few survivors. Result is EXACT — the bloom only prunes.
+
+
+def _bloom_positions(h: np.ndarray, num_bits: int, num_hashes: int):
+    """Double-hashing positions (Kirsch–Mitzenmacher): pos_i = h1 + i*h2."""
+    h = h.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h * np.uint64(0xFF51AFD7ED558CCD) + np.uint64(0xC4CEB9FE1A85EC53)) | np.uint64(1)
+        for i in range(num_hashes):
+            yield ((h + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)
+
+
+def build_bloom_filter(ds: ray.data.Dataset, on: str,
+                       num_bits: int = 1 << 22,
+                       num_hashes: int = 4) -> np.ndarray:
+    """Distributed bloom build: per-block fixed-size bitmap partials
+    (num_bits/8 bytes each, independent of row count), one tree-merge OR
+    level (≤32 bitmaps per task), driver ORs the handful that remain.
+    Returns the uint64-word bitmap."""
+    from ..functions.hashing import table_key_hash
+
+    n_words = num_bits // 64
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        h = table_key_hash(batch, [on])
+        for pos in _bloom_positions(h, num_bits, num_hashes):
+            np.bitwise_or.at(bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.large_binary())})
+
+    partials = ds.map_batches(block_bitmap, batch_format="pyarrow")
+
+    def or_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for buf in batch["bm"]:
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        return pa.table({"bm": pa.array([acc.tobytes()], type=pa.large_binary())})
+
+    merged = partials.map_batches(or_merge, batch_format="pyarrow",
+                                  batch_size=32)
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for buf in b["bm"]:
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+    return acc
+
+
+def bloom_prefilter(ds: ray.data.Dataset, on: str, bitmap: np.ndarray,
+                    num_hashes: int = 4) -> ray.data.Dataset:
+    """Keep rows whose key MIGHT be in the set (no false negatives).
+    Bitmap broadcast once; test is vectorized bit math per batch."""
+    from ..functions.hashing import table_key_hash
+
+    num_bits = len(bitmap) * 64
+    ref = ray.put(bitmap)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        h = table_key_hash(batch, [on])
+        mask = np.ones(len(h), dtype=bool)
+        for pos in _bloom_positions(h, num_bits, num_hashes):
+            mask &= (bm[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1) != 0
+        return batch.filter(pa.array(mask))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def partitioned_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                          on: str, num_buckets: int = 32,
+                          anti: bool = False) -> ray.data.Dataset:
+    """Exact distributed semi(/anti)-join: co-partition both sides by key
+    hash (one shuffle), filter left rows against the right key set within
+    each bucket. Left columns pass through unchanged."""
+    from ..functions.hashing import table_key_hash
+
+    l_schema = left.schema()
+    lcols = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    def tag(side_code: int, keep_key_only: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            h = table_key_hash(t, [on])
+            bucket = pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+            if keep_key_only:
+                t = t.select([on])
+                for c in lcols:
+                    if c != on:
+                        t = t.append_column(c, pa.nulls(t.num_rows,
+                                                        l_types[c]))
+                t = t.select(lcols)
+            return (t.append_column("_bucket", bucket)
+                     .append_column("_side", pa.array(
+                         np.full(t.num_rows, side_code, dtype=np.int8))))
+        return fn
+
+    lt = left.map_batches(tag(0, False), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, True), batch_format="pyarrow")
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["_side"], 0)
+        l = g.filter(lmask).select(lcols)
+        rk = np.unique(g.filter(pc.invert(lmask))[on]
+                       .to_numpy(zero_copy_only=False))
+        lk = l[on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rk, lk)
+        pos = np.minimum(pos, max(len(rk) - 1, 0))
+        mask = (rk[pos] == lk) if len(rk) else np.zeros(len(lk), bool)
+        return l.filter(pa.array(~mask if anti else mask))
+
+    return (lt.union(rt).groupby("_bucket")
+              .map_groups(filter_bucket, batch_format="pyarrow"))
+
+
+def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                    on: str, num_bits: int = 1 << 22, num_hashes: int = 4,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """EXACT semi-join at scale: bloom prefilter (bitmap built distributed
+    over the right side, broadcast once) prunes the big left side before
+    the only shuffle; exact co-partitioned semi-join of the survivors
+    removes bloom false positives."""
+    bitmap = build_bloom_filter(right, on, num_bits, num_hashes)
+    pruned = bloom_prefilter(left, on, bitmap, num_hashes)
+    return partitioned_semi_join(pruned, right, on, num_buckets=num_buckets)

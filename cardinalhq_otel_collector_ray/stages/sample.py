@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import hashmod_keep
+from ..functions.hashing import hashmod_keep, mulhash
 
 
 def probabilistic_sample(ds: ray.data.Dataset, id_column: str, percent: int,
@@ -25,6 +25,62 @@ def probabilistic_sample(ds: ray.data.Dataset, id_column: str, percent: int,
         ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.filter(pa.array(hashmod_keep(ids, percent, salt=salt)))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def priority_sample(ds: ray.data.Dataset, id_col: str, k: int,
+                    salt: int = 777, mod: int = 1_000_003,
+                    pri_col: str = "pri"):
+    """Deterministic distributed "reservoir" sample: exactly k rows, the
+    global bottom-k by hashed priority ``(id*2654435761+salt) % mod`` with
+    ``id`` as tie-break.
+
+    Equivalent to uniform reservoir sampling but reproducible and
+    merge-friendly: each block keeps only its local bottom-k, the driver
+    merges <= k x blocks candidates (the ``distributed_top_k`` shape — no
+    full materialization). SQL-equivalent: ``ORDER BY pri, id LIMIT k``.
+    Returns a pandas DataFrame (k rows, driver-sized by construction).
+    """
+    from .aggregate import distributed_top_k
+
+    def add_pri(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            pri_col, pa.array(mulhash(ids, salt=salt, mod=mod)))
+
+    with_pri = ds.map_batches(add_pri, batch_format="pyarrow")
+    return distributed_top_k(with_pri, k, by=[pri_col, id_col],
+                             ascending=[True, True])
+
+
+def stratified_sample(ds: ray.data.Dataset, key: str, id_col: str, k: int,
+                      salt: int = 777, mod: int = 1_000_003,
+                      pri_col: str = "pri",
+                      num_partitions: int = 64) -> ray.data.Dataset:
+    """Per-stratum deterministic sample: the bottom-k rows of EACH ``key``
+    value by hashed priority. Two-phase: per-block per-key prune to k (so
+    at most k x blocks rows per key move), then one hash-partitioned merge
+    (bounded Python dispatch, all rows of a key in one partition).
+    SQL-equivalent: ``QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY pri, id) <= k``. Stays a streaming Dataset.
+    """
+    import pandas as pd
+
+    from .temporal import partitioned_apply
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        df = df.assign(**{pri_col: mulhash(ids, salt=salt, mod=mod)})
+        df = df.sort_values([key, pri_col, id_col], kind="mergesort")
+        return df.groupby(key, sort=False).head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, pri_col, id_col], kind="mergesort")
+        return df.groupby(key, sort=False).head(k)
+
+    return partitioned_apply(pruned, [key], merge,
+                             num_partitions=num_partitions)
 
 
 def drop_where(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:

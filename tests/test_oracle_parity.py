@@ -93,6 +93,7 @@ def test_contract_surface():
     rows_only = set(QUERIES) - set(ORACLES)
     assert set(ORACLES) <= set(QUERIES)
     assert rows_only == {"minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
-                         "aggregate_emit_shape", "drain_templates"}, rows_only
+                         "aggregate_emit_shape", "drain_templates",
+                         "anomaly_iforest"}, rows_only
     assert callable(entrymod.entry)
     assert len(ORACLES) >= 38
