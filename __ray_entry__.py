@@ -734,6 +734,66 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_ish_token_count(ds)
 
 
+def _q_heavy_hitter_tokens(sf_dir: str):
+    """Exact frequent tokens (count·30 > stream length) via the two-pass
+    candidate-bound heavy hitter: per-block local-heavy candidates (< k per
+    block, guaranteed superset), broadcast re-count, integer threshold."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.aggregate import exact_heavy_hitters
+    ds = tokenized_documents(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"token": col.values})
+
+    flat = ds.map_batches(explode, batch_format="pyarrow")
+    out = exact_heavy_hitters(flat, "token", k=30)
+    return pd.DataFrame({"token": out["token"].astype("int32").to_numpy(),
+                         "freq": out["count"].to_numpy()})
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by tf×idf: corpus df computed in one distributed
+    pass (vocab-bounded partials), idf broadcast as a flat array, scoring
+    is shuffle-free vectorized map_batches (each doc's terms complete in
+    its row). idf = ln((N+1)/(df+1)), score ties broken by token id."""
+    from cardinalhq_otel_collector_ray.sources import (table_num_rows,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        doc_frequencies, idf_array, tfidf_top_terms)
+    ds = tokenized_documents(sf_dir)
+    n_docs = table_num_rows(sf_dir, "documents")
+    idf = idf_array(doc_frequencies(ds), n_docs)
+    return tfidf_top_terms(ds, idf, k=3)
+
+
+def _q_bm25_topdocs(sf_dir: str):
+    """Top-20 docs by BM25 (k1=1.2, b=0.75) against a deterministic query
+    set: the tokens ranked 11–15 by corpus frequency (freq desc, token id
+    tie-break). df/freq from one distributed corpus-stats pass; scoring is
+    one shuffle-free vectorized pass; distributed top-k finishes."""
+    from cardinalhq_otel_collector_ray.sources import (table_num_rows,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.aggregate import distributed_top_k
+    from cardinalhq_otel_collector_ray.stages.relevance import (bm25_scores,
+                                                                corpus_stats)
+    ds = tokenized_documents(sf_dir)
+    stats = corpus_stats(ds).to_pandas()
+    n_docs = table_num_rows(sf_dir, "documents")
+    total_tokens = int(stats["freq"].sum())
+    qtok = (stats.sort_values(["freq", "token"], ascending=[False, True],
+                              kind="mergesort")
+            .iloc[10:15]["token"].to_numpy().astype(np.int64))
+    df_map = dict(zip(stats["token"].astype(int), stats["df"].astype(int)))
+    scored = bm25_scores(ds, qtok, df_map, n_docs, total_tokens)
+    top = distributed_top_k(scored, 20, by=["score", "doc_id"],
+                            ascending=[False, True])
+    return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
+                         "score": np.round(top["score"].to_numpy(), 6)})
+
+
 def _q_topk_users(sf_dir: str):
     """Top-10 users by spend: two-phase grouped aggregate (shuffle — each
     user lands in exactly one block) → per-BLOCK top-k prune → driver
@@ -1031,6 +1091,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_region": _q_supplier_by_region,
         "groupby_segment": _q_groupby_segment,
         "streaming_interval_agg": _q_streaming_interval_agg,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_topdocs": _q_bm25_topdocs,
         "topk_users": _q_topk_users,
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
@@ -1467,6 +1530,58 @@ SELECT doc_id,
        CAST(length(s) - length(regexp_replace(s, '[^ ]', '', 'g')) AS BIGINT)
          AS n_bpe_ish
 FROM collapsed
+""",
+        "heavy_hitter_tokens": _SQL_TOKENS + r""", stream AS (
+  SELECT v.tid FROM exploded e JOIN vocab v ON e.w = v.word
+)
+SELECT CAST(tid AS INTEGER) AS token, CAST(count(*) AS BIGINT) AS freq
+FROM stream GROUP BY tid
+HAVING count(*) * 30 > (SELECT count(*) FROM stream)
+""",
+        "tfidf_top_terms": _SQL_TOKENS + r""", pairs AS (
+  SELECT e.doc_id, v.tid, CAST(count(*) AS BIGINT) AS tf
+  FROM exploded e JOIN vocab v ON e.w = v.word
+  GROUP BY e.doc_id, v.tid
+), dfreq AS (
+  SELECT tid, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY tid
+), nd AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(p.doc_id AS VARCHAR) AS doc_id,
+       CAST(p.tid AS INTEGER) AS token, p.tf AS tf,
+       round(p.tf * ln((nd.n + 1.0) / (d.df + 1)), 6) AS score
+FROM pairs p JOIN dfreq d ON p.tid = d.tid CROSS JOIN nd
+QUALIFY row_number() OVER (
+  PARTITION BY p.doc_id
+  ORDER BY p.tf * ln((nd.n + 1.0) / (d.df + 1)) DESC, p.tid) <= 3
+""",
+        "bm25_topdocs": _SQL_TOKENS + r""", pairs AS (
+  SELECT e.doc_id, v.tid, CAST(count(*) AS BIGINT) AS tf
+  FROM exploded e JOIN vocab v ON e.w = v.word
+  GROUP BY e.doc_id, v.tid
+), freqs AS (
+  SELECT tid, CAST(sum(tf) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS df
+  FROM pairs GROUP BY tid
+), q AS (
+  SELECT tid FROM freqs ORDER BY c DESC, tid LIMIT 5 OFFSET 10
+), nd AS (SELECT count(*) AS n FROM documents),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM freqs),
+dlen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM exploded e
+  JOIN vocab v ON e.w = v.word GROUP BY doc_id
+), terms AS (
+  SELECT p.doc_id, p.tid,
+         ln((nd.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (l.dl * nd.n / tot.s)))
+           AS term_score
+  FROM pairs p JOIN q ON p.tid = q.tid JOIN freqs f ON p.tid = f.tid
+  JOIN dlen l ON p.doc_id = l.doc_id CROSS JOIN nd CROSS JOIN tot
+), scored AS (
+  SELECT doc_id,
+         list_sum(list(term_score ORDER BY tid)) AS score
+  FROM terms GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 20
 """,
         "topk_users": _SQL_EVENTS + r"""
 SELECT user_id, CAST(sum(value_cents) AS BIGINT) AS total_cents,

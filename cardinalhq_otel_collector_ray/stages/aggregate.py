@@ -329,3 +329,61 @@ def salted_group_sum(ds: ray.data.Dataset, keys: list[str], value_col: str,
         Sum("_s1sum", alias_name="agg_sum"),
         Sum("_s1count", alias_name="agg_count"))
     return final
+
+
+def exact_heavy_hitters(ds: ray.data.Dataset, col: str, k: int):
+    """EXACT frequent items: every value with global count·k > total rows,
+    with its exact count — without ever shuffling or materializing the full
+    value-frequency table.
+
+    Two passes (Misra–Gries-style candidate bound made exact):
+
+    1. Per-block C++ counts; keep only values with local count·k > block
+       rows. If a value is globally heavy (freq/n > 1/k) it must be locally
+       heavy in ≥1 block (weighted-average argument), and each block yields
+       < k candidates — so the candidate union is ≤ (k-1)·blocks rows,
+       driver-bounded, a guaranteed superset of the answer.
+    2. Re-count ONLY the candidates (broadcast set, np.isin prune before
+       the per-block count), merge the tiny partials, filter count·k > n.
+
+    Pure integer math — a SQL ``HAVING count(*)*k > total`` reproduces it
+    exactly. Returns a pandas DataFrame (value, count), value-sorted.
+    """
+    import pandas as _pd
+    import ray as _ray
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        part = batch.select([col]).group_by([col]).aggregate([(col, "count")])
+        part = part.rename_columns([col, "_n"])
+        n_b = batch.num_rows
+        mask = pc.greater(pc.multiply(part["_n"], pa.scalar(k, pa.int64())),
+                          pa.scalar(n_b, pa.int64()))
+        cand = part.filter(mask)
+        # one extra null-keyed row per block carries the block row count so
+        # phase 1 also yields the exact global total
+        return pa.concat_tables([
+            pa.table({col: cand[col],
+                      "_n": cand["_n"].cast(pa.int64()),
+                      "_total": pa.array(np.zeros(cand.num_rows, np.int64))}),
+            pa.table({col: pa.nulls(1, batch[col].type),
+                      "_n": pa.array([0], pa.int64()),
+                      "_total": pa.array([n_b], pa.int64())}),
+        ])
+
+    phase1 = ds.map_batches(block_counts, batch_format="pyarrow").to_pandas()
+    total = int(phase1["_total"].sum())
+    candidates = phase1[col][phase1[col].notna()].unique()
+    cand_ref = _ray.put(np.sort(np.asarray(candidates)))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = _ray.get(cand_ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(np.isin(v, cs))).select([col])
+        part = sel.group_by([col]).aggregate([(col, "count")])
+        return part.rename_columns([col, "_n"])
+
+    parts = ds.map_batches(recount, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(col, as_index=False)["_n"].sum()
+    out = counts[counts["_n"] * k > total].sort_values(col, kind="mergesort")
+    return _pd.DataFrame({col: out[col].to_numpy(),
+                          "count": out["_n"].astype("int64").to_numpy()})

@@ -1,0 +1,158 @@
+"""TF-IDF and BM25 relevance scoring over tokenized documents.
+
+Training-data-pipeline staples the reference lacks (its closest analog is
+the fingerprint/aggregation family): corpus statistics (document frequency)
+computed distributed, broadcast once as a flat idf array (vocab-bounded —
+a BPE vocab is ~50k entries regardless of corpus size, the same contract as
+the tokenizer vocabulary), then fully vectorized per-block scoring with no
+shuffle at all (each doc's terms are complete within its row).
+
+Float-parity notes (CLAUDE.md): idf math is double ops over exact-int
+inputs written operand-for-operand like the SQL oracle; scores are rounded
+to 6 decimals AFTER ranking; rankings carry integer/token tie-breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_LOW32 = np.int64(0xFFFFFFFF)
+
+
+def _flat_tokens(batch: pa.Table, tokens_col: str):
+    """(doc_row_index, token) flat arrays from a list<int32> column —
+    buffer reads, no per-row Python."""
+    col = batch[tokens_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_per = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    return doc_idx, values, n_per
+
+
+def corpus_stats(ds: ray.data.Dataset,
+                 tokens_col: str = "tokens") -> pa.Table:
+    """Document frequency AND total frequency per token in ONE distributed
+    pass: per block, a sorted-unique over packed (doc,token) keys yields
+    both the per-doc-deduped token list (→ df) and, via a second unique
+    over the raw values, the total count (→ freq); the two sorted unique
+    token sets are identical so the arrays align without a join. Partials
+    merge where the vocab lives (bounded rows — vocab-sized, never
+    corpus-sized). Returns (token:int32, df:int64, freq:int64)."""
+    def block_stats(batch: pa.Table) -> pa.Table:
+        doc_idx, values, _ = _flat_tokens(batch, tokens_col)
+        key = np.unique((doc_idx << np.int64(32)) | values)
+        t_df, c_df = np.unique(key & _LOW32, return_counts=True)
+        t_fr, c_fr = np.unique(values, return_counts=True)
+        # same distinct token set, both sorted — aligned by construction
+        return pa.table({"token": pa.array(t_df.astype(np.int32)),
+                         "_df": pa.array(c_df.astype(np.int64)),
+                         "_freq": pa.array(c_fr.astype(np.int64))})
+
+    partials = ds.map_batches(block_stats, batch_format="pyarrow")
+    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")),
+                              promote_options="default")
+    out = merged.group_by("token").aggregate([("_df", "sum"), ("_freq", "sum")])
+    return pa.table({"token": out["token"].cast(pa.int32()),
+                     "df": out["_df_sum"].cast(pa.int64()),
+                     "freq": out["_freq_sum"].cast(pa.int64())})
+
+
+def doc_frequencies(ds: ray.data.Dataset,
+                    tokens_col: str = "tokens") -> pa.Table:
+    """Document frequency per token (token:int32, df:int64)."""
+    return corpus_stats(ds, tokens_col).select(["token", "df"])
+
+
+def idf_array(df_table: pa.Table, n_docs: int) -> np.ndarray:
+    """Flat idf lookup indexed by token id: ln((N+1)/(df+1)).
+    SQL-equivalent: ``ln((N + 1.0) / (df + 1))``."""
+    tok = df_table["token"].to_numpy(zero_copy_only=False)
+    df = df_table["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    idf = np.zeros(int(tok.max()) + 1 if len(tok) else 1, dtype=np.float64)
+    idf[tok] = np.log((n_docs + 1.0) / (df + 1))
+    return idf
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, idf: np.ndarray, k: int = 3,
+                    tokens_col: str = "tokens",
+                    doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc top-k terms by tf × idf. No shuffle: each doc's terms are
+    complete within its block row, so the whole operator is one vectorized
+    map_batches (sorted-unique tf counts, idf gather, per-segment rank).
+    Ties broken by token id; scores rounded to 6 AFTER ranking."""
+    ref = ray.put(idf)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        idf_arr = ray.get(ref)
+        doc_idx, values, _ = _flat_tokens(batch, tokens_col)
+        key, tf = np.unique((doc_idx << np.int64(32)) | values,
+                            return_counts=True)
+        row = (key >> np.int64(32)).astype(np.int64)
+        tok = (key & _LOW32).astype(np.int64)
+        score = tf.astype(np.float64) * idf_arr[tok]
+        order = np.lexsort((tok, -score, row))
+        o_row = row[order]
+        # rank within each row segment (o_row is grouped)
+        seg_start = np.r_[0, np.flatnonzero(np.diff(o_row)) + 1]
+        seg_len = np.diff(np.r_[seg_start, len(o_row)])
+        rank = np.arange(len(o_row)) - np.repeat(seg_start, seg_len)
+        keep = order[rank < k]
+        doc_ids = batch[doc_id_col].take(pa.array(row[keep]))
+        return pa.table({
+            "doc_id": doc_ids,
+            "token": pa.array(tok[keep].astype(np.int32)),
+            "tf": pa.array(tf[keep].astype(np.int64)),
+            "score": pa.array(np.round(score[keep], 6)),
+        })
+    return ds.map_batches(block_topk, batch_format="pyarrow")
+
+
+def bm25_scores(ds: ray.data.Dataset, query_tokens: np.ndarray,
+                df_by_token: dict[int, int], n_docs: int, total_tokens: int,
+                k1: float = 1.2, b: float = 0.75,
+                tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc BM25 score against a fixed query-term set (Robertson;
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)). One vectorized pass:
+    np.isin prune to query terms, sorted-unique tf, per-row reduce.
+    Emits only docs with ≥1 query term. dl/avgdl is computed as
+    ``dl * N / S`` (exact-int products, one double division) so the SQL
+    oracle reproduces the doubles operand-for-operand."""
+    q = np.sort(np.asarray(query_tokens, dtype=np.int64))
+    idf_q = np.array([
+        np.log((n_docs - df_by_token[int(t)] + 0.5)
+               / (df_by_token[int(t)] + 0.5) + 1.0) for t in q])
+    ref = ray.put((q, idf_q))
+
+    def block_score(batch: pa.Table) -> pa.Table:
+        qs, qidf = ray.get(ref)
+        doc_idx, values, _ = _flat_tokens(batch, tokens_col)
+        sel = np.isin(values, qs)
+        doc_idx, values = doc_idx[sel], values[sel]
+        key, tf = np.unique((doc_idx << np.int64(32)) | values,
+                            return_counts=True)
+        row = (key >> np.int64(32)).astype(np.int64)
+        tok = (key & _LOW32).astype(np.int64)
+        qpos = np.searchsorted(qs, tok)
+        dl = batch[n_tok_col].to_numpy(zero_copy_only=False).astype(np.int64)[row]
+        tff = tf.astype(np.float64)
+        denom = tff + k1 * (1.0 - b + b * (dl * np.int64(n_docs)
+                                           / float(total_tokens)))
+        pair = qidf[qpos] * (tff * (k1 + 1.0)) / denom
+        if len(pair) == 0:
+            return pa.table({"doc_id": batch[doc_id_col].slice(0, 0),
+                             "score": pa.array([], type=pa.float64())})
+        # `row` is ascending (np.unique keys) — per-row sum is one reduceat
+        seg_start = np.r_[0, np.flatnonzero(np.diff(row)) + 1]
+        out_rows = row[seg_start]
+        score = np.add.reduceat(pair, seg_start)
+        doc_ids = batch[doc_id_col].take(pa.array(out_rows))
+        return pa.table({"doc_id": doc_ids, "score": pa.array(score)})
+    return ds.map_batches(block_score, batch_format="pyarrow")

@@ -1,0 +1,95 @@
+"""TF-IDF / BM25 kernels vs naive references; exact heavy hitters."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from cardinalhq_otel_collector_ray.stages.aggregate import exact_heavy_hitters
+from cardinalhq_otel_collector_ray.stages.relevance import (
+    bm25_scores, corpus_stats, idf_array, tfidf_top_terms)
+
+
+def _toy_docs():
+    # doc 0: a a b; doc 1: b c; doc 2: a c c c
+    rows = [
+        {"doc_id": "d0", "tokens": [0, 0, 1], "n_tok": 3},
+        {"doc_id": "d1", "tokens": [1, 2], "n_tok": 2},
+        {"doc_id": "d2", "tokens": [0, 2, 2, 2], "n_tok": 4},
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows]),
+        "tokens": pa.array([r["tokens"] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([r["n_tok"] for r in rows], type=pa.int32()),
+    })
+    return ray.data.from_arrow(t).repartition(2)
+
+
+def test_corpus_stats_exact():
+    stats = corpus_stats(_toy_docs()).to_pandas().set_index("token")
+    assert stats.loc[0, "df"] == 2 and stats.loc[0, "freq"] == 3
+    assert stats.loc[1, "df"] == 2 and stats.loc[1, "freq"] == 2
+    assert stats.loc[2, "df"] == 2 and stats.loc[2, "freq"] == 4
+
+
+def test_tfidf_matches_naive():
+    ds = _toy_docs()
+    stats = corpus_stats(ds)
+    idf = idf_array(stats.select(["token", "df"]), n_docs=3)
+    got = tfidf_top_terms(ds, idf, k=2).to_pandas()
+    # naive: per doc count tokens, score tf*idf, top2 by (-score, token)
+    docs = {"d0": [0, 0, 1], "d1": [1, 2], "d2": [0, 2, 2, 2]}
+    for doc_id, toks in docs.items():
+        tf = pd.Series(toks).value_counts()
+        scores = {t: n * idf[t] for t, n in tf.items()}
+        expect = sorted(scores, key=lambda t: (-scores[t], t))[:2]
+        sub = got[got["doc_id"] == doc_id].sort_values(
+            ["score", "token"], ascending=[False, True])
+        assert list(sub["token"]) == expect
+        for t in expect:
+            row = sub[sub["token"] == t].iloc[0]
+            assert row["score"] == round(scores[t], 6)
+            assert row["tf"] == tf[t]
+
+
+def test_bm25_matches_naive():
+    ds = _toy_docs()
+    df_map = {0: 2, 1: 2, 2: 2}
+    N, S = 3, 9
+    got = (bm25_scores(ds, np.array([0, 2]), df_map, N, S)
+           .to_pandas().set_index("doc_id")["score"])
+    k1, b = 1.2, 0.75
+    def idf(df):
+        return math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf, dl, df):
+        return idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl * N / float(S))))
+    assert np.isclose(got["d0"], term(2, 3, 2))            # only token 0
+    assert np.isclose(got["d1"], term(1, 2, 2))            # only token 2
+    assert np.isclose(got["d2"], term(1, 4, 2) + term(3, 4, 2))
+    # docs with no query terms emit nothing
+    none = bm25_scores(ds, np.array([1]), {1: 2}, N, S).to_pandas()
+    assert set(none["doc_id"]) == {"d0", "d1"}
+
+
+def test_heavy_hitters_exact_and_candidate_bound():
+    # value 7 is globally heavy but evenly SPREAD across blocks (never a
+    # majority anywhere it isn't also locally heavy — the weighted-average
+    # bound must still catch it); value 8 is locally heavy in one block but
+    # globally light and must be excluded by the exact re-count.
+    blocks = []
+    for i in range(8):
+        v = np.r_[np.full(20, 7), np.arange(100) + 10 + i * 200]  # 7: 20/120
+        blocks.append(pd.DataFrame({"x": v.astype(np.int64)}))
+    blocks.append(pd.DataFrame({"x": np.full(30, 8, dtype=np.int64)}))
+    ds = ray.data.from_pandas(blocks)
+    n = sum(len(b) for b in blocks)
+    out = exact_heavy_hitters(ds, "x", k=8)
+    truth = pd.concat(blocks)["x"].value_counts()
+    expect = sorted(v for v, c in truth.items() if c * 8 > n)
+    assert list(out["x"]) == expect
+    assert 7 in set(out["x"])
+    assert 8 not in set(out["x"])  # locally heavy, globally light
+    got_counts = dict(zip(out["x"], out["count"]))
+    assert got_counts[7] == 160
