@@ -734,6 +734,58 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_ish_token_count(ds)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) fingerprint sets per document: per-doc distinct
+    fingerprint counts. Shuffle-free — each doc's fingerprints are emitted
+    complete within its block, so the count is a per-block C++ group_by.
+    Rows-only: the rolling-hash window-min is not SQL-expressible."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import winnow_fingerprints
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = winnow_fingerprints(ds, "text", "doc_id", k=5, w=8)
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        out = batch.group_by("id").aggregate([("fp", "count")])
+        return pa.table({"doc_id": out["id"],
+                         "n_fp": out["fp_count"].cast(pa.int64())})
+    return fps.map_batches(cnt, batch_format="pyarrow")
+
+
+def _q_interval_join_windows(sf_dir: str):
+    """Range join events × 48 overlapping time windows (3× overlap) via the
+    bucketed interval join: intervals replicated to overlapped buckets,
+    points shuffled once, containment checked per bucket. Windows derived
+    deterministically from global min/max ts (integer floor math both
+    engines). Output: per-window count + BIGINT cents."""
+    from ray.data.aggregate import Max, Min
+
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.join import interval_join
+
+    import ray.data as _rd
+
+    ev = _events_ms(sf_dir).select_columns(["event_id", "ts_ms", "value_cents"])
+    mm = ev.aggregate(Min("ts_ms", alias_name="tmin"),
+                      Max("ts_ms", alias_name="tmax"))
+    tmin, tmax = int(mm["tmin"]), int(mm["tmax"])
+    span = tmax - tmin + 1
+    i = np.arange(48, dtype=np.int64)
+    ws = tmin + (i * span) // 48
+    we = ws + span // 16
+    windows = _rd.from_arrow(pa.table({
+        "w_id": pa.array(i), "ws": pa.array(ws), "we": pa.array(we)}))
+    joined = interval_join(ev, windows, ts_col="ts_ms", start_col="ws",
+                           end_col="we", bucket_width=max(span // 16, 1))
+    agg = grouped_aggregate(joined, keys=["w_id"], value_col="value_cents",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("w_id", kind="mergesort")
+    return pd.DataFrame({
+        "w_id": agg["w_id"].astype("int64").to_numpy(),
+        "n": agg["agg_count"].astype("int64").to_numpy(),
+        "sum_cents": agg["agg_sum"].astype("int64").to_numpy(),
+    })
+
+
 def _q_heavy_hitter_tokens(sf_dir: str):
     """Exact frequent tokens (count·30 > stream length) via the two-pass
     candidate-bound heavy hitter: per-block local-heavy candidates (< k per
@@ -1091,6 +1143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_region": _q_supplier_by_region,
         "groupby_segment": _q_groupby_segment,
         "streaming_interval_agg": _q_streaming_interval_agg,
+        "interval_join_windows": _q_interval_join_windows,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_topdocs": _q_bm25_topdocs,
@@ -1530,6 +1584,18 @@ SELECT doc_id,
        CAST(length(s) - length(regexp_replace(s, '[^ ]', '', 'g')) AS BIGINT)
          AS n_bpe_ish
 FROM collapsed
+""",
+        "interval_join_windows": _SQL_EVENTS + r""", b AS (
+  SELECT min(ts_ms) AS tmin, max(ts_ms) AS tmax FROM ev
+), w AS (
+  SELECT i AS w_id,
+         tmin + (i * (tmax - tmin + 1)) // 48 AS ws,
+         tmin + (i * (tmax - tmin + 1)) // 48 + (tmax - tmin + 1) // 16 AS we
+  FROM (SELECT unnest(range(48)) AS i) CROSS JOIN b
+)
+SELECT w.w_id, count(*) AS n, CAST(sum(e.value_cents) AS BIGINT) AS sum_cents
+FROM ev e JOIN w ON e.ts_ms >= w.ws AND e.ts_ms < w.we
+GROUP BY w.w_id
 """,
         "heavy_hitter_tokens": _SQL_TOKENS + r""", stream AS (
   SELECT v.tid FROM exploded e JOIN vocab v ON e.w = v.word

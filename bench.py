@@ -140,7 +140,11 @@ def run_queries(sf_dir: str) -> dict:
              "fingerprint_groups", "knn_bruteforce", "minhash_lsh_pairs",
              "sessionize", "logdedup_events", "count_by_type",
              "join_bucketed", "sliding_window", "unigram_logprob",
-             "anomaly_zscore", "simhash_pairs", "wordset_jaccard"]
+             "anomaly_zscore", "simhash_pairs", "wordset_jaccard",
+             "bloom_semi_join", "tfidf_top_terms", "bm25_topdocs",
+             "interval_join_windows", "anomaly_iforest",
+             "heavy_hitter_tokens", "winnow_fingerprints",
+             "reservoir_sample", "stratified_sample"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -246,3 +246,89 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     bitmap = build_bloom_filter(right, on, num_bits, num_hashes)
     pruned = bloom_prefilter(left, on, bitmap, num_hashes)
     return partitioned_semi_join(pruned, right, on, num_buckets=num_buckets)
+
+
+def interval_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                  ts_col: str, start_col: str, end_col: str,
+                  bucket_width: int) -> ray.data.Dataset:
+    """Range join: left rows (point ``ts``) × right rows (interval
+    ``[start, end)``), matched on containment — the operator Ray Data has
+    no native shape for.
+
+    Bucketing makes it one co-partitioning shuffle: every point lands in
+    bucket ``ts // width``; every interval is REPLICATED to each bucket it
+    overlaps (vectorized repeat — no Python loop); a (point, interval)
+    match can only meet in the point's bucket, so no pair dedup is needed.
+
+    Partitioning assumptions (document per call site): pick ``bucket_width``
+    near the typical interval length so replication stays O(1) per
+    interval, and intervals-per-bucket stays bounded (the per-bucket kernel
+    loops over LOCAL intervals with a vectorized point mask each).
+    Output: left columns + right columns (collisions suffixed ``_r``).
+    """
+    l_schema, r_schema = left.schema(), right.schema()
+    lcols, rcols = list(l_schema.names), list(r_schema.names)
+    collide = set(lcols) & set(rcols)
+    r_renames = {c: c + "_r" for c in collide}
+    r_out = [r_renames.get(c, c) for c in rcols]
+    all_cols = lcols + r_out
+    types = dict(zip(lcols, l_schema.types))
+    for name, t in zip(rcols, r_schema.types):
+        types.setdefault(r_renames.get(name, name), t)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: (t[c] if c in t.column_names else pa.nulls(t.num_rows, types[c]))
+                for c in all_cols}
+        cols["_bucket"] = pa.array(ts // np.int64(bucket_width))
+        cols["_side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([r_renames.get(c, c) for c in t.column_names])
+        s = t[r_renames.get(start_col, start_col)].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[r_renames.get(end_col, end_col)].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = s // np.int64(bucket_width)
+        b1 = np.maximum(e - 1, s) // np.int64(bucket_width)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        # within-interval bucket offset: global arange minus each row's start
+        offs = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(np.r_[0, reps[:-1]]), reps)
+        rep = t.take(pa.array(idx))
+        cols = {c: (rep[c] if c in rep.column_names
+                    else pa.nulls(len(idx), types[c])) for c in all_cols}
+        cols["_bucket"] = pa.array(b0[idx] + offs)
+        cols["_side"] = pa.array(np.ones(len(idx), dtype=np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(replicate_right, batch_format="pyarrow")
+    rs_col = r_renames.get(start_col, start_col)
+    re_col = r_renames.get(end_col, end_col)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["_side"], 0)
+        l = g.filter(lmask).select(lcols)
+        r = g.filter(pc.invert(lmask)).select(r_out)
+        ts = l[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rs = r[rs_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        re = r[re_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_take, r_take = [], []
+        for j in range(len(rs)):  # bounded: intervals per bucket
+            hit = np.flatnonzero((ts >= rs[j]) & (ts < re[j]))
+            l_take.append(hit)
+            r_take.append(np.full(len(hit), j, dtype=np.int64))
+        if not l_take:
+            l_idx = np.empty(0, dtype=np.int64)
+            r_idx = np.empty(0, dtype=np.int64)
+        else:
+            l_idx = np.concatenate(l_take)
+            r_idx = np.concatenate(r_take)
+        out = l.take(pa.array(l_idx))
+        for c in r_out:
+            out = out.append_column(c, r[c].take(pa.array(r_idx)))
+        return out
+
+    return (lt.union(rt).groupby("_bucket")
+              .map_groups(join_bucket, batch_format="pyarrow"))
