@@ -734,6 +734,52 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_ish_token_count(ds)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Per-doc add-one-smoothed bigram LM log-likelihood (language-model
+    quality scoring): bigram + unigram tables from distributed passes
+    (distinct-bigram-bounded partials), broadcast once, shuffle-free
+    position-ordered scoring."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        bigram_counts, bigram_logprob, corpus_stats)
+    ds = tokenized_documents(sf_dir)
+    stats = corpus_stats(ds)
+    bi = bigram_counts(ds)
+    vocab_size = stats.num_rows
+    tok = stats["token"].to_numpy(zero_copy_only=False)
+    uni = np.zeros(int(tok.max()) + 1 if len(tok) else 1, dtype=np.int64)
+    uni[tok] = stats["freq"].to_numpy(zero_copy_only=False)
+    out = bigram_logprob(ds, bi, uni, vocab_size)
+
+    def project(batch: pa.Table) -> pa.Table:
+        lp = batch["logprob"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_pairs": batch["n_pairs"],
+                         "logprob": pa.array(np.round(lp, 6))})
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_quality_logistic(sf_dir: str):
+    """Logistic quality classifier over exact-ratio features (broadcast
+    fixed weights; z accumulated strictly left-to-right so the SQL oracle
+    reproduces the doubles before the exp)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import (logistic_score,
+                                                                quality_stats)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = quality_stats(ds)
+    scored = logistic_score(stats, [("stopword_ratio", 2.5),
+                                    ("mean_word_len", 0.08),
+                                    ("n_chars_obs", -0.004)],
+                            bias=-1.0, out="q_score")
+
+    def project(batch: pa.Table) -> pa.Table:
+        q = batch["q_score"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "q_score": pa.array(np.round(q, 6))})
+    return scored.map_batches(project, batch_format="pyarrow")
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing (MOSS) fingerprint sets per document: per-doc distinct
     fingerprint counts. Shuffle-free — each doc's fingerprints are emitted
@@ -1145,6 +1191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_interval_agg": _q_streaming_interval_agg,
         "interval_join_windows": _q_interval_join_windows,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "bigram_logprob": _q_bigram_logprob,
+        "quality_logistic": _q_quality_logistic,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_topdocs": _q_bm25_topdocs,
@@ -1584,6 +1632,49 @@ SELECT doc_id,
        CAST(length(s) - length(regexp_replace(s, '[^ ]', '', 'g')) AS BIGINT)
          AS n_bpe_ish
 FROM collapsed
+""",
+        "bigram_logprob": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
+), bi AS (
+  SELECT doc_id, pos, tid AS prev,
+         lead(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+  FROM seq
+), bc AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c FROM bi
+  WHERE cur IS NOT NULL GROUP BY prev, cur
+), uc AS (
+  SELECT tid, CAST(count(*) AS BIGINT) AS c FROM seq GROUP BY tid
+), vs AS (SELECT count(*) AS v FROM vocab),
+terms AS (
+  SELECT b.doc_id, b.pos, ln((bc.c + 1.0) / (uc.c + vs.v)) AS t
+  FROM bi b JOIN bc ON b.prev = bc.prev AND b.cur = bc.cur
+  JOIN uc ON b.prev = uc.tid CROSS JOIN vs
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(list_sum(list(t ORDER BY pos)), 6) AS logprob
+FROM terms GROUP BY doc_id
+""",
+        "quality_logistic": r"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars_obs,
+         string_split(text, ' ') AS words
+  FROM documents
+), f AS (
+  SELECT doc_id,
+       COALESCE(list_aggregate(list_transform(words, x -> CAST(length(x) AS DOUBLE)), 'sum'), 0)
+         / greatest(length(words), 1) AS mean_word_len,
+       CAST(length(list_filter(words, x -> x IN
+         ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+         / greatest(length(words), 1) AS stopword_ratio,
+       n_chars_obs
+  FROM w
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-1.0 + 2.5 * stopword_ratio
+                                + 0.08 * mean_word_len
+                                + -0.004 * n_chars_obs))), 6) AS q_score
+FROM f
 """,
         "interval_join_windows": _SQL_EVENTS + r""", b AS (
   SELECT min(ts_ms) AS tmin, max(ts_ms) AS tmax FROM ev

@@ -204,6 +204,34 @@ def _s_langid(ds, cfg):
     return langid_scores(ds, text_col=cfg.get("text", "text"))
 
 
+def _s_stratified_sample(ds, cfg):
+    from ..stages.sample import stratified_sample
+    return stratified_sample(ds, key=cfg["key"], id_col=cfg["id"],
+                             k=int(cfg["k"]), salt=int(cfg.get("salt", 777)))
+
+
+def _s_winnow(ds, cfg):
+    from ..stages.textstats import winnow_fingerprints
+    return winnow_fingerprints(ds, text_col=cfg.get("text", "text"),
+                               id_col=cfg.get("id", "doc_id"),
+                               k=int(cfg.get("k", 5)), w=int(cfg.get("w", 8)))
+
+
+def _s_iforest(ds, cfg):
+    from ..stages.anomaly import (IsolationForest,
+                                  deterministic_sample_matrix,
+                                  iforest_score_stage)
+    feats = list(cfg["features"])
+    X = deterministic_sample_matrix(ds, feats, id_col=cfg["id"],
+                                    target_rows=int(cfg.get("sample_rows", 4096)),
+                                    total_rows=cfg.get("total_rows"))
+    forest = IsolationForest(n_trees=int(cfg.get("trees", 64)),
+                             sample_size=int(cfg.get("tree_sample", 256)),
+                             seed=int(cfg.get("seed", 7))).fit(X)
+    return iforest_score_stage(ds, forest, feats,
+                               out=cfg.get("out", "iforest_score"))
+
+
 _STAGES: dict[str, StageFn] = {
     "parse_regex": _s_parse_regex,
     "flag_regex": _s_flag_regex,
@@ -229,6 +257,9 @@ _STAGES: dict[str, StageFn] = {
     "dedup_exact": _s_dedup_exact,
     "quality_stats": _s_quality_stats,
     "langid": _s_langid,
+    "stratified_sample": _s_stratified_sample,
+    "winnow": _s_winnow,
+    "iforest": _s_iforest,
 }
 
 

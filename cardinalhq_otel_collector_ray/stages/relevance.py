@@ -156,3 +156,77 @@ def bm25_scores(ds: ray.data.Dataset, query_tokens: np.ndarray,
         doc_ids = batch[doc_id_col].take(pa.array(out_rows))
         return pa.table({"doc_id": doc_ids, "score": pa.array(score)})
     return ds.map_batches(block_score, batch_format="pyarrow")
+
+
+def bigram_counts(ds: ray.data.Dataset,
+                  tokens_col: str = "tokens") -> pa.Table:
+    """Corpus bigram counts (consecutive token pairs within each doc):
+    per-block packed-key sorted-unique, partials merged where the bigram
+    table lives. Bounded by DISTINCT observed bigrams (≤ vocab², in
+    practice ≪) — the broadcast-model contract; beyond broadcast size,
+    swap the scoring lookup for a hash-bucketed join on the packed key.
+    Returns (prev:int32, cur:int32, c:int64)."""
+    def block(batch: pa.Table) -> pa.Table:
+        doc_idx, values, n_per = _flat_tokens(batch, tokens_col)
+        if len(values) == 0:
+            return pa.table({"prev": pa.array([], pa.int32()),
+                             "cur": pa.array([], pa.int32()),
+                             "_c": pa.array([], pa.int64())})
+        same = doc_idx[:-1] == doc_idx[1:]
+        key, c = np.unique((values[:-1][same] << np.int64(32))
+                           | values[1:][same], return_counts=True)
+        return pa.table({
+            "prev": pa.array((key >> np.int64(32)).astype(np.int32)),
+            "cur": pa.array((key & _LOW32).astype(np.int32)),
+            "_c": pa.array(c.astype(np.int64))})
+
+    partials = ds.map_batches(block, batch_format="pyarrow")
+    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")),
+                              promote_options="default")
+    out = merged.group_by(["prev", "cur"]).aggregate([("_c", "sum")])
+    return pa.table({"prev": out["prev"], "cur": out["cur"],
+                     "c": out["_c_sum"].cast(pa.int64())})
+
+
+def bigram_logprob(ds: ray.data.Dataset, bigrams: pa.Table,
+                   unigram_freq: np.ndarray, vocab_size: int,
+                   tokens_col: str = "tokens",
+                   doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc add-one-smoothed bigram LM log-likelihood:
+    Σ ln((c(prev,cur)+1) / (c(prev)+V)) over consecutive pairs, summed in
+    POSITION order (reduceat) so an ordered-list SQL sum reproduces the
+    doubles. Bigram table broadcast once (sorted packed keys +
+    searchsorted lookup); docs with <2 tokens are omitted."""
+    bkey = ((bigrams["prev"].to_numpy(zero_copy_only=False).astype(np.int64)
+             << np.int64(32))
+            | bigrams["cur"].to_numpy(zero_copy_only=False).astype(np.int64))
+    order = np.argsort(bkey)
+    ref = ray.put((bkey[order],
+                   bigrams["c"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+                   np.asarray(unigram_freq, dtype=np.int64)))
+
+    def block(batch: pa.Table) -> pa.Table:
+        keys, cnts, uni = ray.get(ref)
+        doc_idx, values, n_per = _flat_tokens(batch, tokens_col)
+        if len(values) == 0:
+            return pa.table({"doc_id": batch[doc_id_col].slice(0, 0),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "logprob": pa.array([], pa.float64())})
+        same = doc_idx[:-1] == doc_idx[1:]
+        prev, cur, row = values[:-1][same], values[1:][same], doc_idx[:-1][same]
+        pk = (prev << np.int64(32)) | cur
+        pos = np.searchsorted(keys, pk)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        cb = np.where(keys[pos] == pk, cnts[pos], 0)
+        term = np.log((cb + 1.0) / (uni[prev] + vocab_size))
+        n_pairs = np.maximum(n_per - 1, 0)
+        keep_rows = np.flatnonzero(n_pairs > 0)
+        seg = np.r_[0, np.cumsum(n_pairs[keep_rows][:-1])] if len(keep_rows) \
+            else np.empty(0, np.int64)
+        lp = np.add.reduceat(term, seg.astype(np.int64)) if len(keep_rows) \
+            else np.empty(0, np.float64)
+        return pa.table({
+            "doc_id": batch[doc_id_col].take(pa.array(keep_rows)),
+            "n_pairs": pa.array(n_pairs[keep_rows].astype(np.int64)),
+            "logprob": pa.array(lp)})
+    return ds.map_batches(block, batch_format="pyarrow")

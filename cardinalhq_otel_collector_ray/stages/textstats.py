@@ -212,3 +212,19 @@ def winnow_fingerprints(ds: ray.data.Dataset, text_col: str = "text",
         return pa.table({"id": ids.take(pa.array(d[keep])),
                          "fp": pa.array(f[keep].view(np.int64))})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def logistic_score(ds: ray.data.Dataset, features: list[tuple[str, float]],
+                   bias: float, out: str = "score") -> ray.data.Dataset:
+    """Broadcast-weight logistic scorer over feature columns — the
+    "quality classifier" step of a training-data pipeline (fixed public
+    weights; swap in learned ones the same way). z accumulates STRICTLY
+    left-to-right (bias + w1·f1 + w2·f2 …) so a SQL oracle writing the
+    same expression produces bit-identical doubles before the exp."""
+    def fn(batch: pa.Table) -> pa.Table:
+        z = np.full(batch.num_rows, float(bias))
+        for col, wgt in features:
+            z = z + wgt * batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = 1.0 / (1.0 + np.exp(-z))
+        return batch.append_column(out, pa.array(score))
+    return ds.map_batches(fn, batch_format="pyarrow")

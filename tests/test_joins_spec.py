@@ -176,3 +176,35 @@ def test_spec_new_stage_kinds(sf_dir):
         ],
     }, sf_dir).to_pandas()
     assert {"session_id", "session_start", "n_events"} <= set(sess.columns)
+
+
+def test_spec_round2_extension_kinds(sf_dir):
+    """Second-pass spec vocabulary: stratified_sample / winnow / iforest
+    kinds compile and run end-to-end from a dict spec."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+
+    strat = compile_pipeline({
+        "source": {"kind": "parquet", "table": "events",
+                   "columns": ["event_id", "event_type"]},
+        "stages": [{"kind": "stratified_sample", "key": "event_type",
+                    "id": "event_id", "k": 5}],
+    }, sf_dir).to_pandas()
+    assert (strat.groupby("event_type").size() <= 5).all()
+    assert len(strat) > 0
+
+    fps = compile_pipeline({
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text"]},
+        "stages": [{"kind": "winnow", "text": "text", "id": "doc_id"}],
+    }, sf_dir).to_pandas()
+    assert {"id", "fp"} == set(fps.columns) and len(fps) > 0
+
+    scored = compile_pipeline({
+        "source": {"kind": "parquet", "table": "events",
+                   "columns": ["event_id", "value"]},
+        "stages": [{"kind": "iforest", "id": "event_id",
+                    "features": ["value"], "trees": 16,
+                    "tree_sample": 64}],
+    }, sf_dir).to_pandas()
+    assert "iforest_score" in scored.columns
+    assert scored["iforest_score"].between(0, 1).all()

@@ -93,3 +93,31 @@ def test_heavy_hitters_exact_and_candidate_bound():
     assert 8 not in set(out["x"])  # locally heavy, globally light
     got_counts = dict(zip(out["x"], out["count"]))
     assert got_counts[7] == 160
+
+
+def test_bigram_counts_and_logprob_naive():
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        bigram_counts, bigram_logprob)
+    ds = _toy_docs()  # d0: 0 0 1 | d1: 1 2 | d2: 0 2 2 2
+    bi = bigram_counts(ds).to_pandas()
+    got = {(r.prev, r.cur): r.c for r in bi.itertuples()}
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 2): 1, (0, 2): 1, (2, 2): 2}
+    uni = np.array([3, 2, 4], dtype=np.int64)  # corpus freqs
+    out = (bigram_logprob(ds, pa.Table.from_pandas(bi), uni, vocab_size=3)
+           .to_pandas().set_index("doc_id"))
+    V = 3
+    def lp(pairs):
+        return sum(math.log((got.get(p, 0) + 1.0) / (uni[p[0]] + V))
+                   for p in pairs)
+    assert np.isclose(out.loc["d0", "logprob"], lp([(0, 0), (0, 1)]))
+    assert out.loc["d0", "n_pairs"] == 2
+    assert np.isclose(out.loc["d2", "logprob"], lp([(0, 2), (2, 2), (2, 2)]))
+
+
+def test_logistic_score_left_to_right():
+    from cardinalhq_otel_collector_ray.stages.textstats import logistic_score
+    df = pd.DataFrame({"a": [0.0, 1.0, 2.0], "b": [3, 1, 0]})
+    out = logistic_score(ray.data.from_pandas(df), [("a", 2.0), ("b", -1.0)],
+                         bias=0.5, out="s").to_pandas()
+    z = 0.5 + 2.0 * df["a"].to_numpy() + -1.0 * df["b"].to_numpy().astype(float)
+    np.testing.assert_array_equal(out["s"].to_numpy(), 1.0 / (1.0 + np.exp(-z)))
