@@ -734,6 +734,29 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_ish_token_count(ds)
 
 
+def _q_kmeans_cluster_sizes(sf_dir: str):
+    """Embedding-corpus partitioning: k-means coarse quantizer (driver
+    sample fit, broadcast) + distributed matmul-argmax assignment, then
+    per-cell counts (bounded cells → driver merge). Rows-only: iterative
+    Lloyd's is not SQL-expressible."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.similarity import kmeans_assign
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = kmeans_assign(ds, "embedding", "vec_id", n_centroids=16)
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_one", pa.array(
+            np.ones(batch.num_rows, dtype=np.int64)))
+
+    agg = grouped_aggregate(assigned.map_batches(one, batch_format="pyarrow"),
+                            keys=["cell"], value_col="_one",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("cell", kind="mergesort")
+    return pd.DataFrame({"cell": agg["cell"].astype("int32").to_numpy(),
+                         "n_vectors": agg["agg_count"].astype("int64").to_numpy()})
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Per-doc add-one-smoothed bigram LM log-likelihood (language-model
     quality scoring): bigram + unigram tables from distributed passes
@@ -1192,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_windows": _q_interval_join_windows,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_logprob": _q_bigram_logprob,
+        "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "quality_logistic": _q_quality_logistic,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,

@@ -305,3 +305,30 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
                         score=np.round(g["score"].to_numpy(), 6))
 
     return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
+def kmeans_assign(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
+                  n_centroids: int = 16, sample_size: int = 2048,
+                  seed: int = 13) -> ray.data.Dataset:
+    """Distributed k-means cluster assignment (the IVF coarse quantizer as
+    a first-class operator — corpus partitioning / near-dup blocking for
+    embedding pipelines): centroids trained ONCE on a bounded driver
+    sample, broadcast; assignment is one matmul-argmax per batch.
+    Output: (id, cell:int32)."""
+    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    smat = _normalize(np.stack(sample.to_numpy()).astype(np.float64))
+    centroids = _normalize(_kmeans(smat, n_centroids, seed=seed))
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        vecs = batch[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+        d = offsets[1] - offsets[0]
+        m = _normalize(vecs.values.to_numpy(zero_copy_only=False)
+                       .astype(np.float64).reshape(-1, d))
+        cells = (m @ cents.T).argmax(axis=1).astype(np.int32)
+        return pa.table({"id": batch[id_col], "cell": pa.array(cells)})
+    return ds.map_batches(assign, batch_format="pyarrow")

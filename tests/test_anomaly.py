@@ -80,3 +80,25 @@ def test_stage_and_sample():
     assert len(out) == n
     top3 = out.nlargest(3, "iforest_score")["rid"].to_numpy()
     assert set(top3) == {n - 3, n - 2, n - 1}
+
+
+def test_kmeans_assign_deterministic_and_separating():
+    import ray.data
+    from cardinalhq_otel_collector_ray.stages.similarity import kmeans_assign
+    rng = np.random.Generator(np.random.PCG64(5))
+    a = rng.normal(0, 0.05, (300, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.05, (300, 4)) + np.array([0, 0, 1, 0])
+    vecs = np.vstack([a, b]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(600, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    got1 = kmeans_assign(ds, "embedding", "vec_id", n_centroids=4).to_pandas()
+    got2 = kmeans_assign(ds, "embedding", "vec_id", n_centroids=4).to_pandas()
+    m1 = got1.sort_values("id")["cell"].to_numpy()
+    np.testing.assert_array_equal(m1, got2.sort_values("id")["cell"].to_numpy())
+    # the two planted clusters never share a cell
+    cells_a, cells_b = set(m1[:300]), set(m1[300:])
+    assert not (cells_a & cells_b)

@@ -94,6 +94,7 @@ def test_contract_surface():
     assert set(ORACLES) <= set(QUERIES)
     assert rows_only == {"minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
                          "aggregate_emit_shape", "drain_templates",
-                         "anomaly_iforest", "winnow_fingerprints"}, rows_only
+                         "anomaly_iforest", "winnow_fingerprints",
+                         "kmeans_cluster_sizes"}, rows_only
     assert callable(entrymod.entry)
     assert len(ORACLES) >= 38
