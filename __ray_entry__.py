@@ -734,6 +734,22 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_ish_token_count(ds)
 
 
+def _q_boilerplate_trigrams(sf_dir: str):
+    """Boilerplate/contamination detection: flag docs containing any
+    corpus-frequent token trigram (count ≥ 6). Distinct trigrams are not
+    vocab-bounded, so counts merge through a hash-partitioned C++
+    group_by (one bounded-tag shuffle); only the tiny hot set reaches the
+    driver and is broadcast for the flagging pass."""
+    from cardinalhq_otel_collector_ray.sources import (build_vocab,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        flag_boilerplate, frequent_ngrams)
+    vocab_size = len(build_vocab(sf_dir))
+    ds = tokenized_documents(sf_dir)
+    hot = frequent_ngrams(ds, n=3, min_count=6, vocab_size=vocab_size)
+    return flag_boilerplate(ds, hot, n=3, vocab_size=vocab_size)
+
+
 def _q_kmeans_cluster_sizes(sf_dir: str):
     """Embedding-corpus partitioning: k-means coarse quantizer (driver
     sample fit, broadcast) + distributed matmul-argmax assignment, then
@@ -1216,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_logprob": _q_bigram_logprob,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
+        "boilerplate_trigrams": _q_boilerplate_trigrams,
         "quality_logistic": _q_quality_logistic,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1656,6 +1673,28 @@ SELECT doc_id,
        CAST(length(s) - length(regexp_replace(s, '[^ ]', '', 'g')) AS BIGINT)
          AS n_bpe_ish
 FROM collapsed
+""",
+        "boilerplate_trigrams": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
+), vs AS (SELECT count(*) AS v FROM vocab),
+tri AS (
+  SELECT doc_id,
+         (tid * vs.v + lead(tid, 1) OVER w) * vs.v
+           + lead(tid, 2) OVER w AS key
+  FROM seq CROSS JOIN vs
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), t2 AS (SELECT doc_id, key FROM tri WHERE key IS NOT NULL),
+hot AS (
+  SELECT key FROM (SELECT key, count(*) AS c FROM t2 GROUP BY key)
+  WHERE c >= 6
+), per_doc AS (
+  SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS nh
+  FROM t2 JOIN hot USING (key) GROUP BY t2.doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(COALESCE(p.nh, 0) AS BIGINT) AS n_hot,
+       COALESCE(p.nh, 0) > 0 AS has_boilerplate
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """,
         "bigram_logprob": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word

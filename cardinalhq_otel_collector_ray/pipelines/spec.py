@@ -204,6 +204,11 @@ def _s_langid(ds, cfg):
     return langid_scores(ds, text_col=cfg.get("text", "text"))
 
 
+def _s_redact_pii(ds, cfg):
+    from ..stages.transform import redact_pii
+    return redact_pii(ds, cfg["column"], out=cfg.get("out"))
+
+
 def _s_stratified_sample(ds, cfg):
     from ..stages.sample import stratified_sample
     return stratified_sample(ds, key=cfg["key"], id_col=cfg["id"],
@@ -257,6 +262,7 @@ _STAGES: dict[str, StageFn] = {
     "dedup_exact": _s_dedup_exact,
     "quality_stats": _s_quality_stats,
     "langid": _s_langid,
+    "redact_pii": _s_redact_pii,
     "stratified_sample": _s_stratified_sample,
     "winnow": _s_winnow,
     "iforest": _s_iforest,

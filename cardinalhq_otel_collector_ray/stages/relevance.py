@@ -230,3 +230,76 @@ def bigram_logprob(ds: ray.data.Dataset, bigrams: pa.Table,
             "n_pairs": pa.array(n_pairs[keep_rows].astype(np.int64)),
             "logprob": pa.array(lp)})
     return ds.map_batches(block, batch_format="pyarrow")
+
+
+def frequent_ngrams(ds: ray.data.Dataset, n: int, min_count: int,
+                    vocab_size: int, tokens_col: str = "tokens",
+                    num_partitions: int = 64) -> np.ndarray:
+    """Corpus n-grams occurring ≥ min_count times, as packed BIGINT keys
+    (positional base-V encoding — SQL-reproducible via lead()). Distinct
+    n-grams are NOT vocab-bounded, so partials merge through a
+    hash-partitioned C++ group_by (one bounded-tag shuffle); only the hot
+    set (tiny by construction) reaches the driver."""
+    V = np.int64(vocab_size)
+
+    def block(batch: pa.Table) -> pa.Table:
+        doc_idx, values, _ = _flat_tokens(batch, tokens_col)
+        if len(values) < n:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "_c": pa.array([], pa.int64())})
+        key = values[: len(values) - n + 1].copy()
+        same = doc_idx[: len(values) - n + 1] == doc_idx[n - 1:]
+        for j in range(1, n):
+            key = key * V + values[j: len(values) - n + 1 + j]
+        k, c = np.unique(key[same], return_counts=True)
+        t = pa.table({"key": pa.array(k), "_c": pa.array(c.astype(np.int64))})
+        part = (k % np.int64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    partials = ds.map_batches(block, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        out = g.group_by("key").aggregate([("_c", "sum")])
+        hot = out.filter(pa.compute.greater_equal(out["_c_sum"],
+                                                  pa.scalar(min_count)))
+        return pa.table({"key": hot["key"],
+                         "count": hot["_c_sum"].cast(pa.int64())})
+
+    hot = partials.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    keys = np.sort(np.concatenate(
+        [b["key"].to_numpy(zero_copy_only=False)
+         for b in hot.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    return keys
+
+
+def flag_boilerplate(ds: ray.data.Dataset, hot_keys: np.ndarray, n: int,
+                     vocab_size: int, tokens_col: str = "tokens",
+                     doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc boilerplate/contamination flag: does the doc contain any
+    corpus-frequent n-gram? Hot set broadcast once; per batch one packed-
+    key construction + sorted membership test + per-row any()."""
+    V = np.int64(vocab_size)
+    ref = ray.put(np.asarray(hot_keys, dtype=np.int64))
+
+    def block(batch: pa.Table) -> pa.Table:
+        hot = ray.get(ref)
+        doc_idx, values, n_per = _flat_tokens(batch, tokens_col)
+        n_rows = batch.num_rows
+        n_hot = np.zeros(n_rows, dtype=np.int64)
+        if len(values) >= n and len(hot):
+            key = values[: len(values) - n + 1].copy()
+            row = doc_idx[: len(values) - n + 1]
+            same = row == doc_idx[n - 1:]
+            for j in range(1, n):
+                key = key * V + values[j: len(values) - n + 1 + j]
+            key, row = key[same], row[same]
+            pos = np.searchsorted(hot, key)
+            pos = np.minimum(pos, len(hot) - 1)
+            is_hot = hot[pos] == key
+            np.add.at(n_hot, row[is_hot], 1)
+        return pa.table({
+            "doc_id": batch[doc_id_col],
+            "n_hot": pa.array(n_hot),
+            "has_boilerplate": pa.array(n_hot > 0)})
+    return ds.map_batches(block, batch_format="pyarrow")

@@ -176,42 +176,52 @@ def winnow_fingerprints(ds: ray.data.Dataset, text_col: str = "text",
     Python. Output rows: (id, fp:int64) — the exploded fingerprint sets,
     ready for an inverted-index / LSH-style pair stage.
     """
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        d, f = winnow_kernel(batch[text_col], k=k, w=w)
+        if len(d) == 0:
+            return pa.table({"id": ids.slice(0, 0),
+                             "fp": pa.array([], type=pa.int64())})
+        return pa.table({"id": ids.take(pa.array(d)),
+                         "fp": pa.array(f)})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def winnow_kernel(texts, k: int = 5, w: int = 8):
+    """Pure winnowing kernel over an Arrow string array (or list of str):
+    returns (doc_index:int64[], fp:int64[]) — the deduped fingerprint sets
+    in one vectorized pass. Separated from the Dataset stage so property
+    tests can drive it directly."""
     from ..functions.text import char_shingles_u64
 
     sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        starts, codes = char_shingles_u64(batch[text_col], k=k)
-        L = len(codes)
-        ids = batch[id_col]
-        if L == 0:
-            return pa.table({"id": ids.slice(0, 0),
-                             "fp": pa.array([], type=pa.int64())})
-        ext = np.concatenate([codes, np.full(w - 1, sentinel, dtype=np.uint64)])
-        wmin = ext[:L].copy()
-        for j in range(1, w):
-            np.minimum(wmin, ext[j:j + L], out=wmin)
-        n_sh = np.diff(starts)
-        doc_of = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
-        doc_end = np.repeat(starts[1:], n_sh)
-        p = np.arange(L, dtype=np.int64)
-        valid = (p + w - 1) < doc_end  # window fully inside its doc
-        d, f = doc_of[valid], wmin[valid]
-        # docs with < w shingles have no full window: emit their global
-        # min via a segment reduce (wmin would read into the next doc)
-        short = np.flatnonzero((n_sh > 0) & (n_sh < w))
-        if len(short):
-            segmin = np.minimum.reduceat(codes,
-                                         np.minimum(starts[:-1], L - 1))
-            d = np.concatenate([d, short])
-            f = np.concatenate([f, segmin[short]])
-        # dedupe (doc, fp) pairs: d is non-decreasing; sort fp within doc
-        order = np.lexsort((f, d))
-        d, f = d[order], f[order]
-        keep = np.r_[True, (np.diff(d) != 0) | (np.diff(f.view(np.int64)) != 0)]
-        return pa.table({"id": ids.take(pa.array(d[keep])),
-                         "fp": pa.array(f[keep].view(np.int64))})
-    return ds.map_batches(fn, batch_format="pyarrow")
+    starts, codes = char_shingles_u64(texts, k=k)
+    L = len(codes)
+    if L == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ext = np.concatenate([codes, np.full(w - 1, sentinel, dtype=np.uint64)])
+    wmin = ext[:L].copy()
+    for j in range(1, w):
+        np.minimum(wmin, ext[j:j + L], out=wmin)
+    n_sh = np.diff(starts)
+    doc_of = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+    doc_end = np.repeat(starts[1:], n_sh)
+    p = np.arange(L, dtype=np.int64)
+    valid = (p + w - 1) < doc_end  # window fully inside its doc
+    d, f = doc_of[valid], wmin[valid]
+    # docs with < w shingles have no full window: emit their global
+    # min via a segment reduce (wmin would read into the next doc)
+    short = np.flatnonzero((n_sh > 0) & (n_sh < w))
+    if len(short):
+        segmin = np.minimum.reduceat(codes,
+                                     np.minimum(starts[:-1], L - 1))
+        d = np.concatenate([d, short])
+        f = np.concatenate([f, segmin[short]])
+    # dedupe (doc, fp) pairs: d is non-decreasing; sort fp within doc
+    order = np.lexsort((f, d))
+    d, f = d[order], f[order]
+    keep = np.r_[True, (np.diff(d) != 0) | (np.diff(f.view(np.int64)) != 0)]
+    return d[keep], f[keep].view(np.int64)
 
 
 def logistic_score(ds: ray.data.Dataset, features: list[tuple[str, float]],

@@ -61,3 +61,36 @@ def hash_column(ds: ray.data.Dataset, column: str, out: str,
         ids = batch[column].to_numpy(zero_copy_only=False)
         return batch.append_column(out, pa.array(mulhash(ids, salt=salt, mod=mod)))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# redactionprocessor analog (reference distribution/components.go:138,725):
+# fixed public PII masks, applied as chained RE2 passes. Order matters —
+# ip before long-digit runs so an IP is not half-eaten by the digit mask.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # phone needs a + prefix or a dashed triplet form — a bare digit run
+    # is <NUM>, not a phone
+    ("phone", r"\+\d[\d\- ]{7,14}\d|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("digits", r"\b\d{6,}\b", "<NUM>"),
+)
+
+
+def redact_pii(ds: ray.data.Dataset, column: str,
+               out: str | None = None,
+               patterns=PII_PATTERNS) -> ray.data.Dataset:
+    """Chained PII redaction over a text column — each mask is one C++ RE2
+    pass (vectorized, order-stable). Identical semantics to chained DuckDB
+    ``regexp_replace(..., 'g')`` calls, so oracle-checkable."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for _, pattern, replacement in patterns:
+            col = pc.replace_substring_regex(col, pattern=pattern,
+                                             replacement=replacement)
+        target = out or column
+        if target in batch.column_names:
+            batch = batch.drop_columns([target])
+        return batch.append_column(target, col)
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -105,3 +105,25 @@ def test_jsonl_marshal_deterministic():
     out1, out2 = marshal_jsonl(t), marshal_jsonl(t)
     assert out1 == out2
     assert out1.decode().splitlines()[0] == '{"a": "x", "b": 1}'  # sorted keys
+
+
+def test_redact_pii_masks_and_order():
+    import pandas as pd
+    import ray.data
+    from cardinalhq_otel_collector_ray.stages.transform import redact_pii
+    df = pd.DataFrame({"t": [
+        "mail me at jane.doe+x@corp.example.org now",
+        "server 10.0.255.7 answered",
+        "call +1 415-555-0199 today",
+        "order 123456789 shipped",
+        "clean text stays clean",
+        "combo a@b.co from 192.168.0.1 ref 99887766",
+    ]})
+    out = redact_pii(ray.data.from_pandas(df), "t").to_pandas()["t"].tolist()
+    assert out[0] == "mail me at <EMAIL> now"
+    assert out[1] == "server <IP> answered"
+    assert out[2] == "call <PHONE> today"
+    assert out[3] == "order <NUM> shipped"
+    assert out[4] == "clean text stays clean"
+    # ip masked as IP (not eaten by the digit mask), email first
+    assert out[5] == "combo <EMAIL> from <IP> ref <NUM>"

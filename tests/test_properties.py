@@ -219,3 +219,49 @@ def test_interval_dedup_matches_pandas(rows):
             {"_interval": "int64", "id": "int64", "dedup_count": "int64"}),
         first[["k", "_interval", "id", "dedup_count"]].astype(
             {"_interval": "int64", "id": "int64", "dedup_count": "int64"}))
+
+
+# ---- round-2 second-pass kernels ------------------------------------------
+
+texts_st = st.lists(st.text(alphabet="abcdxy ", min_size=0, max_size=40),
+                    min_size=1, max_size=8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts_st, st.integers(2, 4), st.integers(2, 6))
+def test_winnow_kernel_invariants(texts, k, w):
+    """Every fingerprint is a k-gram hash of its own doc; substring-sharing
+    docs share a fingerprint; output is deduped per doc."""
+    from cardinalhq_otel_collector_ray.stages.textstats import winnow_kernel
+
+    d, f = winnow_kernel(pa.array(texts), k=k, w=w)
+    # deduped (doc, fp) pairs
+    assert len(set(zip(d.tolist(), f.tolist()))) == len(d)
+    # every emitted fp is genuinely one of its doc's k-gram hashes
+    for doc, fp in zip(d.tolist(), f.tolist()):
+        s, c = char_shingles_u64(pa.array([texts[doc]]), k=k)
+        assert np.uint64(fp) in set(c.tolist())
+    # docs long enough emit >= 1 fingerprint
+    for i, t in enumerate(texts):
+        if len(t.encode()) >= k:
+            assert i in set(d.tolist())
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=0, max_size=60),
+       st.integers(2, 3))
+def test_frequent_ngram_packing_matches_positional(tokens, n):
+    """The packed n-gram key is the exact positional base-V number SQL
+    computes with lead() — check against a per-position loop."""
+    V = 31
+    vals = np.asarray(tokens, dtype=np.int64)
+    if len(vals) < n:
+        return
+    key = vals[: len(vals) - n + 1].copy()
+    for j in range(1, n):
+        key = key * V + vals[j: len(vals) - n + 1 + j]
+    for i in range(len(vals) - n + 1):
+        expect = 0
+        for j in range(n):
+            expect = expect * V + int(vals[i + j])
+        assert key[i] == expect
