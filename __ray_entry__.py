@@ -734,6 +734,26 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_ish_token_count(ds)
 
 
+def _q_window_rank(sf_dir: str):
+    """SQL window functions at scale: rank / percent_rank / ntile(4) of
+    value within event_type — one hash-partition shuffle + segmented
+    vectorized kernel (O(partitions) dispatch, never O(keys))."""
+    from cardinalhq_otel_collector_ray.stages.window import windowed_rank
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "event_type", "value_cents"])
+    out = windowed_rank(ds, keys=["event_type"], value_col="value_cents",
+                        tiebreak_col="event_id", ntile=4)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "rnk": df["rnk"].astype("int64"),
+            "pct": df["pct"].astype("float64"),
+            "tile": df["tile"].astype("int64"),
+        })
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_boilerplate_trigrams(sf_dir: str):
     """Boilerplate/contamination detection: flag docs containing any
     corpus-frequent token trigram (count ≥ 6). Distinct trigrams are not
@@ -1233,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "boilerplate_trigrams": _q_boilerplate_trigrams,
+        "window_rank": _q_window_rank,
         "quality_logistic": _q_quality_logistic,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1673,6 +1694,16 @@ SELECT doc_id,
        CAST(length(s) - length(regexp_replace(s, '[^ ]', '', 'g')) AS BIGINT)
          AS n_bpe_ish
 FROM collapsed
+""",
+        "window_rank": _SQL_EVENTS + r"""
+SELECT event_id,
+       CAST(rank() OVER (PARTITION BY event_type
+                         ORDER BY value_cents) AS BIGINT) AS rnk,
+       percent_rank() OVER (PARTITION BY event_type
+                            ORDER BY value_cents) AS pct,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value_cents, event_id) AS BIGINT) AS tile
+FROM ev
 """,
         "boilerplate_trigrams": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word

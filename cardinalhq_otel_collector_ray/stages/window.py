@@ -1,0 +1,75 @@
+"""SQL window functions at scale: rank / percent_rank / ntile per key.
+
+Ray Data has no window operator; the scale-correct shape is the same as
+the temporal family (``temporal.partitioned_apply``): ONE hash-partition
+shuffle on the key (all rows of a key in one partition, O(partitions)
+Python dispatch), then a segmented vectorized kernel per partition —
+argsort + run-boundary math, no per-key Python.
+
+Semantics match SQL exactly (tested against DuckDB):
+- ``rank``: min-rank over the value order; ties share a rank, gaps follow.
+- ``percent_rank`` = (rank-1)/(n-1), 0.0 for single-row partitions —
+  an exact-int division, so doubles are bit-identical cross-engine.
+- ``ntile(k)``: the first n%k buckets get one extra row, assigned by ROW
+  position (tie order matters — callers pass a deterministic tiebreak,
+  same as the SQL ORDER BY must).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .temporal import partitioned_apply
+
+
+def windowed_rank(ds: ray.data.Dataset, keys: list[str], value_col: str,
+                  tiebreak_col: str, ntile: int = 4,
+                  num_partitions: int = 64) -> ray.data.Dataset:
+    """Adds ``rnk`` (BIGINT), ``pct`` (double) and ``tile`` (BIGINT)
+    columns per ``keys`` group ordered by ``value_col`` (ties broken by
+    ``tiebreak_col`` for row positions, shared for rank)."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [value_col, tiebreak_col],
+                            kind="mergesort").reset_index(drop=True)
+        n_rows = len(df)
+        if n_rows == 0:
+            return df.assign(rnk=np.array([], np.int64),
+                             pct=np.array([], np.float64),
+                             tile=np.array([], np.int64))
+        # segment (key-group) boundaries
+        new_key = np.zeros(n_rows, dtype=bool)
+        new_key[0] = True
+        for k in keys:
+            v = df[k].to_numpy()
+            new_key[1:] |= v[1:] != v[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        seg_start_idx = np.flatnonzero(new_key)
+        seg_len = np.diff(np.r_[seg_start_idx, n_rows])
+        seg_start = np.repeat(seg_start_idx, seg_len)
+        pos = np.arange(n_rows) - seg_start          # 0-based row position
+        n = np.repeat(seg_len, seg_len).astype(np.int64)
+        # min-rank with ties on value only
+        val = df[value_col].to_numpy()
+        new_run = new_key.copy()
+        new_run[1:] |= val[1:] != val[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(n_rows), 0))
+        rnk = (run_start - seg_start + 1).astype(np.int64)
+        # percent_rank: exact-int division; 0.0 for n == 1
+        denom = np.maximum(n - 1, 1)
+        pct = (rnk - 1) / denom
+        pct[n == 1] = 0.0
+        # ntile(k): first n%k buckets get size+1 rows, by row position
+        k_ = np.int64(ntile)
+        size = n // k_
+        rem = n % k_
+        big = rem * (size + 1)
+        in_big = pos < big
+        tile = np.where(in_big,
+                        pos // np.maximum(size + 1, 1),
+                        rem + (pos - big) // np.maximum(size, 1)) + 1
+        return df.assign(rnk=rnk, pct=pct, tile=tile.astype(np.int64))
+
+    return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)

@@ -90,3 +90,28 @@ def test_interval_join_column_collision_suffix():
                         ts_col="ts", start_col="lo", end_col="hi",
                         bucket_width=64).to_pandas()
     assert "id_r" in got.columns and len(got) == 10
+
+
+def test_windowed_rank_matches_duckdb_edges():
+    """Ties, single-row groups and uneven ntile splits vs DuckDB."""
+    import duckdb
+    from cardinalhq_otel_collector_ray.stages.window import windowed_rank
+    df = pd.DataFrame({
+        "id": np.arange(13, dtype=np.int64),
+        "g": ["a"] * 7 + ["b"] * 5 + ["c"],          # c: single-row group
+        "v": np.array([5, 5, 5, 1, 2, 2, 9,          # a: heavy ties
+                       3, 3, 3, 3, 3,                # b: all equal
+                       42], dtype=np.int64),
+    })
+    got = (windowed_rank(ray.data.from_pandas(df).repartition(3),
+                         keys=["g"], value_col="v", tiebreak_col="id",
+                         ntile=4, num_partitions=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.query_df(df, "t", """
+        SELECT id,
+               CAST(rank() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rnk,
+               percent_rank() OVER (PARTITION BY g ORDER BY v) AS pct,
+               CAST(ntile(4) OVER (PARTITION BY g ORDER BY v, id) AS BIGINT) AS tile
+        FROM t ORDER BY id""").to_df()
+    for c in ("rnk", "pct", "tile"):
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(), err_msg=c)
