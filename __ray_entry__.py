@@ -549,6 +549,85 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, queries, "embedding", "vec_id", k=5, dim=dim)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF ANN run at exact degeneration (nprobe == n_centroids ⇒ every
+    cell probed ⇒ brute force) so the result is DuckDB-oracle-checkable;
+    the recall-vs-nprobe tradeoff configs are covered by recall tests.
+    Same self-exclusion and (score desc, id asc) ranking as the
+    brute-force baseline, so the same oracle shape applies."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.similarity import knn_ivf
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    queries = {int(v): e for v, e in pairs[:10]}
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, queries, "embedding", "vec_id", k=5,
+                  n_centroids=16, nprobe=16)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id": "neighbor_id"})[
+            ["qid", "neighbor_id", "rank", "score"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_approx_distinct_hll(sf_dir: str):
+    """HyperLogLog per-key approx distinct (mergeable sketch — the 100 TB
+    path where exact distinct would shuffle every value). Rows-only: the
+    estimator is deterministic but not SQL-expressible; tests assert <5%
+    error vs exact and merge==union."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.sketch import approx_distinct_per_key
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    out = approx_distinct_per_key(ds, "event_type", "user_id").to_pandas()
+    out = out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"event_type": out["event_type"],
+                         "approx_users": out["approx_distinct"].astype("float64")})
+
+
+def _q_approx_quantiles_kll(sf_dir: str):
+    """KLL per-key approx quantiles (mergeable sketch; shuffle moves
+    sketches, never values). Rows-only: compaction is deterministic but
+    not SQL-expressible; tests assert <2% rank error and merge parity."""
+    from cardinalhq_otel_collector_ray.stages.sketch import approx_quantiles_per_key
+    ds = _events_ms(sf_dir).select_columns(["event_type", "value_cents"])
+    out = approx_quantiles_per_key(ds, "event_type", "value_cents",
+                                   qs=[0.5, 0.95]).to_pandas()
+    out = out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"event_type": out["event_type"],
+                         "p50_cents": out["q_0_5"].astype("float64"),
+                         "p95_cents": out["q_0_95"].astype("float64")})
+
+
+def _q_pii_redaction(sf_dir: str):
+    """redactionprocessor analog (distribution/components.go:138): chained
+    RE2 PII masks (email → ipv4 → phone → long-digit-run, order-stable)
+    over a deterministically synthesized PII-bearing text column — the
+    driver tables contain no real PII, so both engines build the same
+    string from (event_id, user_id) and redact it."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.transform import redact_pii
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].astype("int64")
+        eid = df["event_id"].astype("int64")
+        raw = ("user u" + uid.astype(str) + "@mail-" + (uid % 50).astype(str)
+               + ".example.com from 10." + (uid % 256).astype(str) + "."
+               + (eid % 256).astype(str) + ".7 card 1234567"
+               + (eid % 10).astype(str) + " phone 555-867-530"
+               + (uid % 10).astype(str))
+        return pd.DataFrame({"event_id": eid, "raw": raw})
+
+    ds = ds.map_batches(synth, batch_format="pandas")
+    out = redact_pii(ds, "raw", out="clean")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "clean": batch["clean"]})
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_parse_props(sf_dir: str):
     """Regex field extraction from a JSON-ish props column (filelog
     regex_parser analog) — RE2 in both engines."""
@@ -1234,6 +1313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_bucketed": _q_join_bucketed,
         "bloom_semi_join": _q_bloom_semi_join,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "approx_distinct_hll": _q_approx_distinct_hll,
+        "approx_quantiles_kll": _q_approx_quantiles_kll,
+        "pii_redaction": _q_pii_redaction,
         "parse_props": _q_parse_props,
         "anomaly_zscore": _q_anomaly_zscore,
         "anomaly_iforest": _q_anomaly_iforest,
@@ -1478,6 +1561,41 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        "knn_ivf": r"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE q.qid <> e.vec_id
+), ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+        "pii_redaction": r"""
+WITH s AS (
+  SELECT event_id,
+    'user u' || CAST(user_id AS VARCHAR) || '@mail-'
+      || CAST(user_id % 50 AS VARCHAR) || '.example.com from 10.'
+      || CAST(user_id % 256 AS VARCHAR) || '.'
+      || CAST(event_id % 256 AS VARCHAR) || '.7 card 1234567'
+      || CAST(event_id % 10 AS VARCHAR) || ' phone 555-867-530'
+      || CAST(user_id % 10 AS VARCHAR) AS raw
+  FROM events
+)
+SELECT event_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d[\d\- ]{7,14}\d|\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{6,}\b', '<NUM>', 'g') AS clean
+FROM s
 """,
         "wordset_jaccard": r"""
 WITH ws AS (
