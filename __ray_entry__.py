@@ -1278,6 +1278,182 @@ def _q_drain_templates(sf_dir: str):
     return drain_templates(ds, "text", "doc_id")
 
 
+def _q_funnel(sf_dir: str):
+    """Two-step event-time funnel (view → purchase within 30 min) per
+    user: segmented masked-reduceat kernel after ONE key shuffle."""
+    from cardinalhq_otel_collector_ray.stages.temporal import funnel_match
+    ds = _events_ms(sf_dir).select_columns(["user_id", "event_type", "ts_ms"])
+    out = funnel_match(ds, key="user_id", ts_col="ts_ms",
+                       type_col="event_type", first_step="view",
+                       second_step="purchase", window_ms=1_800_000)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "first_view_ms": df["first_a_ms"].astype("int64"),
+                             "first_purchase_ms": df["first_b_ms"].astype("int64")})
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_anti_join(sf_dir: str):
+    """Exact distributed ANTI-join (lineitems whose order is not in
+    status 'F'): both sides co-partitioned by ONE shuffle, per-bucket
+    sorted-set filter — the complement of the tail-sampling semi-join."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.join import partitioned_semi_join
+    left = read_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_linenumber"])
+    right = (read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus"])
+             .map_batches(lambda t: t.filter(
+                 pc.equal(t["o_orderstatus"], "F"))
+                 .select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+                 batch_format="pyarrow"))
+    return partitioned_semi_join(left, right, on="l_orderkey", anti=True)
+
+
+def _q_rollup_events(sf_dir: str):
+    """SQL ROLLUP in one scan: (event_type, hour) → (event_type) → grand
+    total, every coarser level rolled up from the finest RESULT (G rows),
+    never a re-scan. Sentinels ('_ALL_', -1) instead of NULLs keep dtypes
+    engine-stable."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import rollup_aggregate
+    ds = _events_ms(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.multiply(pc.divide(batch["ts_ms"], 3_600_000), 3_600_000)
+        return batch.append_column("hour_ms", hour)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = rollup_aggregate(ds, ["event_type", "hour_ms"], "value_cents",
+                           sentinels={"event_type": "_ALL_", "hour_ms": -1},
+                           mode="driver")
+    return pd.DataFrame({"event_type": out["event_type"],
+                         "hour_ms": out["hour_ms"].astype("int64"),
+                         "level": out["level"].astype("int64"),
+                         "sum_cents": out["agg_sum"],
+                         "n": out["agg_count"]})
+
+
+def _q_moving_window(sf_dir: str):
+    """ROWS-frame window aggregates per (user, type) stream: lag delta +
+    trailing-5-rows sum/count/avg — one cumsum pass per partition, exact
+    int math through the division."""
+    from cardinalhq_otel_collector_ray.stages.window import windowed_moving_agg
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "ts_ms", "value_cents"])
+    out = windowed_moving_agg(ds, keys=["user_id", "event_type"],
+                              ts_col="ts_ms", value_col="value_cents",
+                              tiebreak_col="event_id", window_rows=5)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "lag_delta", "mov_sum", "mov_n", "mov_avg"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build: token → sorted posting list + df. Distinct
+    (token, doc) pairs deduped per block (packed-int64 unique), ONE token
+    shuffle, segmented posting assembly per partition."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.relevance import inverted_index
+    return inverted_index(tokenized_documents(sf_dir))
+
+
+def _q_value_histogram(sf_dir: str):
+    """Explicit-bounds histogram per event_type (the histogram-datapoint
+    analog of C2): fixed-width 1000-cent bins, floor bucketing (never
+    round — half-even vs half-away), two-phase count."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    ds = _events_ms(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = batch["value_cents"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bin", pa.array(np.floor_divide(cents, 1000).astype(np.int64)))
+
+    agg = grouped_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                            keys=["event_type", "bin"],
+                            value_col="value_cents", mode="driver").to_pandas()
+    agg = agg.sort_values(["event_type", "bin"], kind="mergesort")
+    return pd.DataFrame({"event_type": agg["event_type"].to_numpy(),
+                         "bin": agg["bin"].astype("int64").to_numpy(),
+                         "n": agg["agg_count"].astype("int64").to_numpy(),
+                         "sum_cents": agg["agg_sum"].astype("int64").to_numpy()})
+
+
+def _q_orders_revenue_topk(sf_dir: str):
+    """TPC-H-Q3-shaped multi-join top-k: BUILDING-segment customers
+    (broadcast semi-join — small side never shuffles) ⋈ orders ⋈ lineitem
+    (bucketed hash join, ONE co-partition shuffle), exact-integer revenue
+    units (cents × discount-%), partitioned two-phase aggregate, per-block
+    top-k prune → 10 rows."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import (
+        distributed_top_k, grouped_aggregate)
+    from cardinalhq_otel_collector_ray.stages.join import (bucketed_hash_join,
+                                                           semi_join)
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = semi_join(orders, np.asarray(keys.to_pylist(), dtype=np.int64),
+                       "o_custkey")
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        days = pc.divide(batch["o_orderdate"].cast(pa.int64()),
+                         86_400_000_000)
+        return pa.table({"l_orderkey": batch["o_orderkey"],
+                         "o_date_days": days})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        p = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        d = np.round(batch["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_units": pa.array(p * (100 - d))})
+
+    li = li.map_batches(l_prep, batch_format="pyarrow")
+    joined = bucketed_hash_join(li, orders, on="l_orderkey")
+    agg = grouped_aggregate(joined, keys=["l_orderkey", "o_date_days"],
+                            value_col="rev_units", mode="partitioned")
+    top = distributed_top_k(agg, 10, by=["agg_sum", "l_orderkey"],
+                            ascending=[False, True])
+    return pd.DataFrame({"o_orderkey": top["l_orderkey"].astype("int64").to_numpy(),
+                         "o_date_days": top["o_date_days"].astype("int64").to_numpy(),
+                         "revenue_units": top["agg_sum"].astype("int64").to_numpy()})
+
+
+def _q_corr_qty_price(sf_dir: str):
+    """Pearson correlation per returnflag from exact integer partial sums
+    (one C++ group_by per block, driver merge of bounded keys); the final
+    float64 expression shares a fixed operation order with the oracle."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_corr
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                     ).astype(np.int64)
+        usd = np.floor_divide(
+            np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64), 100)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "x": pa.array(q), "y": pa.array(usd)})
+
+    out = grouped_corr(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["l_returnflag"], "x", "y")
+    out = out.sort_values("l_returnflag", kind="mergesort").reset_index(drop=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1312,6 +1488,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
         "bloom_semi_join": _q_bloom_semi_join,
+        "anti_join": _q_anti_join,
+        "funnel_view_purchase": _q_funnel,
+        "rollup_events": _q_rollup_events,
+        "moving_window": _q_moving_window,
+        "inverted_index_tokens": _q_inverted_index,
+        "value_histogram": _q_value_histogram,
+        "orders_revenue_topk": _q_orders_revenue_topk,
+        "corr_qty_price": _q_corr_qty_price,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,
@@ -1561,6 +1745,99 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        "anti_join": r"""
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey NOT IN
+  (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+""",
+        "funnel_view_purchase": _SQL_EVENTS + r""", a AS (
+  SELECT user_id, min(ts_ms) AS first_view_ms
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT a.user_id, a.first_view_ms, min(e.ts_ms) AS first_purchase_ms
+FROM a JOIN ev e ON e.user_id = a.user_id AND e.event_type = 'purchase'
+  AND e.ts_ms >= a.first_view_ms
+  AND e.ts_ms - a.first_view_ms <= 1800000
+GROUP BY a.user_id, a.first_view_ms
+""",
+        "rollup_events": _SQL_EVENTS + r""", h AS (
+  SELECT event_type, (ts_ms // 3600000) * 3600000 AS hour_ms, value_cents
+  FROM ev
+)
+SELECT event_type, hour_ms, CAST(2 AS BIGINT) AS level,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents, count(*) AS n
+FROM h GROUP BY event_type, hour_ms
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(sum(value_cents) AS BIGINT), count(*)
+FROM h GROUP BY event_type
+UNION ALL
+SELECT '_ALL_', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(sum(value_cents) AS BIGINT), count(*)
+FROM h
+""",
+        "moving_window": _SQL_EVENTS + r"""
+SELECT event_id,
+  CAST(value_cents - COALESCE(lag(value_cents) OVER w, value_cents)
+       AS BIGINT) AS lag_delta,
+  CAST(sum(value_cents) OVER wf AS BIGINT) AS mov_sum,
+  count(*) OVER wf AS mov_n,
+  CAST(sum(value_cents) OVER wf AS DOUBLE) / (count(*) OVER wf) AS mov_avg
+FROM ev
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id),
+  wf AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "inverted_index_tokens": _SQL_TOKENS + r"""
+SELECT CAST(v.tid AS BIGINT) AS token,
+       list(DISTINCT e.doc_id ORDER BY e.doc_id) AS postings,
+       count(DISTINCT e.doc_id) AS df
+FROM exploded e JOIN vocab v ON e.w = v.word
+GROUP BY v.tid
+""",
+        "value_histogram": _SQL_EVENTS + r"""
+SELECT event_type, value_cents // 1000 AS bin,
+       count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents
+FROM ev GROUP BY event_type, bin
+""",
+        "orders_revenue_topk": r"""
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS o_date_days
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+), r AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_units
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_date_days, r.revenue_units
+FROM r JOIN o ON r.l_orderkey = o.o_orderkey
+ORDER BY r.revenue_units DESC, o.o_orderkey
+LIMIT 10
+""",
+        "corr_qty_price": r"""
+WITH t AS (
+  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS corr
+FROM s
 """,
         "knn_ivf": r"""
 WITH q AS (

@@ -387,3 +387,87 @@ def exact_heavy_hitters(ds: ray.data.Dataset, col: str, k: int):
     out = counts[counts["_n"] * k > total].sort_values(col, kind="mergesort")
     return _pd.DataFrame({col: out[col].to_numpy(),
                           "count": out["_n"].astype("int64").to_numpy()})
+
+
+def rollup_aggregate(ds, keys: list[str], value_col: str,
+                     sentinels: dict[str, object], mode: str = "driver",
+                     num_partitions: int = 64):
+    """SQL ROLLUP: sum/count at every prefix level of ``keys`` (finest,
+    each shorter prefix, grand total) from ONE scan.
+
+    The finest level runs through ``grouped_aggregate`` (same two-phase
+    pre-combine and mode choices); every coarser level is rolled up from
+    the FINEST RESULT — G rows, the rollup's own output size — so the
+    input is never re-scanned or re-shuffled per level. Rolled-up key
+    columns carry the caller's ``sentinels`` value (not NULL) so dtypes
+    stay stable across engines. Returns a pandas DataFrame with columns
+    ``keys + [level, agg_sum, agg_count]`` where ``level`` = number of
+    keys kept."""
+    import pandas as _pd
+
+    finest = grouped_aggregate(ds, keys, value_col, mode=mode,
+                               num_partitions=num_partitions).to_pandas()
+    finest = finest[keys + ["agg_sum", "agg_count"]]
+    frames = []
+    for level in range(len(keys), -1, -1):
+        keep = keys[:level]
+        if level == len(keys):
+            f = finest.copy()
+        elif keep:
+            f = finest.groupby(keep, as_index=False, sort=False)[
+                ["agg_sum", "agg_count"]].sum()
+        else:
+            f = _pd.DataFrame({"agg_sum": [finest["agg_sum"].sum()],
+                               "agg_count": [finest["agg_count"].sum()]})
+        for k in keys[level:]:
+            f[k] = sentinels[k]
+        f = f[keys + ["agg_sum", "agg_count"]]
+        f.insert(len(keys), "level", np.int64(level))
+        frames.append(f)
+    out = _pd.concat(frames, ignore_index=True)
+    out["agg_sum"] = out["agg_sum"].astype("int64")
+    out["agg_count"] = out["agg_count"].astype("int64")
+    return out
+
+
+def grouped_corr(ds, keys: list[str], x_col: str, y_col: str):
+    """Pearson correlation per key from EXACT integer partial sums
+    (n, Σx, Σy, Σx², Σy², Σxy accumulated per block with one C++
+    ``group_by``, merged on the driver — bounded key cardinality).
+
+    Callers pass integer-valued columns with |x|,|y| small enough that the
+    per-block int64 products cannot overflow (the unbounded-scale variant
+    would switch partials to float64 and give up bit-parity). The final
+    correlation is computed in float64 with a FIXED operation order —
+    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²))`` — so a
+    SQL oracle using the same expression is bit-identical; round(…,6)
+    last."""
+    import pandas as _pd
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({**{k: batch[k] for k in keys},
+                      "_x": pa.array(x), "_y": pa.array(y),
+                      "_xx": pa.array(x * x), "_yy": pa.array(y * y),
+                      "_xy": pa.array(x * y)})
+        part = t.group_by(keys).aggregate(
+            [("_x", "sum"), ("_y", "sum"), ("_xx", "sum"),
+             ("_yy", "sum"), ("_xy", "sum"), ("_x", "count")])
+        return part.rename_columns(keys + ["_sx", "_sy", "_sxx", "_syy",
+                                           "_sxy", "_n"])
+
+    partials = ds.map_batches(precombine, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(keys, as_index=False, sort=False).sum()
+    n = g["_n"].to_numpy().astype(np.float64)
+    sx = g["_sx"].to_numpy().astype(np.float64)
+    sy = g["_sy"].to_numpy().astype(np.float64)
+    sxx = g["_sxx"].to_numpy().astype(np.float64)
+    syy = g["_syy"].to_numpy().astype(np.float64)
+    sxy = g["_sxy"].to_numpy().astype(np.float64)
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                  * np.sqrt(n * syy - sy * sy))
+    out = g[keys].copy()
+    out["n"] = g["_n"].astype("int64")
+    out["corr"] = np.round(corr, 6)
+    return _pd.DataFrame(out)

@@ -303,3 +303,49 @@ def flag_boilerplate(ds: ray.data.Dataset, hot_keys: np.ndarray, n: int,
             "n_hot": pa.array(n_hot),
             "has_boilerplate": pa.array(n_hot > 0)})
     return ds.map_batches(block, batch_format="pyarrow")
+
+
+def inverted_index(ds: ray.data.Dataset, tokens_col: str = "tokens",
+                   id_col: str = "doc_id",
+                   num_partitions: int = 64) -> ray.data.Dataset:
+    """Distributed inverted-index build: token → sorted posting list of
+    doc ids (+ document frequency). The retrieval-side companion of the
+    TF-IDF/BM25 scorers.
+
+    Scale shape: per-block the (token, doc) pairs are deduped with one
+    ``np.unique`` over packed int64 codes (no Python per row), then ONE
+    hash-partition shuffle on the token moves only distinct pairs; each
+    partition emits its postings with a segmented ``np.split`` over the
+    (token, doc)-sorted arrays. Posting lists are per-token — bounded by
+    that token's df, the same contract as any posting store."""
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        doc_idx, values, _ = _flat_tokens(batch, tokens_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = ids[doc_idx]
+        # pack (token, doc) for one-pass distinct; token and doc_id are
+        # both < 2^31 by the input contract
+        packed = np.unique((values << np.int64(32)) | docs)
+        tok = (packed >> np.int64(32)).astype(np.int64)
+        doc = (packed & np.int64(0xFFFFFFFF)).astype(np.int64)
+        part = (tok % np.int64(num_partitions)).astype(np.int32)
+        return pa.table({"token": pa.array(tok), "doc": pa.array(doc),
+                         "_part": pa.array(part)})
+
+    pairs = ds.map_batches(block_pairs, batch_format="pyarrow")
+
+    def per_part(t: pa.Table) -> pa.Table:
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        packed = np.unique((tok << np.int64(32)) | doc)  # cross-block dedup
+        tok = (packed >> np.int64(32)).astype(np.int64)
+        doc = (packed & np.int64(0xFFFFFFFF)).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        counts = np.diff(np.append(starts, len(tok)))
+        postings = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, len(tok)].astype(np.int32)),
+            pa.array(doc))
+        return pa.table({"token": pa.array(tok[starts]),
+                         "postings": postings,
+                         "df": pa.array(counts.astype(np.int64))})
+
+    return pairs.groupby("_part").map_groups(per_part, batch_format="pyarrow")

@@ -280,3 +280,50 @@ def sessionize(ds: ray.data.Dataset, key: str, ts_col: str, gap_ms: int,
                                        for s, e in zip(starts, ends)]
         return out
     return partitioned_apply(ds, [key], kernel, num_partitions)
+
+
+def funnel_match(ds: ray.data.Dataset, key: str, ts_col: str, type_col: str,
+                 first_step: str, second_step: str, window_ms: int,
+                 num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                 ) -> ray.data.Dataset:
+    """Two-step event-time funnel per key (the groupbytrace / sessions
+    analysis shape, components.go:129): for each key, find the FIRST
+    ``first_step`` event and the FIRST ``second_step`` event at or after
+    it within ``window_ms``. Emits one row per key that completed the
+    funnel: key, first_a_ms, first_b_ms.
+
+    Scale shape: one hash-partition shuffle on the key, then a segmented
+    numpy kernel per partition — masked ``minimum.reduceat`` over the
+    key-sorted timestamp array, zero per-key Python dispatch. Conditions
+    compare timestamp VALUES only (``b_ts >= first_a``), so duplicate
+    timestamps cannot make the result order-dependent."""
+    inf = np.iinfo(np.int64).max
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({key: df[key],
+                                 "first_a_ms": np.array([], np.int64),
+                                 "first_b_ms": np.array([], np.int64)})
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        et = df[type_col].to_numpy()
+        newkey = _segment_starts(df, [key])
+        starts = np.flatnonzero(newkey)
+        seg_len = np.diff(np.append(starts, n))
+        ta = np.where(et == first_step, ts, inf)
+        first_a = np.minimum.reduceat(ta, starts)
+        row_first_a = np.repeat(first_a, seg_len)
+        # subtraction form avoids inf + window overflow
+        b_ok = ((et == second_step) & (row_first_a != inf)
+                & (ts >= row_first_a) & (ts - row_first_a <= window_ms))
+        tb = np.where(b_ok, ts, inf)
+        first_b = np.minimum.reduceat(tb, starts)
+        done = (first_a != inf) & (first_b != inf)
+        return pd.DataFrame({
+            key: df[key].to_numpy()[starts[done]],
+            "first_a_ms": first_a[done],
+            "first_b_ms": first_b[done],
+        })
+
+    return partitioned_apply(ds, [key], kernel, num_partitions)

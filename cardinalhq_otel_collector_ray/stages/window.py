@@ -73,3 +73,51 @@ def windowed_rank(ds: ray.data.Dataset, keys: list[str], value_col: str,
         return df.assign(rnk=rnk, pct=pct, tile=tile.astype(np.int64))
 
     return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)
+
+
+def windowed_moving_agg(ds: ray.data.Dataset, keys: list[str], ts_col: str,
+                        value_col: str, tiebreak_col: str, window_rows: int,
+                        num_partitions: int = 64) -> ray.data.Dataset:
+    """Per-key ordered ROWS-frame window aggregates: ``lag_delta`` (value
+    minus previous row's value, 0 on the first row of a key),
+    ``mov_sum`` / ``mov_n`` / ``mov_avg`` over the trailing
+    ``window_rows`` rows (SQL ``ROWS BETWEEN w-1 PRECEDING AND CURRENT
+    ROW``).
+
+    Kernel: one global int64 cumsum; each row's frame sum is
+    ``cs[i] - cs[lower-1]`` where ``lower = max(seg_start, i-w+1)`` — the
+    difference never crosses a key boundary, so one vector pass covers
+    every key. ``mov_avg`` is an exact-int division (bit-identical to a
+    SQL ``CAST(sum AS DOUBLE)/count``)."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [ts_col, tiebreak_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df.assign(lag_delta=np.array([], np.int64),
+                             mov_sum=np.array([], np.int64),
+                             mov_n=np.array([], np.int64),
+                             mov_avg=np.array([], np.float64))
+        v = df[value_col].to_numpy().astype(np.int64)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        for k in keys:
+            kv = df[k].to_numpy()
+            new_key[1:] |= kv[1:] != kv[:-1]
+        seg_start_idx = np.flatnonzero(new_key)
+        seg_len = np.diff(np.r_[seg_start_idx, n])
+        seg_start = np.repeat(seg_start_idx, seg_len)
+        idx = np.arange(n)
+        prev = np.r_[0, v[:-1]]
+        lag_delta = np.where(new_key, 0, v - prev).astype(np.int64)
+        cs = np.cumsum(v)
+        lower = np.maximum(seg_start, idx - window_rows + 1)
+        below = np.where(lower > 0, cs[np.maximum(lower - 1, 0)], 0)
+        below[lower == 0] = 0
+        mov_sum = cs - below
+        mov_n = idx - lower + 1
+        mov_avg = mov_sum / mov_n
+        return df.assign(lag_delta=lag_delta, mov_sum=mov_sum,
+                         mov_n=mov_n.astype(np.int64), mov_avg=mov_avg)
+
+    return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)

@@ -95,6 +95,7 @@ def test_contract_surface():
     assert rows_only == {"minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
                          "aggregate_emit_shape", "drain_templates",
                          "anomaly_iforest", "winnow_fingerprints",
-                         "kmeans_cluster_sizes"}, rows_only
+                         "kmeans_cluster_sizes", "approx_distinct_hll",
+                         "approx_quantiles_kll"}, rows_only
     assert callable(entrymod.entry)
-    assert len(ORACLES) >= 38
+    assert len(ORACLES) >= 60

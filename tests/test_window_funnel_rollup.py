@@ -1,0 +1,108 @@
+"""Edge-case goldens for the round-2 second-pass operators: two-step
+funnel, ROWS-frame moving window, ROLLUP levels, integer-exact Pearson
+correlation, inverted-index build."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from cardinalhq_otel_collector_ray.stages.aggregate import (grouped_corr,
+                                                            rollup_aggregate)
+from cardinalhq_otel_collector_ray.stages.relevance import inverted_index
+from cardinalhq_otel_collector_ray.stages.temporal import funnel_match
+from cardinalhq_otel_collector_ray.stages.window import windowed_moving_agg
+
+
+def _events(rows):
+    return ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["user_id", "event_type", "ts_ms"]))
+
+
+def test_funnel_basic_and_window_cutoff():
+    ds = _events([
+        (1, "view", 100), (1, "purchase", 150),        # completes
+        (2, "view", 100), (2, "purchase", 2000),       # outside window
+        (3, "purchase", 50), (3, "view", 100),         # B before A only
+        (4, "view", 100), (4, "view", 50), (4, "purchase", 70),
+    ])
+    out = (funnel_match(ds, "user_id", "ts_ms", "event_type",
+                        "view", "purchase", window_ms=500, num_partitions=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # user 4: first view at 50, purchase at 70 is >= 50 and within window
+    assert out["user_id"].tolist() == [1, 4]
+    assert out["first_a_ms"].tolist() == [100, 50]
+    assert out["first_b_ms"].tolist() == [150, 70]
+
+
+def test_funnel_same_timestamp_counts():
+    ds = _events([(7, "view", 100), (7, "purchase", 100)])
+    out = funnel_match(ds, "user_id", "ts_ms", "event_type",
+                       "view", "purchase", window_ms=10,
+                       num_partitions=2).to_pandas()
+    assert out["first_b_ms"].tolist() == [100]
+
+
+def test_moving_agg_frame_and_segments():
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 2,
+        "ts": [1, 2, 3, 4, 5, 6, 1, 2],
+        "v": [10, 20, 30, 40, 50, 60, 7, 9],
+        "id": range(8),
+    })
+    out = (windowed_moving_agg(ray.data.from_pandas(df), ["k"], "ts", "v",
+                               "id", window_rows=3, num_partitions=2)
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    # trailing-3 sums within "a": 10, 30, 60, 90, 120, 150
+    assert out.loc[out["k"] == "a", "mov_sum"].tolist() == [10, 30, 60, 90, 120, 150]
+    assert out.loc[out["k"] == "a", "mov_n"].tolist() == [1, 2, 3, 3, 3, 3]
+    # lag_delta: 0 on each segment's first row; never crosses into "b"
+    assert out.loc[out["k"] == "a", "lag_delta"].tolist() == [0, 10, 10, 10, 10, 10]
+    assert out.loc[out["k"] == "b", "mov_sum"].tolist() == [7, 16]
+    assert out.loc[out["k"] == "b", "lag_delta"].tolist() == [0, 2]
+    a = out.loc[out["k"] == "a"]
+    assert np.allclose(a["mov_avg"], a["mov_sum"] / a["mov_n"])
+
+
+def test_rollup_levels_are_consistent():
+    df = pd.DataFrame({"t": ["x", "x", "y"], "h": [0, 1, 0],
+                       "v": [5, 7, 11]})
+    out = rollup_aggregate(ray.data.from_pandas(df), ["t", "h"], "v",
+                           sentinels={"t": "_ALL_", "h": -1})
+    total = out[out["level"] == 0]
+    assert total["agg_sum"].tolist() == [23]
+    assert total["agg_count"].tolist() == [3]
+    assert total["t"].tolist() == ["_ALL_"] and total["h"].tolist() == [-1]
+    by_t = out[out["level"] == 1].sort_values("t")
+    assert by_t["agg_sum"].tolist() == [12, 11]
+    assert (by_t["h"] == -1).all()
+    finest = out[out["level"] == 2]
+    assert finest["agg_sum"].sum() == 23 and len(finest) == 3
+    # dtypes survive the sentinel fill
+    assert str(out["h"].dtype) == "int64"
+
+
+def test_grouped_corr_perfect_and_inverse():
+    df = pd.DataFrame({
+        "g": ["p"] * 4 + ["n"] * 4,
+        "x": [1, 2, 3, 4, 1, 2, 3, 4],
+        "y": [2, 4, 6, 8, 8, 6, 4, 2],
+    })
+    out = grouped_corr(ray.data.from_pandas(df, override_num_blocks=3),
+                       ["g"], "x", "y").sort_values("g")
+    assert out["corr"].tolist() == [-1.0, 1.0]
+    assert out["n"].tolist() == [4, 4]
+
+
+def test_inverted_index_dedups_and_sorts():
+    import pyarrow as pa
+    t = pa.table({
+        "doc_id": pa.array([10, 3, 7], pa.int64()),
+        "tokens": pa.array([[1, 2, 1, 1], [2], [1, 5]],
+                           pa.list_(pa.int32())),
+    })
+    out = (inverted_index(ray.data.from_arrow(t), num_partitions=4)
+           .to_pandas().sort_values("token").reset_index(drop=True))
+    assert out["token"].tolist() == [1, 2, 5]
+    assert [list(p) for p in out["postings"]] == [[7, 10], [3, 10], [7]]
+    assert out["df"].tolist() == [2, 2, 1]
