@@ -1454,6 +1454,76 @@ def _q_corr_qty_price(sf_dir: str):
     return out
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (repetitiveness
+    quality signal): shuffle-free lexsort + run-length + reduceat kernel;
+    summation order fixed to token-ascending for double parity."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.textstats import token_entropy
+    return token_entropy(tokenized_documents(sf_dir))
+
+
+def _q_argmax_event(sf_dir: str):
+    """arg-max as a mergeable aggregate: per event_type the event holding
+    the maximum value (smallest event_id on ties) via packed-int64 max
+    partials — no per-group row retention anywhere."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_argmax
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "event_type", "value_cents"])
+    out = grouped_argmax(ds, ["event_type"], "value_cents", "event_id")
+    out = out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"event_type": out["event_type"],
+                         "max_cents": out["max_value_cents"].astype("int64"),
+                         "max_event_id": out["argmax_event_id"].astype("int64")})
+
+
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region → revenue per region. Dims chain on the driver into one tiny
+    custkey→region dict (broadcast); the two BIG joins
+    (lineitem⋈orders⋈customer-attrs) run as chained bucketed hash joins —
+    co-partition shuffles, never a broadcast of a big side."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.enrich import enrich_stage
+    from cardinalhq_otel_collector_ray.stages.join import bucketed_hash_join
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"],
+                   nation["n_regionkey"].map(
+                       dict(zip(region["r_regionkey"], region["r_name"])))))
+    c2r = {int(k): {"r_name": v}
+           for k, v in zip(cust["c_custkey"], cust["c_nationkey"].map(n2r))}
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = enrich_stage(orders, c2r, key_column="o_custkey").map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "r_name": t["r_name"]}),
+        batch_format="pyarrow")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        p = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        d = np.round(batch["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_units": pa.array(p * (100 - d))})
+
+    joined = bucketed_hash_join(li.map_batches(l_prep, batch_format="pyarrow"),
+                                orders, on="l_orderkey")
+    agg = grouped_aggregate(joined, keys=["r_name"], value_col="rev_units",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("r_name", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"r_name": agg["r_name"],
+                         "revenue_units": agg["agg_sum"].astype("int64"),
+                         "n_items": agg["agg_count"].astype("int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1496,6 +1566,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "orders_revenue_topk": _q_orders_revenue_topk,
         "corr_qty_price": _q_corr_qty_price,
+        "token_entropy": _q_token_entropy,
+        "argmax_event_per_type": _q_argmax_event,
+        "regional_revenue": _q_regional_revenue,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,
@@ -1838,6 +1911,46 @@ SELECT l_returnflag, n,
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
              6) AS corr
 FROM s
+""",
+        "token_entropy": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
+, tid_rows AS (
+  SELECT e.doc_id, v.tid FROM exploded e JOIN vocab v ON e.w = v.word
+), cnt AS (
+  SELECT doc_id, tid, CAST(count(*) AS BIGINT) AS c
+  FROM tid_rows GROUP BY doc_id, tid
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tid_rows GROUP BY doc_id
+), terms AS (
+  SELECT cnt.doc_id, cnt.tid,
+         -((CAST(cnt.c AS DOUBLE) / nn.n) * ln(CAST(cnt.c AS DOUBLE) / nn.n))
+           AS t
+  FROM cnt JOIN nn ON cnt.doc_id = nn.doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(list_sum(list(t ORDER BY tid)), 6) AS entropy
+FROM terms GROUP BY doc_id
+""",
+        "argmax_event_per_type": _SQL_EVENTS + r"""
+SELECT event_type, value_cents AS max_cents, event_id AS max_event_id
+FROM (SELECT event_type, event_id, value_cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value_cents DESC, event_id) AS rn
+      FROM ev)
+WHERE rn = 1
+""",
+        "regional_revenue": r"""
+SELECT r_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_units,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """,
         "knn_ivf": r"""
 WITH q AS (

@@ -471,3 +471,68 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str):
     out["n"] = g["_n"].astype("int64")
     out["corr"] = np.round(corr, 6)
     return _pd.DataFrame(out)
+
+
+def grouped_argmax(ds, keys: list[str], value_col: str, arg_col: str,
+                   mode: str = "driver", num_partitions: int = 64):
+    """arg-max per key (the row identifier holding the key's maximum
+    value; smallest ``arg_col`` wins ties) — the logdedup packed-key
+    "first" trick generalized into a mergeable aggregate.
+
+    Pack = ``value·2³¹ + (2³¹−1−arg)``: maximizing the pack maximizes the
+    value and, on ties, minimizes the arg — so per-block C++ ``max``
+    partials merge associatively like any sum (no per-group row
+    retention). Contract: ``0 ≤ value < 2³¹`` and ``0 ≤ arg < 2³¹``
+    (int64-exact); wider payloads would pack into fixed-width bytes.
+    Returns key columns + ``max_<value_col>`` + ``argmax_<arg_col>``."""
+    B = np.int64(1) << np.int64(31)
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = batch[arg_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({**{k: batch[k] for k in keys},
+                      "_pack": pa.array(v * B + (B - 1 - a))})
+        part = t.group_by(keys).aggregate([("_pack", "max")])
+        return part.rename_columns(keys + ["_pack"])
+
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    if mode == "partitioned":
+        from ..functions.hashing import table_key_hash
+
+        def add_part(b: pa.Table) -> pa.Table:
+            tag = (table_key_hash(b, keys)
+                   % np.uint64(num_partitions)).astype(np.int32)
+            return b.append_column("_apart", pa.array(tag))
+
+        def per_part(t: pa.Table) -> pa.Table:
+            return t.group_by(keys).aggregate([("_pack", "max")]) \
+                    .rename_columns(keys + ["_pack"])
+
+        merged = (partials.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("_apart").map_groups(per_part,
+                                                batch_format="pyarrow")
+                  .to_pandas())
+    else:
+        # same scale guard as grouped_aggregate's driver mode: bail out to
+        # a distributed max if the partials outgrow the coordinator
+        batches, total, overflow = [], 0, False
+        for b in partials.iter_batches(batch_format="pandas"):
+            batches.append(b)
+            total += len(b)
+            if total > MAX_DRIVER_ROWS:
+                overflow = True
+                break
+        if overflow:
+            from ray.data.aggregate import Max
+            merged = (partials.groupby(keys)
+                      .aggregate(Max("_pack", alias_name="_pack"))
+                      .to_pandas())
+        else:
+            import pandas as _pd
+            merged = _pd.concat(batches, ignore_index=True).groupby(
+                keys, as_index=False, sort=False)["_pack"].max()
+    pack = merged["_pack"].to_numpy().astype(np.int64)
+    out = merged[keys].copy()
+    out[f"max_{value_col}"] = pack // int(B)
+    out[f"argmax_{arg_col}"] = int(B) - 1 - (pack % int(B))
+    return out

@@ -238,3 +238,47 @@ def logistic_score(ds: ray.data.Dataset, features: list[tuple[str, float]],
         score = 1.0 / (1.0 + np.exp(-z))
         return batch.append_column(out, pa.array(score))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_entropy(ds: ray.data.Dataset, tokens_col: str = "tokens",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Shannon entropy of each document's token distribution —
+    H = −Σ_t (c_t/n)·ln(c_t/n) — a repetitiveness/quality signal next to
+    `quality_stats`.
+
+    Shuffle-free (entropy is per-doc): one lexsort of the block's flat
+    (doc, token) pairs, run-length counts, then a term-per-distinct-token
+    array reduced per doc with ``add.reduceat`` in token-ascending order —
+    the same fixed summation order as a SQL
+    ``list_sum(list(t ORDER BY tid))``, so doubles match bit-for-bit.
+    Output: id, n_distinct (BIGINT), entropy (round 6)."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_per = np.diff(offsets)
+        n_docs = len(n_per)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_per)
+        order = np.lexsort((values, doc_idx))
+        dv, tv = doc_idx[order], values[order]
+        new_run = np.r_[True, (dv[1:] != dv[:-1]) | (tv[1:] != tv[:-1])]
+        run_start = np.flatnonzero(new_run)
+        c = np.diff(np.append(run_start, len(tv))).astype(np.float64)
+        run_doc = dv[run_start]
+        n = n_per[run_doc].astype(np.float64)
+        p = c / n
+        terms = -(p * np.log(p))
+        new_doc = np.r_[True, run_doc[1:] != run_doc[:-1]]
+        doc_start = np.flatnonzero(new_doc)
+        ent = np.add.reduceat(terms, doc_start) if len(terms) else terms
+        n_distinct = np.diff(np.append(doc_start, len(run_doc)))
+        present = run_doc[doc_start]          # docs with ≥1 token
+        out = pa.table({
+            id_col: batch[id_col].take(pa.array(present)),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "entropy": pa.array(np.round(ent, 6)),
+        })
+        return out
+    return ds.map_batches(kernel, batch_format="pyarrow")

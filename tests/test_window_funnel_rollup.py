@@ -106,3 +106,41 @@ def test_inverted_index_dedups_and_sorts():
     assert out["token"].tolist() == [1, 2, 5]
     assert [list(p) for p in out["postings"]] == [[7, 10], [3, 10], [7]]
     assert out["df"].tolist() == [2, 2, 1]
+
+
+def test_grouped_argmax_ties_pick_smallest_arg():
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_argmax
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b"],
+        "v": [5, 9, 9, 2, 2],
+        "i": [100, 42, 7, 3, 1],
+    })
+    out = grouped_argmax(ray.data.from_pandas(df, override_num_blocks=3),
+                         ["g"], "v", "i").sort_values("g").reset_index(drop=True)
+    assert out["max_v"].tolist() == [9, 2]
+    assert out["argmax_i"].tolist() == [7, 1]
+    # partitioned mode agrees
+    out2 = grouped_argmax(ray.data.from_pandas(df, override_num_blocks=3),
+                          ["g"], "v", "i", mode="partitioned",
+                          num_partitions=4).sort_values("g").reset_index(drop=True)
+    assert out2["max_v"].tolist() == [9, 2]
+    assert out2["argmax_i"].tolist() == [7, 1]
+
+
+def test_token_entropy_golden():
+    import math
+
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.stages.textstats import token_entropy
+    t = pa.table({
+        "doc_id": pa.array(["u", "h", "e"], pa.string()),
+        "tokens": pa.array([[3, 3, 3, 3], [1, 2, 1, 2], []],
+                           pa.list_(pa.int32())),
+    })
+    out = (token_entropy(ray.data.from_arrow(t))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc["u", "entropy"] == 0.0          # uniform single token
+    assert out.loc["u", "n_distinct"] == 1
+    assert abs(out.loc["h", "entropy"] - math.log(2)) < 1e-6
+    assert "e" not in out.index                     # empty doc dropped
