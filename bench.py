@@ -30,6 +30,28 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATION = int(os.environ.get("GRAFT_REPLICATION", "2000"))
 
 
+def cpu_canary() -> dict:
+    """Fixed-work host-speed probe reported with every bench line.
+
+    The sandbox VMs share a host whose DRAM bandwidth varies wildly
+    between boots (measured 0.08–10+ GB/s memcpy on the same image); the
+    flagship pipeline is memory-bound, so its wall time tracks this
+    canary roughly linearly. Reporting the canary with each run makes
+    numbers comparable across rounds/hosts."""
+    import numpy as np
+    a = np.random.default_rng(0).standard_normal((768, 768))
+    t = time.perf_counter()
+    for _ in range(5):
+        a @ a
+    gflops = 2 * 768 ** 3 * 5 / (time.perf_counter() - t) / 1e9
+    b = np.ones(128 * 1024 * 1024 // 8)
+    t = time.perf_counter()
+    for _ in range(3):
+        b.copy()
+    gbps = 3 * 128 / 1024 / (time.perf_counter() - t)
+    return {"matmul_gflops": round(gflops, 1), "memcpy_gbps": round(gbps, 2)}
+
+
 def _init_ray(num_cpus: int):
     import ray
     if not ray.is_initialized():
@@ -144,7 +166,11 @@ def run_queries(sf_dir: str) -> dict:
              "bloom_semi_join", "tfidf_top_terms", "bm25_topdocs",
              "interval_join_windows", "anomaly_iforest",
              "heavy_hitter_tokens", "winnow_fingerprints",
-             "reservoir_sample", "stratified_sample"]
+             "reservoir_sample", "stratified_sample",
+             "funnel_view_purchase", "moving_window", "rollup_events",
+             "anti_join", "inverted_index_tokens", "token_entropy",
+             "orders_revenue_topk", "regional_revenue", "corr_qty_price",
+             "argmax_event_per_type", "knn_ivf", "pii_redaction"]
     qs = entrymod.queries()
     out = {}
     for name in names:
@@ -291,6 +317,8 @@ def main():
                            for c in results},
             "tok_per_sec": {str(c): round(results[c]["tok_per_sec"], 1)
                             for c in results},
+            "host_canary": {str(c): results[c].get("host_canary")
+                            for c in results},
             "sf_dir": SF_DIR, "replication": REPLICATION,
         }))
         return
@@ -300,12 +328,14 @@ def main():
         if a.startswith("--cpus="):
             cpus = int(a.split("=")[1])
 
+    canary = cpu_canary()
     headline = run_headline(SF_DIR, cpus, REPLICATION)
     if "--headline-only" in sys.argv:
         print(json.dumps({"seq_per_sec": headline["seq_per_sec"],
                           "tok_per_sec": headline["tok_per_sec"],
                           "wall_sec": headline["wall_sec"],
-                          "warmup_sec": round(headline["warmup_sec"], 3)}))
+                          "warmup_sec": round(headline["warmup_sec"], 3),
+                          "host_canary": canary}))
         import ray
         ray.shutdown()
         return
@@ -322,6 +352,7 @@ def main():
         "tokens": headline["tokens"],
         "seq_per_sec": round(headline["seq_per_sec"], 1),
         "tok_per_sec": round(headline["tok_per_sec"], 1),
+        "host_canary": canary,
     }))
     import ray
     ray.shutdown()
