@@ -1524,6 +1524,73 @@ def _q_regional_revenue(sf_dir: str):
                          "n_items": agg["agg_count"].astype("int64")})
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (pretraining layout): per-source
+    streams ordered by doc id, cut into 512-token context windows; each
+    doc gets its starting (bin, offset) from one exclusive-cumsum pass
+    per partition."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.packing import pack_sequences
+    ds = tokenized_documents(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "source": batch["source"],
+                         "n_tok": batch["n_tok"].cast(pa.int64())})
+
+    packed = pack_sequences(ds.map_batches(prep, batch_format="pyarrow"),
+                            key="source", order_col="doc_id",
+                            len_col="n_tok", context_len=512)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "source", "bin_id", "bin_offset"]]
+    return packed.map_batches(project, batch_format="pandas")
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10 by integer hash) +
+    per-split accounting — retry/resume lands every row in the same
+    subset (no RNG, no wall clock)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.packing import dataset_split
+    ds = dataset_split(read_table(sf_dir, "documents",
+                                  columns=["doc_id", "n_chars"]), "doc_id")
+    agg = grouped_aggregate(ds, keys=["split"], value_col="n_chars",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("split", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"split": agg["split"],
+                         "n_docs": agg["agg_count"].astype("int64"),
+                         "sum_chars": agg["agg_sum"].astype("int64")})
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark-contamination flags: corpus docs sharing any token
+    trigram with the (hash-selected ~2%) benchmark subset. Benchmark
+    grams collected distributed and broadcast; the corpus never
+    shuffles."""
+    from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+    from cardinalhq_otel_collector_ray.sources import (build_vocab,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        contamination_flags)
+    vocab_size = len(build_vocab(sf_dir))
+    ds = tokenized_documents(sf_dir)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bench", pa.array(mulhash(ids, mod=100) < 2))
+
+    # materialize once: the marked table is consumed by BOTH branches
+    marked = ds.map_batches(mark, batch_format="pyarrow").materialize()
+    bench = marked.map_batches(lambda t: t.filter(t["_bench"]),
+                               batch_format="pyarrow")
+    corpus = marked.map_batches(
+        lambda t: t.filter(pc.invert(t["_bench"])), batch_format="pyarrow")
+    return contamination_flags(corpus, bench, n=3, vocab_size=vocab_size)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1569,6 +1636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "argmax_event_per_type": _q_argmax_event,
         "regional_revenue": _q_regional_revenue,
+        "pack_sequences": _q_pack_sequences,
+        "dataset_split": _q_dataset_split,
+        "contamination_flags": _q_contamination,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,
@@ -1911,6 +1981,51 @@ SELECT l_returnflag, n,
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
              6) AS corr
 FROM s
+""",
+        "pack_sequences": _SQL_TOKENS + r""", packed AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS doc_id, d.source,
+         CAST(sum(t.n_tok) OVER (PARTITION BY d.source ORDER BY t.doc_id
+              ROWS UNBOUNDED PRECEDING) - t.n_tok AS BIGINT) AS excl
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+)
+SELECT doc_id, source, excl // 512 AS bin_id, excl % 512 AS bin_offset
+FROM packed
+""",
+        "dataset_split": r"""
+WITH s AS (
+  SELECT CASE WHEN (doc_id * 2654435761 + 12345) % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761 + 12345) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split
+""",
+        "contamination_flags": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
+), vs AS (SELECT count(*) AS v FROM vocab),
+tri AS (
+  SELECT doc_id,
+         (tid * vs.v + lead(tid, 1) OVER w) * vs.v
+           + lead(tid, 2) OVER w AS key
+  FROM seq CROSS JOIN vs
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), t2 AS (SELECT doc_id, key FROM tri WHERE key IS NOT NULL),
+bench AS (
+  SELECT DISTINCT key FROM t2
+  WHERE (doc_id * 2654435761 + 12345) % 100 < 2
+), per_doc AS (
+  SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS nh
+  FROM t2 JOIN bench USING (key)
+  WHERE (t2.doc_id * 2654435761 + 12345) % 100 >= 2
+  GROUP BY t2.doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(COALESCE(p.nh, 0) AS BIGINT) AS n_shared,
+       COALESCE(p.nh, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+WHERE (d.doc_id * 2654435761 + 12345) % 100 >= 2
 """,
         "token_entropy": _SQL_TOKENS.replace("), tok AS", "), tokq AS") + r"""
 , tid_rows AS (

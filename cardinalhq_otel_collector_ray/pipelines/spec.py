@@ -237,6 +237,49 @@ def _s_iforest(ds, cfg):
                                out=cfg.get("out", "iforest_score"))
 
 
+def _s_pack_sequences(ds, cfg):
+    from ..stages.packing import pack_sequences
+    return pack_sequences(ds, key=cfg["key"], order_col=cfg["order"],
+                          len_col=cfg["len"],
+                          context_len=int(cfg["context_len"]))
+
+
+def _s_dataset_split(ds, cfg):
+    from ..stages.packing import dataset_split
+    th = cfg.get("thresholds", (80, 90))
+    return dataset_split(ds, id_col=cfg["id"], thresholds=(int(th[0]),
+                                                           int(th[1])),
+                         out=cfg.get("out", "split"))
+
+
+def _s_funnel(ds, cfg):
+    from ..stages.temporal import funnel_match
+    return funnel_match(ds, key=cfg["key"], ts_col=cfg["ts"],
+                        type_col=cfg["type"], first_step=cfg["first"],
+                        second_step=cfg["second"],
+                        window_ms=int(cfg["window_ms"]))
+
+
+def _s_moving_window(ds, cfg):
+    from ..stages.window import windowed_moving_agg
+    return windowed_moving_agg(ds, keys=list(cfg["keys"]), ts_col=cfg["ts"],
+                               value_col=cfg["value"],
+                               tiebreak_col=cfg["tiebreak"],
+                               window_rows=int(cfg["window_rows"]))
+
+
+def _s_token_entropy(ds, cfg):
+    from ..stages.textstats import token_entropy
+    return token_entropy(ds, tokens_col=cfg.get("tokens", "tokens"),
+                         id_col=cfg.get("id", "doc_id"))
+
+
+def _s_inverted_index(ds, cfg):
+    from ..stages.relevance import inverted_index
+    return inverted_index(ds, tokens_col=cfg.get("tokens", "tokens"),
+                          id_col=cfg.get("id", "doc_id"))
+
+
 _STAGES: dict[str, StageFn] = {
     "parse_regex": _s_parse_regex,
     "flag_regex": _s_flag_regex,
@@ -266,6 +309,12 @@ _STAGES: dict[str, StageFn] = {
     "stratified_sample": _s_stratified_sample,
     "winnow": _s_winnow,
     "iforest": _s_iforest,
+    "pack_sequences": _s_pack_sequences,
+    "dataset_split": _s_dataset_split,
+    "funnel": _s_funnel,
+    "moving_window": _s_moving_window,
+    "token_entropy": _s_token_entropy,
+    "inverted_index": _s_inverted_index,
 }
 
 

@@ -1,0 +1,76 @@
+"""Training-batch preparation: sequence packing and deterministic splits.
+
+The reference ships data to per-vendor sinks; a training-data engine
+additionally has to lay documents out into fixed-length context windows
+("concat-and-chunk" packing) and carve deterministic train/val/test
+subsets. Both are pure segmented/vectorized kernels — no state, no
+model, SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import mulhash
+from .temporal import DEFAULT_TEMPORAL_PARTITIONS, partitioned_apply
+
+
+def pack_sequences(ds: ray.data.Dataset, key: str, order_col: str,
+                   len_col: str, context_len: int,
+                   num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                   ) -> ray.data.Dataset:
+    """Concat-and-chunk packing: within each ``key`` stream ordered by
+    ``order_col``, documents are laid end-to-end and cut into
+    ``context_len``-token windows; each document gets the bin id and
+    offset where it STARTS (``bin_id = excl_cumsum // L``,
+    ``bin_offset = excl_cumsum % L`` — documents may straddle bins, the
+    standard pretraining layout, not best-fit bin packing).
+
+    One hash-partition shuffle on the key, then an exclusive cumsum per
+    segment — O(partitions) Python dispatch. SQL-equivalent:
+    ``sum(len) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+    PRECEDING) - len``."""
+    L = np.int64(context_len)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df.assign(bin_id=np.array([], np.int64),
+                             bin_offset=np.array([], np.int64))
+        v = df[len_col].to_numpy().astype(np.int64)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        kv = df[key].to_numpy()
+        new_key[1:] = kv[1:] != kv[:-1]
+        cs = np.cumsum(v)
+        seg_start_idx = np.flatnonzero(new_key)
+        seg_len = np.diff(np.r_[seg_start_idx, n])
+        base = np.repeat(cs[seg_start_idx] - v[seg_start_idx], seg_len)
+        excl = cs - v - base                      # tokens before this doc
+        return df.assign(bin_id=excl // L, bin_offset=excl % L)
+
+    return partitioned_apply(ds, [key], kernel, num_partitions=num_partitions)
+
+
+def dataset_split(ds: ray.data.Dataset, id_col: str,
+                  thresholds: tuple[int, int] = (80, 90),
+                  out: str = "split") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment from the engine's standard
+    integer hash (``(id·2654435761 + 12345) % 100``): < t0 → train,
+    < t1 → val, else test. Pure per-batch column append — the split is a
+    property of the row, so retries/resumes land every row in the same
+    subset (no RNG, no wall clock)."""
+    t0, t1 = thresholds
+    names = np.array(["train", "val", "test"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = mulhash(batch[id_col].to_numpy(zero_copy_only=False), mod=100)
+        idx = np.where(h < t0, 0, np.where(h < t1, 1, 2))
+        return batch.append_column(out, pa.array(names[idx]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -349,3 +349,23 @@ def inverted_index(ds: ray.data.Dataset, tokens_col: str = "tokens",
                          "df": pa.array(counts.astype(np.int64))})
 
     return pairs.groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def contamination_flags(corpus: ray.data.Dataset,
+                        benchmark: ray.data.Dataset, n: int,
+                        vocab_size: int, tokens_col: str = "tokens",
+                        num_partitions: int = 64) -> ray.data.Dataset:
+    """Benchmark-contamination check (training-data hygiene): flag every
+    corpus document containing ANY n-gram that appears in the benchmark
+    set. The benchmark's distinct n-grams are collected with the same
+    hash-partitioned merge as `frequent_ngrams` (min_count=1) and
+    broadcast once; the corpus pass is the `flag_boilerplate` membership
+    kernel — the corpus itself never shuffles."""
+    grams = frequent_ngrams(benchmark, n=n, min_count=1,
+                            vocab_size=vocab_size, tokens_col=tokens_col,
+                            num_partitions=num_partitions)
+    out = flag_boilerplate(corpus, grams, n=n, vocab_size=vocab_size,
+                           tokens_col=tokens_col)
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_shared", "contaminated"]),
+        batch_format="pyarrow")

@@ -144,3 +144,72 @@ def test_token_entropy_golden():
     assert out.loc["u", "n_distinct"] == 1
     assert abs(out.loc["h", "entropy"] - math.log(2)) < 1e-6
     assert "e" not in out.index                     # empty doc dropped
+
+
+def test_pack_sequences_layout():
+    from cardinalhq_otel_collector_ray.stages.packing import pack_sequences
+    df = pd.DataFrame({
+        "src": ["a"] * 4 + ["b"] * 2,
+        "doc": [1, 2, 3, 4, 1, 2],
+        "n": [300, 300, 100, 600, 512, 1],
+    })
+    out = (pack_sequences(ray.data.from_pandas(df), "src", "doc", "n",
+                          context_len=512, num_partitions=2)
+           .to_pandas().sort_values(["src", "doc"]).reset_index(drop=True))
+    a = out[out["src"] == "a"]
+    # exclusive cumsum: 0, 300, 600, 700 → bins 0,0,1,1; offsets 0,300,88,188
+    assert a["bin_id"].tolist() == [0, 0, 1, 1]
+    assert a["bin_offset"].tolist() == [0, 300, 88, 188]
+    b = out[out["src"] == "b"]
+    # second source starts fresh: 0, 512 → bin 0 off 0, bin 1 off 0
+    assert b["bin_id"].tolist() == [0, 1]
+    assert b["bin_offset"].tolist() == [0, 0]
+
+
+def test_dataset_split_deterministic_and_complete():
+    from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+    from cardinalhq_otel_collector_ray.stages.packing import dataset_split
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    out = dataset_split(ray.data.from_pandas(df, override_num_blocks=4),
+                        "doc_id").to_pandas()
+    h = mulhash(out["doc_id"].to_numpy(), mod=100)
+    expect = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    assert (out["split"].to_numpy() == expect).all()
+    # all three subsets non-empty and disjoint-by-construction
+    assert set(out["split"].unique()) == {"train", "val", "test"}
+
+
+def test_contamination_flags_composition():
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        contamination_flags)
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["c1", "c2"], pa.string()),
+        "tokens": pa.array([[1, 2, 3, 9], [7, 8, 9]], pa.list_(pa.int32())),
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["b1"], pa.string()),
+        "tokens": pa.array([[0, 1, 2, 3]], pa.list_(pa.int32())),
+    }))
+    out = (contamination_flags(corpus, bench, n=3, vocab_size=10)
+           .to_pandas().set_index("doc_id"))
+    assert bool(out.loc["c1", "contaminated"])      # shares (1,2,3)
+    assert int(out.loc["c1", "n_shared"]) == 1
+    assert not bool(out.loc["c2", "contaminated"])  # (7,8,9) not in bench
+
+
+def test_spec_kinds_pack_split_funnel(sf_dir):
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+    spec = {
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "n_chars", "source"]},
+        "stages": [
+            {"kind": "dataset_split", "id": "doc_id"},
+            {"kind": "pack_sequences", "key": "source", "order": "doc_id",
+             "len": "n_chars", "context_len": 2048},
+        ],
+    }
+    out = compile_pipeline(spec, sf_dir).to_pandas()
+    assert {"split", "bin_id", "bin_offset"} <= set(out.columns)
+    assert len(out) > 0
