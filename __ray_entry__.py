@@ -1591,6 +1591,85 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(corpus, bench, n=3, vocab_size=vocab_size)
 
 
+def _q_retention(sf_dir: str):
+    """Daily cohort-retention matrix: users keyed to their first-activity
+    day, counted per (cohort, active-day) cell. One user shuffle emits
+    distinct pairs (matrix mass), then a bounded two-phase count."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.temporal import retention_cohorts
+    ds = _events_ms(sf_dir).select_columns(["user_id", "ts_ms"])
+    pairs = retention_cohorts(ds, "user_id", "ts_ms", bucket_ms=86_400_000)
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_one", pa.array(
+            np.ones(batch.num_rows, dtype=np.int64)))
+
+    agg = grouped_aggregate(pairs.map_batches(one, batch_format="pyarrow"),
+                            keys=["cohort_ms", "active_ms"],
+                            value_col="_one", mode="driver").to_pandas()
+    agg = agg.sort_values(["cohort_ms", "active_ms"],
+                          kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"cohort_ms": agg["cohort_ms"].astype("int64"),
+                         "active_ms": agg["active_ms"].astype("int64"),
+                         "n_users": agg["agg_count"].astype("int64")})
+
+
+def _q_pivot_routes(sf_dir: str):
+    """Pivot (wide counts): per source one column per route — grouped
+    count partials then a driver-side pivot of the bounded result (the
+    SQL FILTER-aggregate shape)."""
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    routed = routed_documents(sf_dir)
+    agg = grouped_aggregate(routed, keys=["source", "route"],
+                            value_col="n_tok", mode="driver").to_pandas()
+    wide = agg.pivot_table(index="source", columns="route",
+                           values="agg_count", fill_value=0,
+                           aggfunc="sum").reset_index()
+    for r in ["main", "errors", "quarantine", "sampled"]:
+        if r not in wide.columns:
+            wide[r] = 0
+    wide = wide.sort_values("source", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"source": wide["source"],
+                         "n_main": wide["main"].astype("int64"),
+                         "n_errors": wide["errors"].astype("int64"),
+                         "n_quarantine": wide["quarantine"].astype("int64"),
+                         "n_sampled": wide["sampled"].astype("int64")})
+
+
+def _q_left_join_counts(sf_dir: str):
+    """LEFT OUTER bucketed hash join + aggregate: every order with its
+    count of returned ('R') lineitems, 0 when none matched — the
+    null-preserving join path of the same co-partition machinery."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.join import bucketed_hash_join
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow")
+    def r_prep(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R")).select(["l_orderkey"])
+        return f.append_column("_m", pa.array(
+            np.ones(f.num_rows, dtype=np.int64)))
+
+    ritems = read_table(sf_dir, "lineitem",
+                        columns=["l_orderkey", "l_returnflag"]).map_batches(
+        r_prep, batch_format="pyarrow")
+    joined = bucketed_hash_join(orders, ritems, on="l_orderkey", how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"),
+                             "_m": df["_m"].fillna(0).astype("int64")})
+
+    agg = grouped_aggregate(joined.map_batches(fill, batch_format="pandas"),
+                            keys=["l_orderkey"], value_col="_m",
+                            mode="partitioned")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["l_orderkey"],
+                         "n_r_items": batch["agg_sum"].cast(pa.int64())})
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1639,6 +1718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "dataset_split": _q_dataset_split,
         "contamination_flags": _q_contamination,
+        "retention_cohorts": _q_retention,
+        "pivot_routes": _q_pivot_routes,
+        "left_join_counts": _q_left_join_counts,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,
@@ -1981,6 +2063,31 @@ SELECT l_returnflag, n,
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
              6) AS corr
 FROM s
+""",
+        "retention_cohorts": _SQL_EVENTS + r""", w AS (
+  SELECT user_id, (ts_ms // 86400000) * 86400000 AS day_ms FROM ev
+), f AS (
+  SELECT user_id, min(day_ms) AS cohort_ms FROM w GROUP BY user_id
+), a AS (SELECT DISTINCT user_id, day_ms FROM w)
+SELECT f.cohort_ms, a.day_ms AS active_ms, count(*) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_ms, a.day_ms
+""",
+        "pivot_routes": _SQL_ROUTED + r"""
+SELECT source,
+  CAST(count(*) FILTER (WHERE route = 'main') AS BIGINT) AS n_main,
+  CAST(count(*) FILTER (WHERE route = 'errors') AS BIGINT) AS n_errors,
+  CAST(count(*) FILTER (WHERE route = 'quarantine') AS BIGINT)
+    AS n_quarantine,
+  CAST(count(*) FILTER (WHERE route = 'sampled') AS BIGINT) AS n_sampled
+FROM routed GROUP BY source
+""",
+        "left_join_counts": r"""
+SELECT o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_r_items
+FROM orders o
+LEFT JOIN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') l
+  ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderkey
 """,
         "pack_sequences": _SQL_TOKENS + r""", packed AS (
   SELECT CAST(t.doc_id AS BIGINT) AS doc_id, d.source,

@@ -327,3 +327,43 @@ def funnel_match(ds: ray.data.Dataset, key: str, ts_col: str, type_col: str,
         })
 
     return partitioned_apply(ds, [key], kernel, num_partitions)
+
+
+def retention_cohorts(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                      bucket_ms: int,
+                      num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                      ) -> ray.data.Dataset:
+    """Cohort retention pairs: each user joins the cohort of their FIRST
+    activity period (``ts // bucket_ms``); emit one (cohort_ms,
+    active_ms) row per distinct (user, period). Counting the pairs per
+    cell yields the classic retention matrix.
+
+    One hash-partition shuffle on the user, then a segmented kernel: the
+    (user, ts)-sorted stream gives distinct periods as run boundaries and
+    the cohort as each segment's first period — no per-user Python. The
+    output is ≤ users × periods rows (the matrix's own mass), so the
+    follow-up count aggregate is bounded."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({user_col: df[user_col],
+                                 "cohort_ms": np.array([], np.int64),
+                                 "active_ms": np.array([], np.int64)})
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        period = ts // np.int64(bucket_ms)
+        newkey = _segment_starts(df, [user_col])
+        seg_start_idx = np.flatnonzero(newkey)
+        seg_len = np.diff(np.append(seg_start_idx, n))
+        cohort = np.repeat(period[seg_start_idx], seg_len)
+        new_pair = newkey.copy()
+        new_pair[1:] |= period[1:] != period[:-1]
+        keep = np.flatnonzero(new_pair)
+        return pd.DataFrame({
+            user_col: df[user_col].to_numpy()[keep],
+            "cohort_ms": cohort[keep] * np.int64(bucket_ms),
+            "active_ms": period[keep] * np.int64(bucket_ms),
+        })
+
+    return partitioned_apply(ds, [user_col], kernel, num_partitions)

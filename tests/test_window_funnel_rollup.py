@@ -213,3 +213,18 @@ def test_spec_kinds_pack_split_funnel(sf_dir):
     out = compile_pipeline(spec, sf_dir).to_pandas()
     assert {"split", "bin_id", "bin_offset"} <= set(out.columns)
     assert len(out) > 0
+
+
+def test_retention_cohorts_pairs():
+    from cardinalhq_otel_collector_ray.stages.temporal import retention_cohorts
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": [5, 15, 15, 25, 35],   # bucket=10 → u1: {0,1}, u2: {2,3}
+    })
+    out = (retention_cohorts(ray.data.from_pandas(df), "u", "ts",
+                             bucket_ms=10, num_partitions=2)
+           .to_pandas().sort_values(["u", "active_ms"]).reset_index(drop=True))
+    assert out[out["u"] == 1]["cohort_ms"].tolist() == [0, 0]
+    assert out[out["u"] == 1]["active_ms"].tolist() == [0, 10]
+    assert out[out["u"] == 2]["cohort_ms"].tolist() == [20, 20]
+    assert out[out["u"] == 2]["active_ms"].tolist() == [20, 30]
