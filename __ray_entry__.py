@@ -1670,6 +1670,43 @@ def _q_left_join_counts(sf_dir: str):
     return agg.map_batches(project, batch_format="pyarrow")
 
 
+def _q_mad_per_type(sf_dir: str):
+    """Robust stats per key: exact median + MAD from two lexsorts per
+    partition (SQL's interpolated-median rule, parity-exact doubles)."""
+    from cardinalhq_otel_collector_ray.stages.window import grouped_median_mad
+    ds = _events_ms(sf_dir).select_columns(["event_type", "value_cents"])
+    out = grouped_median_mad(ds, ["event_type"], "value_cents").to_pandas()
+    out = out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"event_type": out["event_type"],
+                         "n": out["n"].astype("int64"),
+                         "median_cents": out["median"].astype("float64"),
+                         "mad_cents": out["mad"].astype("float64")})
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic Efraimidis–Spirakis weighted sample (k=100 by
+    n_chars): priorities are a pure function of the id, per-block top-k
+    prune then a k×blocks driver merge."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.sample import (
+        weighted_priority_sample)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    top = weighted_priority_sample(ds, "doc_id", "n_chars", k=100)
+    return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
+                         "n_chars": top["n_chars"].astype("int64"),
+                         "pri": top["pri"].astype("float64")})
+
+
+def _q_compression_ratio(sf_dir: str):
+    """Deflate redundancy signal per doc (rows-only: zlib is
+    deterministic but not SQL-expressible; goldens pin the repetitive <
+    natural < random ordering)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import compression_ratio
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return compression_ratio(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1721,6 +1758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention,
         "pivot_routes": _q_pivot_routes,
         "left_join_counts": _q_left_join_counts,
+        "mad_per_type": _q_mad_per_type,
+        "weighted_sample": _q_weighted_sample,
+        "compression_ratio": _q_compression_ratio,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,
@@ -2063,6 +2103,27 @@ SELECT l_returnflag, n,
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
              6) AS corr
 FROM s
+""",
+        "mad_per_type": _SQL_EVENTS + r""", med AS (
+  SELECT event_type, CAST(median(value_cents) AS DOUBLE) AS med,
+         count(*) AS n
+  FROM ev GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.med AS median_cents,
+       CAST(median(abs(CAST(e.value_cents AS DOUBLE) - m.med)) AS DOUBLE)
+         AS mad_cents
+FROM ev e JOIN med m ON e.event_type = m.event_type
+GROUP BY m.event_type, m.n, m.med
+""",
+        "weighted_sample": r"""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         ln(((doc_id * 2654435761 + 12345) % 1000003 + 0.5) / 1000003)
+           / n_chars AS pri
+  FROM documents
+)
+SELECT doc_id, n_chars, round(pri, 6) AS pri
+FROM p ORDER BY p.pri DESC, doc_id LIMIT 100
 """,
         "retention_cohorts": _SQL_EVENTS + r""", w AS (
   SELECT user_id, (ts_ms // 86400000) * 86400000 AS day_ms FROM ev

@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import hashmod_keep, mulhash
+from ..functions.hashing import SALT, hashmod_keep, mulhash
 
 
 def probabilistic_sample(ds: ray.data.Dataset, id_column: str, percent: int,
@@ -95,3 +95,32 @@ def drop_where(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:
         # Arrow's filter drops null-mask rows, silently deleting them.
         return batch.filter(pc.fill_null(pc.invert(mask), True))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_priority_sample(ds: ray.data.Dataset, id_col: str,
+                             weight_col: str, k: int,
+                             salt: int = SALT) -> "ray.data.Dataset":
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): each row gets priority ``ln(u) / w`` with
+    ``u = (mulhash(id)+0.5)/MOD`` — a pure function of the id, so
+    retries/resumes select the same rows — and the k largest priorities
+    win (equivalent to the classical ``u^(1/w)`` keys; heavier rows are
+    proportionally likelier). Per-block top-k prune, then a k×blocks
+    driver merge (`distributed_top_k`). SQL reproduces the identical
+    doubles with the same expression."""
+    import pandas as pd
+
+    from ..functions.hashing import MOD
+    from .aggregate import distributed_top_k
+
+    def add_pri(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        w = df[weight_col].to_numpy().astype(np.float64)
+        u = (mulhash(ids, salt=salt).astype(np.float64) + 0.5) / MOD
+        return df.assign(pri=np.log(u) / w)
+
+    top = distributed_top_k(ds.map_batches(add_pri, batch_format="pandas"),
+                            k, by=["pri", id_col], ascending=[False, True])
+    top = top.reset_index(drop=True)
+    top["pri"] = np.round(top["pri"].to_numpy(), 6)
+    return top

@@ -121,3 +121,51 @@ def windowed_moving_agg(ds: ray.data.Dataset, keys: list[str], ts_col: str,
                          mov_n=mov_n.astype(np.int64), mov_avg=mov_avg)
 
     return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)
+
+
+def grouped_median_mad(ds: ray.data.Dataset, keys: list[str],
+                       value_col: str,
+                       num_partitions: int = 64) -> ray.data.Dataset:
+    """Robust per-key statistics: exact median and MAD (median absolute
+    deviation) — the outlier-resistant companion to mean/z-score
+    anomaly scoring.
+
+    Kernel per partition: one sort by (keys, value) gives every key's
+    median by indexing the two middle elements (SQL's interpolated rule —
+    exact ``x.5`` doubles, parity-safe); absolute deviations are then
+    re-sorted per segment for the second median. Two lexsorts per
+    partition, zero per-key Python."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [value_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df.iloc[0:0][keys].assign(
+                n=np.array([], np.int64), median=np.array([], np.float64),
+                mad=np.array([], np.float64))
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        for k in keys:
+            kv = df[k].to_numpy()
+            new_key[1:] |= kv[1:] != kv[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        v = df[value_col].to_numpy().astype(np.float64)
+
+        def seg_median(values: np.ndarray) -> np.ndarray:
+            lo = starts + (seg_len - 1) // 2
+            hi = starts + seg_len // 2
+            return (values[lo] + values[hi]) / 2.0
+
+        med = seg_median(v)                       # v already key-sorted
+        dev = np.abs(v - np.repeat(med, seg_len))
+        order = np.lexsort((dev, seg_id))
+        med_dev = seg_median(dev[order])
+        out = df.iloc[starts][keys].reset_index(drop=True)
+        out["n"] = seg_len.astype(np.int64)
+        out["median"] = med
+        out["mad"] = med_dev
+        return out
+
+    return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)

@@ -96,6 +96,7 @@ def test_contract_surface():
                          "aggregate_emit_shape", "drain_templates",
                          "anomaly_iforest", "winnow_fingerprints",
                          "kmeans_cluster_sizes", "approx_distinct_hll",
-                         "approx_quantiles_kll"}, rows_only
+                         "approx_quantiles_kll",
+                         "compression_ratio"}, rows_only
     assert callable(entrymod.entry)
     assert len(ORACLES) >= 60

@@ -228,3 +228,67 @@ def test_retention_cohorts_pairs():
     assert out[out["u"] == 1]["active_ms"].tolist() == [0, 10]
     assert out[out["u"] == 2]["cohort_ms"].tolist() == [20, 20]
     assert out[out["u"] == 2]["active_ms"].tolist() == [20, 30]
+
+
+def test_grouped_median_mad_golden():
+    from cardinalhq_otel_collector_ray.stages.window import grouped_median_mad
+    df = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 4,
+                       "v": [1, 3, 5, 7, 100, 2, 4, 6, 8]})
+    out = (grouped_median_mad(ray.data.from_pandas(df), ["g"], "v",
+                              num_partitions=2)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # a: median 5; devs {4,2,0,2,95} sorted {0,2,2,4,95} → MAD 2
+    assert out.loc[0, "median"] == 5.0 and out.loc[0, "mad"] == 2.0
+    # b (even): median (4+6)/2=5; devs {3,1,1,3} → MAD (1+3)/2=2
+    assert out.loc[1, "median"] == 5.0 and out.loc[1, "mad"] == 2.0
+    assert out["n"].tolist() == [5, 4]
+
+
+def test_weighted_sample_deterministic_and_weight_biased():
+    from cardinalhq_otel_collector_ray.stages.sample import (
+        weighted_priority_sample)
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) < 1000, 1, 50)})
+    ds = ray.data.from_pandas(df, override_num_blocks=4)
+    a = weighted_priority_sample(ds, "id", "w", k=100)
+    b = weighted_priority_sample(ray.data.from_pandas(df, override_num_blocks=7),
+                                 "id", "w", k=100)
+    # identical selection regardless of blocking
+    assert a["id"].tolist() == b["id"].tolist()
+    # heavy rows (w=50) dominate the sample
+    assert (a["id"].to_numpy() >= 1000).sum() > 80
+
+
+def test_training_data_prep_example_spec(sf_dir):
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    spec = load_spec("/root/repo/examples/training_data_prep.yaml")
+    out = compile_pipeline(spec, sf_dir).to_pandas()
+    assert {"split", "bin_id", "bin_offset"} <= set(out.columns)
+    # packing respects the context boundary
+    assert (out["bin_offset"] < 2048).all()
+
+
+def test_compression_ratio_ordering():
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.stages.textstats import (
+        compression_ratio)
+    rng = np.random.default_rng(3)
+    rand = "".join(chr(c) for c in rng.integers(33, 126, 2000))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["spam " * 400,
+                          "the quick brown fox jumps over the lazy dog " * 45,
+                          rand]),
+    })
+    out = (compression_ratio(ray.data.from_arrow(t))
+           .to_pandas().set_index("doc_id"))
+    assert (out.loc[1, "compression_ratio"]
+            < out.loc[2, "compression_ratio"]
+            < out.loc[3, "compression_ratio"])
+    # determinism across runs
+    out2 = (compression_ratio(ray.data.from_arrow(t))
+            .to_pandas().set_index("doc_id"))
+    assert (out["compressed_bytes"] == out2["compressed_bytes"]).all()
