@@ -66,6 +66,40 @@ def cmd_spec(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered driver-contract query (``__ray_entry__``
+    surface) and write/print its result — the one-liner a reference user
+    reaches for first when switching."""
+    args._owns_ray = _ensure_ray(args.num_cpus)
+    import importlib
+    import ray.data
+    entrymod = importlib.import_module("__ray_entry__")
+    qs = entrymod.queries()
+    if args.name not in qs:
+        sys.stderr.write("unknown query %r; available: %s\n"
+                         % (args.name, " ".join(sorted(qs))))
+        return 2
+    res = qs[args.name](args.sf_dir)
+    if isinstance(res, ray.data.Dataset):
+        if args.out:
+            res.write_parquet(args.out)
+            print(json.dumps({"query": args.name, "out": args.out}))
+            return 0
+        res = res.to_pandas()
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(res, pa.Table):
+        res = res.to_pandas()
+    if args.out:
+        res.to_parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out,
+                          "rows": len(res)}))
+    else:
+        with pd.option_context("display.max_rows", 20):
+            print(res)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cardinalhq_otel_collector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -86,6 +120,14 @@ def main(argv=None) -> int:
     ps.add_argument("--out", required=True)
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_spec)
+
+    pq_ = sub.add_parser("query", help="run a registered operator query")
+    pq_.add_argument("--name", required=True)
+    pq_.add_argument("--sf-dir", required=True)
+    pq_.add_argument("--out", default=None,
+                     help="parquet output path (prints a preview if omitted)")
+    pq_.add_argument("--num-cpus", type=int, default=None)
+    pq_.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -56,3 +56,28 @@ def test_cli_run_subprocess(sf_dir, tmp_path):
     assert proc.returncode == 0, proc.stderr[-1500:]
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["rows"] == 500 and res["partitions_total"] > 0
+
+
+def test_cli_query_subprocess(sf_dir, tmp_path):
+    """`query` subcommand: run any driver-contract query standalone."""
+    import json
+    import subprocess
+    import sys
+    out = str(tmp_path / "q.parquet")
+    proc = subprocess.run(
+        [sys.executable, "-m", "cardinalhq_otel_collector_ray.cli", "query",
+         "--name", "count_by_type", "--sf-dir", sf_dir, "--out", out,
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["out"] == out
+    import duckdb
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0] == 5
+    # unknown name → clean error, not a traceback
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "cardinalhq_otel_collector_ray.cli", "query",
+         "--name", "nope", "--sf-dir", sf_dir, "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert proc2.returncode == 2 and "unknown query" in proc2.stderr
