@@ -1707,6 +1707,17 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(ds)
 
 
+def _q_range_partition(sf_dir: str):
+    """Range partitioning for sorted output: exact balanced boundaries at
+    ranks ceil(j·n/P) from a bounded-domain value histogram, broadcast
+    searchsorted tagging, per-partition (n, min, max) disjointness
+    certificate."""
+    from cardinalhq_otel_collector_ray.stages.rangesort import (
+        range_partition_stats)
+    ds = _events_ms(sf_dir).select_columns(["value_cents"])
+    return range_partition_stats(ds, "value_cents", num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1761,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_per_type": _q_mad_per_type,
         "weighted_sample": _q_weighted_sample,
         "compression_ratio": _q_compression_ratio,
+        "range_partition_stats": _q_range_partition,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,
@@ -2103,6 +2115,25 @@ SELECT l_returnflag, n,
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
              6) AS corr
 FROM s
+""",
+        "range_partition_stats": _SQL_EVENTS + r""", nn AS (
+  SELECT count(*) AS n FROM ev
+), ranked AS (
+  SELECT value_cents AS v,
+         row_number() OVER (ORDER BY value_cents) AS rn
+  FROM ev
+), bounds AS (
+  SELECT DISTINCT v FROM ranked
+  WHERE rn IN (SELECT CAST(ceil(j * n / 8.0) AS BIGINT)
+               FROM generate_series(1, 7) t(j) CROSS JOIN nn)
+), parts AS (
+  SELECT e.value_cents,
+         (SELECT count(*) FROM bounds b WHERE b.v <= e.value_cents) AS part
+  FROM ev e
+)
+SELECT CAST(part AS BIGINT) AS part, count(*) AS n,
+       min(value_cents) AS min_val, max(value_cents) AS max_val
+FROM parts GROUP BY part
 """,
         "mad_per_type": _SQL_EVENTS + r""", med AS (
   SELECT event_type, CAST(median(value_cents) AS DOUBLE) AS med,

@@ -90,37 +90,46 @@ def windowed_moving_agg(ds: ray.data.Dataset, keys: list[str], ts_col: str,
     every key. ``mov_avg`` is an exact-int division (bit-identical to a
     SQL ``CAST(sum AS DOUBLE)/count``)."""
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(keys + [ts_col, tiebreak_col],
-                            kind="mergesort").reset_index(drop=True)
-        n = len(df)
-        if n == 0:
-            return df.assign(lag_delta=np.array([], np.int64),
-                             mov_sum=np.array([], np.int64),
-                             mov_n=np.array([], np.int64),
-                             mov_avg=np.array([], np.float64))
-        v = df[value_col].to_numpy().astype(np.int64)
-        new_key = np.zeros(n, dtype=bool)
-        new_key[0] = True
-        for k in keys:
-            kv = df[k].to_numpy()
-            new_key[1:] |= kv[1:] != kv[:-1]
-        seg_start_idx = np.flatnonzero(new_key)
-        seg_len = np.diff(np.r_[seg_start_idx, n])
-        seg_start = np.repeat(seg_start_idx, seg_len)
-        idx = np.arange(n)
-        prev = np.r_[0, v[:-1]]
-        lag_delta = np.where(new_key, 0, v - prev).astype(np.int64)
-        cs = np.cumsum(v)
-        lower = np.maximum(seg_start, idx - window_rows + 1)
-        below = np.where(lower > 0, cs[np.maximum(lower - 1, 0)], 0)
-        below[lower == 0] = 0
-        mov_sum = cs - below
-        mov_n = idx - lower + 1
-        mov_avg = mov_sum / mov_n
-        return df.assign(lag_delta=lag_delta, mov_sum=mov_sum,
-                         mov_n=mov_n.astype(np.int64), mov_avg=mov_avg)
+        return moving_agg_kernel(df, keys, ts_col, value_col, tiebreak_col,
+                                 window_rows)
 
     return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)
+
+
+def moving_agg_kernel(df: pd.DataFrame, keys: list[str], ts_col: str,
+                      value_col: str, tiebreak_col: str,
+                      window_rows: int) -> pd.DataFrame:
+    """Pure kernel of `windowed_moving_agg` (module-level for direct
+    property testing against naive pandas rolling)."""
+    df = df.sort_values(keys + [ts_col, tiebreak_col],
+                        kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    if n == 0:
+        return df.assign(lag_delta=np.array([], np.int64),
+                         mov_sum=np.array([], np.int64),
+                         mov_n=np.array([], np.int64),
+                         mov_avg=np.array([], np.float64))
+    v = df[value_col].to_numpy().astype(np.int64)
+    new_key = np.zeros(n, dtype=bool)
+    new_key[0] = True
+    for k in keys:
+        kv = df[k].to_numpy()
+        new_key[1:] |= kv[1:] != kv[:-1]
+    seg_start_idx = np.flatnonzero(new_key)
+    seg_len = np.diff(np.r_[seg_start_idx, n])
+    seg_start = np.repeat(seg_start_idx, seg_len)
+    idx = np.arange(n)
+    prev = np.r_[0, v[:-1]]
+    lag_delta = np.where(new_key, 0, v - prev).astype(np.int64)
+    cs = np.cumsum(v)
+    lower = np.maximum(seg_start, idx - window_rows + 1)
+    below = np.where(lower > 0, cs[np.maximum(lower - 1, 0)], 0)
+    below[lower == 0] = 0
+    mov_sum = cs - below
+    mov_n = idx - lower + 1
+    mov_avg = mov_sum / mov_n
+    return df.assign(lag_delta=lag_delta, mov_sum=mov_sum,
+                     mov_n=mov_n.astype(np.int64), mov_avg=mov_avg)
 
 
 def grouped_median_mad(ds: ray.data.Dataset, keys: list[str],

@@ -265,3 +265,26 @@ def test_frequent_ngram_packing_matches_positional(tokens, n):
         for j in range(n):
             expect = expect * V + int(vals[i + j])
         assert key[i] == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),          # key
+                          st.integers(0, 5),          # ts (dup-heavy)
+                          st.integers(-100, 100)),    # value
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=6))
+def test_moving_agg_kernel_matches_pandas_rolling(rows, w):
+    import pandas as pd
+
+    from cardinalhq_otel_collector_ray.stages.window import moving_agg_kernel
+    df = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    df["id"] = np.arange(len(df))
+    out = moving_agg_kernel(df, ["k"], "ts", "v", "id", w)
+    ref = df.sort_values(["k", "ts", "id"], kind="mergesort").reset_index(drop=True)
+    g = ref.groupby("k", sort=False)["v"]
+    exp_sum = g.rolling(w, min_periods=1).sum().reset_index(drop=True)
+    exp_n = g.rolling(w, min_periods=1).count().reset_index(drop=True)
+    exp_lag = (ref["v"] - g.shift(1).fillna(ref["v"])).reset_index(drop=True)
+    assert out["mov_sum"].tolist() == exp_sum.astype(int).tolist()
+    assert out["mov_n"].tolist() == exp_n.astype(int).tolist()
+    assert out["lag_delta"].tolist() == exp_lag.astype(int).tolist()

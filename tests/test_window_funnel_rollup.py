@@ -292,3 +292,81 @@ def test_compression_ratio_ordering():
     out2 = (compression_ratio(ray.data.from_arrow(t))
             .to_pandas().set_index("doc_id"))
     assert (out["compressed_bytes"] == out2["compressed_bytes"]).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_funnel_matches_naive_reference(seed):
+    from cardinalhq_otel_collector_ray.stages.temporal import funnel_match
+    rng = np.random.default_rng(seed)
+    n = 400
+    df = pd.DataFrame({
+        "u": rng.integers(0, 40, n),
+        "t": rng.choice(["view", "purchase", "click"], n),
+        "ts": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    W = 200
+    out = (funnel_match(ray.data.from_pandas(df, override_num_blocks=3),
+                        "u", "ts", "t", "view", "purchase", W,
+                        num_partitions=4)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    expect = []
+    for u, g in df.groupby("u"):
+        views = g.loc[g["t"] == "view", "ts"]
+        if views.empty:
+            continue
+        a = views.min()
+        b = g.loc[(g["t"] == "purchase") & (g["ts"] >= a)
+                  & (g["ts"] - a <= W), "ts"]
+        if not b.empty:
+            expect.append((u, a, b.min()))
+    expect = sorted(expect)
+    got = list(zip(out["u"], out["first_a_ms"], out["first_b_ms"]))
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pack_sequences_matches_naive_reference(seed):
+    from cardinalhq_otel_collector_ray.stages.packing import pack_sequences
+    rng = np.random.default_rng(seed)
+    n = 300
+    df = pd.DataFrame({
+        "src": rng.integers(0, 5, n),
+        "doc": np.arange(n, dtype=np.int64),
+        "len": rng.integers(1, 700, n).astype(np.int64),
+    })
+    L = 512
+    out = (pack_sequences(ray.data.from_pandas(df, override_num_blocks=4),
+                          "src", "doc", "len", L, num_partitions=3)
+           .to_pandas().sort_values(["src", "doc"]).reset_index(drop=True))
+    exp_bin, exp_off = [], []
+    for _, g in df.sort_values(["src", "doc"]).groupby("src", sort=True):
+        acc = 0
+        for length in g["len"]:
+            exp_bin.append(acc // L)
+            exp_off.append(acc % L)
+            acc += length
+    assert out["bin_id"].tolist() == exp_bin
+    assert out["bin_offset"].tolist() == exp_off
+
+
+def test_range_partition_disjoint_and_balanced():
+    from cardinalhq_otel_collector_ray.stages.rangesort import (
+        range_partition_bounds, range_partition_stats)
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"v": rng.integers(0, 10_000, 20_000).astype(np.int64)})
+    ds = ray.data.from_pandas(df, override_num_blocks=6)
+    stats = range_partition_stats(ds, "v", num_partitions=8)
+    assert stats["n"].sum() == 20_000
+    # disjoint, ordered ranges
+    assert (stats["max_val"].to_numpy()[:-1]
+            < stats["min_val"].to_numpy()[1:]).all()
+    # balanced to within the duplicate-value granularity
+    assert stats["n"].max() < 2 * stats["n"].min() + 100
+    # heavy duplicate value never straddles a boundary
+    df2 = pd.DataFrame({"v": np.r_[np.full(5000, 7, dtype=np.int64),
+                                   np.arange(5000, dtype=np.int64)]})
+    b = range_partition_bounds(ray.data.from_pandas(df2), "v", 4)
+    s2 = range_partition_stats(ray.data.from_pandas(df2), "v", 4)
+    assert len(np.unique(b)) == len(b)
+    assert (s2["max_val"].to_numpy()[:-1]
+            < s2["min_val"].to_numpy()[1:]).all()
