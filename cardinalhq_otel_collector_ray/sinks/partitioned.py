@@ -97,7 +97,8 @@ class PartitionedSink:
 
     def write(self, ds: ray.data.Dataset, *, key_col: str,
               route_col: str = "route", tokens_len_col: str | None = None,
-              resume: bool = True) -> list[ManifestEntry]:
+              resume: bool = True, pid_fn=None,
+              file_sort_col: str | None = None) -> list[ManifestEntry]:
         """Write every sink's rows as num_partitions deterministic files.
 
         Returns the manifest entries written THIS run (skipped partitions
@@ -109,6 +110,8 @@ class PartitionedSink:
         npart = self.num_partitions
 
         def add_pid(batch: pa.Table) -> pa.Table:
+            if pid_fn is not None:
+                return batch.append_column("_pid", pa.array(pid_fn(batch)))
             keys = batch[key_col]
             if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
                 # buffer-level vectorized hash — no Python string
@@ -161,7 +164,10 @@ class PartitionedSink:
             path = sink_self.object_path(sink, pid)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             # deterministic row order within the file for byte-stable output
-            g = g.sort_values(key_col, kind="mergesort").drop(columns=["_pid"])
+            # (range-partitioned writes sort by the range column instead,
+            # so partition-id file order == global sort order)
+            g = g.sort_values(file_sort_col or key_col,
+                              kind="mergesort").drop(columns=["_pid"])
             tmp = path + ".tmp"
             table = pa.Table.from_pandas(g, preserve_index=False)
             if sink_self.fmt == "parquet" and sink_self.compression is None:
@@ -181,6 +187,31 @@ class PartitionedSink:
         result = with_pid.groupby([route_col, "_pid"]).map_groups(
             write_group, batch_format="pandas")
         return self._record_entries(result)
+
+    def write_sorted(self, ds: ray.data.Dataset, *, sort_col: str,
+                     route_col: str = "route",
+                     tokens_len_col: str | None = None,
+                     resume: bool = True) -> list[ManifestEntry]:
+        """Range-partitioned SORTED output: exact balanced boundaries over
+        ``sort_col`` (``rangesort.range_partition_bounds``), value-based
+        partition assignment (duplicates never straddle a boundary →
+        retries idempotent), rows sorted within each file — reading the
+        partition files in id order yields a globally sorted stream per
+        sink. Same manifest/resume contract as ``write``."""
+        import ray as _ray
+
+        from ..stages.rangesort import range_partition_bounds
+        bounds = range_partition_bounds(ds, sort_col, self.num_partitions)
+        bref = _ray.put(bounds)
+
+        def pid_fn(batch: pa.Table) -> np.ndarray:
+            b = _ray.get(bref)
+            v = batch[sort_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return np.searchsorted(b, v, side="right").astype(np.int64)
+
+        return self.write(ds, key_col=sort_col, route_col=route_col,
+                          tokens_len_col=tokens_len_col, resume=resume,
+                          pid_fn=pid_fn, file_sort_col=sort_col)
 
     def write_streaming(self, ds: ray.data.Dataset, *,
                         route_col: str = "route") -> str:

@@ -370,3 +370,31 @@ def test_range_partition_disjoint_and_balanced():
     assert len(np.unique(b)) == len(b)
     assert (s2["max_val"].to_numpy()[:-1]
             < s2["min_val"].to_numpy()[1:]).all()
+
+
+def test_write_sorted_range_partitioned(tmp_path):
+    import pyarrow.parquet as pq
+
+    from cardinalhq_otel_collector_ray.sinks import PartitionedSink
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "v": rng.integers(0, 100_000, 5000).astype(np.int64),
+        "route": "main",
+    })
+    ds = ray.data.from_pandas(df, override_num_blocks=4)
+    sink = PartitionedSink(str(tmp_path / "s"), run_ts=1706078400.0,
+                           num_partitions=4)
+    entries = sink.write_sorted(ds, sort_col="v")
+    assert sum(e.rows for e in entries) == 5000
+    # per-file ranges are disjoint+ordered by pid; rows sorted in-file
+    by_pid = sorted(entries, key=lambda e: int(e.partition_id.rsplit("/", 1)[1]))
+    prev_max = -1
+    for e in by_pid:
+        t = pq.read_table(e.path)
+        vals = t["v"].to_numpy()
+        assert (np.diff(vals) >= 0).all()
+        assert vals[0] > prev_max
+        prev_max = vals[-1]
+    # resume: identical rerun writes nothing
+    ds2 = ray.data.from_pandas(df, override_num_blocks=7)
+    assert sink.write_sorted(ds2, sort_col="v") == []
