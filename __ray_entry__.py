@@ -1382,24 +1382,26 @@ def _q_value_histogram(sf_dir: str):
 
 
 def _q_orders_revenue_topk(sf_dir: str):
-    """TPC-H-Q3-shaped multi-join top-k: BUILDING-segment customers
-    (broadcast semi-join — small side never shuffles) ⋈ orders ⋈ lineitem
-    (bucketed hash join, ONE co-partition shuffle), exact-integer revenue
-    units (cents × discount-%), partitioned two-phase aggregate, per-block
+    """TPC-H-Q3-shaped multi-join top-k: BUILDING-segment customers filter
+    orders through the EXACT bloom semi-join (bitmap built distributed
+    over the customer side and broadcast — the key set itself is a big
+    table at scale, never collected on the driver) ⋈ lineitem (bucketed
+    hash join, ONE co-partition shuffle), exact-integer revenue units
+    (cents × discount-%), partitioned two-phase aggregate, per-block
     top-k prune → 10 rows."""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.aggregate import (
         distributed_top_k, grouped_aggregate)
-    from cardinalhq_otel_collector_ray.stages.join import (bucketed_hash_join,
-                                                           semi_join)
-    import pyarrow.parquet as pq
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    from cardinalhq_otel_collector_ray.stages.join import (bloom_semi_join,
+                                                           bucketed_hash_join)
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow")
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = semi_join(orders, np.asarray(keys.to_pylist(), dtype=np.int64),
-                       "o_custkey")
+    orders = bloom_semi_join(orders, cust, on="o_custkey")
 
     def o_prep(batch: pa.Table) -> pa.Table:
         days = pc.divide(batch["o_orderdate"].cast(pa.int64()),
@@ -1479,10 +1481,11 @@ def _q_argmax_event(sf_dir: str):
 
 def _q_regional_revenue(sf_dir: str):
     """TPC-H-Q5-shaped star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
-    region → revenue per region. Dims chain on the driver into one tiny
-    custkey→region dict (broadcast); the two BIG joins
-    (lineitem⋈orders⋈customer-attrs) run as chained bucketed hash joins —
-    co-partition shuffles, never a broadcast of a big side."""
+    region → revenue per region. Only the TRUE dims (nation/region, tens
+    of rows) chain on the driver into a broadcast dict; customer is a BIG
+    table at scale, so customer→region rides an actual bucketed hash join
+    onto orders, and lineitem joins the result — two chained co-partition
+    shuffles, never a broadcast of a big side."""
     import pyarrow.parquet as pq
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
@@ -1490,16 +1493,19 @@ def _q_regional_revenue(sf_dir: str):
     from cardinalhq_otel_collector_ray.stages.join import bucketed_hash_join
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"]).to_pandas()
-    n2r = dict(zip(nation["n_nationkey"],
-                   nation["n_regionkey"].map(
-                       dict(zip(region["r_regionkey"], region["r_name"])))))
-    c2r = {int(k): {"r_name": v}
-           for k, v in zip(cust["c_custkey"], cust["c_nationkey"].map(n2r))}
+    n2r = {int(k): {"r_name": v} for k, v in zip(
+        nation["n_nationkey"],
+        nation["n_regionkey"].map(
+            dict(zip(region["r_regionkey"], region["r_name"]))))}
 
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    cust = enrich_stage(cust, n2r, key_column="c_nationkey").map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "r_name": t["r_name"]}),
+        batch_format="pyarrow")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders = enrich_stage(orders, c2r, key_column="o_custkey").map_batches(
+    orders = bucketed_hash_join(orders, cust, on="o_custkey").map_batches(
         lambda t: pa.table({"l_orderkey": t["o_orderkey"],
                             "r_name": t["r_name"]}),
         batch_format="pyarrow")
@@ -1582,8 +1588,10 @@ def _q_contamination(sf_dir: str):
         return batch.append_column(
             "_bench", pa.array(mulhash(ids, mod=100) < 2))
 
-    # materialize once: the marked table is consumed by BOTH branches
-    marked = ds.map_batches(mark, batch_format="pyarrow").materialize()
+    # both branches re-execute the lazy read (pruned-column scans) rather
+    # than materializing the full tokenized corpus — at 100 TB two scans
+    # are cheap, a full-corpus plasma pin is not
+    marked = ds.map_batches(mark, batch_format="pyarrow")
     bench = marked.map_batches(lambda t: t.filter(t["_bench"]),
                                batch_format="pyarrow")
     corpus = marked.map_batches(
