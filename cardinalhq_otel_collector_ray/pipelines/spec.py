@@ -237,6 +237,33 @@ def _s_iforest(ds, cfg):
                                out=cfg.get("out", "iforest_score"))
 
 
+def _s_median_mad(ds, cfg):
+    from ..stages.window import grouped_median_mad
+    return grouped_median_mad(ds, keys=list(cfg["keys"]), value_col=cfg["value"])
+
+
+def _s_weighted_sample(ds, cfg):
+    import ray.data as _rd
+
+    from ..stages.sample import weighted_priority_sample
+    top = weighted_priority_sample(ds, id_col=cfg["id"],
+                                   weight_col=cfg["weight"],
+                                   k=int(cfg["k"]))
+    return _rd.from_pandas(top)
+
+
+def _s_compression_ratio(ds, cfg):
+    from ..stages.textstats import compression_ratio
+    return compression_ratio(ds, text_col=cfg.get("text", "text"),
+                             id_col=cfg.get("id", "doc_id"))
+
+
+def _s_retention(ds, cfg):
+    from ..stages.temporal import retention_cohorts
+    return retention_cohorts(ds, user_col=cfg["user"], ts_col=cfg["ts"],
+                             bucket_ms=int(cfg["bucket_ms"]))
+
+
 def _s_pack_sequences(ds, cfg):
     from ..stages.packing import pack_sequences
     return pack_sequences(ds, key=cfg["key"], order_col=cfg["order"],
@@ -315,6 +342,10 @@ _STAGES: dict[str, StageFn] = {
     "moving_window": _s_moving_window,
     "token_entropy": _s_token_entropy,
     "inverted_index": _s_inverted_index,
+    "median_mad": _s_median_mad,
+    "weighted_sample": _s_weighted_sample,
+    "compression_ratio": _s_compression_ratio,
+    "retention": _s_retention,
 }
 
 

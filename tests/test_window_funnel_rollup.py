@@ -398,3 +398,30 @@ def test_write_sorted_range_partitioned(tmp_path):
     # resume: identical rerun writes nothing
     ds2 = ray.data.from_pandas(df, override_num_blocks=7)
     assert sink.write_sorted(ds2, sort_col="v") == []
+
+
+def test_grouped_argmax_overflow_falls_back(monkeypatch):
+    import cardinalhq_otel_collector_ray.stages.aggregate as agg
+    monkeypatch.setattr(agg, "MAX_DRIVER_ROWS", 1)
+    df = pd.DataFrame({"g": ["a", "b", "c"], "v": [3, 1, 2],
+                       "i": [7, 8, 9]})
+    out = agg.grouped_argmax(ray.data.from_pandas(df, override_num_blocks=3),
+                             ["g"], "v", "i").sort_values("g").reset_index(drop=True)
+    assert out["max_v"].tolist() == [3, 1, 2]
+    assert out["argmax_i"].tolist() == [7, 8, 9]
+
+
+def test_spec_kinds_median_mad_retention(sf_dir):
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+    spec = {
+        "source": {"kind": "parquet", "table": "events",
+                   "columns": ["event_id", "user_id", "event_type", "ts",
+                               "value"]},
+        "stages": [
+            {"kind": "epoch_ms", "column": "ts", "out": "ts_ms"},
+            {"kind": "retention", "user": "user_id", "ts": "ts_ms",
+             "bucket_ms": 86400000},
+        ],
+    }
+    out = compile_pipeline(spec, sf_dir).to_pandas()
+    assert {"cohort_ms", "active_ms"} <= set(out.columns) and len(out) > 0
