@@ -1726,6 +1726,39 @@ def _q_range_partition(sf_dir: str):
     return range_partition_stats(ds, "value_cents", num_partitions=8)
 
 
+def _q_user_journeys(sf_dir: str):
+    """Ordered per-user event-type journey strings (SQL string_agg with
+    ORDER BY): one key shuffle, C++ binary_join per partition."""
+    from cardinalhq_otel_collector_ray.stages.window import grouped_concat
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "ts_ms"])
+    out = grouped_concat(ds, keys=["user_id"], value_col="event_type",
+                         order_cols=["ts_ms", "event_id"], sep=">",
+                         out="journey")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "journey": df["journey"],
+                             "n": df["n"].astype("int64")})
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_source_overlap(sf_dir: str):
+    """Vocabulary Jaccard between every source pair: distinct (token,
+    source) collapses to one uint64 bitmask per token distributed; only
+    (mask, count) partials reach the driver."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        cross_source_overlap)
+    srcs = sorted(set(pq.read_table(f"{sf_dir}/documents.parquet",
+                                    columns=["source"])["source"].to_pylist()))
+    sid = {s: i for i, s in enumerate(srcs)}
+    out = cross_source_overlap(tokenized_documents(sf_dir), sid)
+    return out.sort_values(["src_a", "src_b"],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1781,6 +1814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "compression_ratio": _q_compression_ratio,
         "range_partition_stats": _q_range_partition,
+        "user_journeys": _q_user_journeys,
+        "source_overlap": _q_source_overlap,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,
@@ -2123,6 +2158,32 @@ SELECT l_returnflag, n,
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
              6) AS corr
 FROM s
+""",
+        "user_journeys": _SQL_EVENTS + r"""
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS journey,
+       count(*) AS n
+FROM ev GROUP BY user_id
+""",
+        "source_overlap": _SQL_TOKENS + r""", st AS (
+  SELECT DISTINCT d.source, v.tid
+  FROM exploded e
+  JOIN vocab v ON e.w = v.word
+  JOIN documents d ON e.doc_id = d.doc_id
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM st a JOIN st b ON a.tid = b.tid AND a.source < b.source
+  GROUP BY a.source, b.source
+), sz AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS sz FROM st GROUP BY source
+)
+SELECT i.src_a, i.src_b, i.inter,
+       round(CAST(i.inter AS DOUBLE)
+             / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON i.src_a = sa.source
+JOIN sz sb ON i.src_b = sb.source
 """,
         "range_partition_stats": _SQL_EVENTS + r""", nn AS (
   SELECT count(*) AS n FROM ev

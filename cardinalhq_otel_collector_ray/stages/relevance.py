@@ -369,3 +369,72 @@ def contamination_flags(corpus: ray.data.Dataset,
     return out.map_batches(
         lambda t: t.rename_columns(["doc_id", "n_shared", "contaminated"]),
         batch_format="pyarrow")
+
+
+def cross_source_overlap(ds: ray.data.Dataset, source_ids: dict,
+                         tokens_col: str = "tokens",
+                         source_col: str = "source",
+                         num_partitions: int = 64):
+    """Vocabulary overlap between every pair of sources (corpus
+    analytics / contamination triage): Jaccard of the distinct-token sets
+    per source pair.
+
+    Scale shape: sources are bounded (≤64 here — one uint64 bitmask), so
+    per partition the distinct (token, source) pairs collapse to one
+    BITMASK PER TOKEN (``bitwise_or.reduceat`` over the token-sorted
+    runs) and only (mask, count) partials — at most 2^|S| but practically
+    a handful — reach the driver. Pair intersections then expand from the
+    mask counts; no token ever travels twice."""
+    import pandas as _pd
+
+    ref = ray.put(source_ids)
+
+    def block_masks(batch: pa.Table) -> pa.Table:
+        sid_map = ray.get(ref)
+        doc_idx, values, _ = _flat_tokens(batch, tokens_col)
+        src = batch[source_col].to_pylist()
+        sids = np.asarray([sid_map[s] for s in src], dtype=np.int64)
+        bit = np.uint64(1) << sids[doc_idx].astype(np.uint64)
+        order = np.argsort(values, kind="mergesort")
+        tv, bv = values[order], bit[order]
+        starts = np.flatnonzero(np.r_[True, tv[1:] != tv[:-1]])
+        masks = np.bitwise_or.reduceat(bv, starts) if len(tv) else bv
+        t = pa.table({"token": pa.array(tv[starts]),
+                      "mask": pa.array(masks.view(np.int64))})
+        part = (tv[starts] % np.int64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    partials = ds.map_batches(block_masks, batch_format="pyarrow")
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        mk = g["mask"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(tok, kind="mergesort")
+        tv, bv = tok[order], mk[order]
+        starts = np.flatnonzero(np.r_[True, tv[1:] != tv[:-1]])
+        masks = np.bitwise_or.reduceat(bv, starts) if len(tv) else bv
+        um, cnt = np.unique(masks, return_counts=True)
+        return pa.table({"mask": pa.array(um.view(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    mask_counts = (partials.groupby("_part")
+                   .map_groups(merge_part, batch_format="pyarrow")
+                   .to_pandas())
+    agg = mask_counts.groupby("mask", as_index=False)["n"].sum()
+    masks = agg["mask"].to_numpy().view(np.uint64)
+    cnts = agg["n"].to_numpy().astype(np.int64)
+    S = len(source_ids)
+    present = (masks[:, None] >> np.arange(S, dtype=np.uint64)) & np.uint64(1)
+    present = present.astype(bool)                     # (n_masks, S)
+    sizes = (present * cnts[:, None]).sum(axis=0)      # |A| per source
+    inv = {v: k for k, v in source_ids.items()}
+    rows = []
+    for a in range(S):
+        for b in range(a + 1, S):
+            inter = int(cnts[present[:, a] & present[:, b]].sum())
+            if inter == 0:
+                continue
+            union = int(sizes[a] + sizes[b] - inter)
+            rows.append((inv[a], inv[b], inter,
+                         round(inter / union, 6)))
+    return _pd.DataFrame(rows, columns=["src_a", "src_b", "inter", "jaccard"])

@@ -178,3 +178,40 @@ def grouped_median_mad(ds: ray.data.Dataset, keys: list[str],
         return out
 
     return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)
+
+
+def grouped_concat(ds: ray.data.Dataset, keys: list[str], value_col: str,
+                   order_cols: list[str], sep: str, out: str = "joined",
+                   num_partitions: int = 64) -> ray.data.Dataset:
+    """Ordered per-key string aggregation (SQL ``string_agg(v, sep ORDER
+    BY ...)``): one key shuffle, then per partition a single sort + a
+    C++ ``binary_join`` over a ListArray built from the run boundaries —
+    the join itself never touches Python strings. Output:
+    keys + ``out`` + ``n`` (elements joined)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_cols,
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df.iloc[0:0][keys].assign(**{out: pd.Series([], dtype=str),
+                                                "n": np.array([], np.int64)})
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        for k in keys:
+            kv = df[k].to_numpy()
+            new_key[1:] |= kv[1:] != kv[:-1]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+        values = _pa.array(df[value_col].astype(str).to_numpy())
+        lists = _pa.ListArray.from_arrays(
+            _pa.array(np.r_[starts, n].astype(np.int32)), values)
+        joined = _pc.binary_join(lists, sep)
+        res = df.iloc[starts][keys].reset_index(drop=True)
+        res[out] = joined.to_pandas()
+        res["n"] = counts.astype(np.int64)
+        return res
+
+    return partitioned_apply(ds, keys, kernel, num_partitions=num_partitions)
