@@ -1759,6 +1759,27 @@ def _q_source_overlap(sf_dir: str):
                            kind="mergesort").reset_index(drop=True)
 
 
+def _q_approx_heavy_hitters(sf_dir: str):
+    """SpaceSaving approximate heavy hitters over the token stream — the
+    single-pass mergeable scale path next to the exact two-pass
+    `heavy_hitter_tokens` (rows-only: approximate counts; the guarantee
+    tests live in test_sketch_extra.py)."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.sketch import (
+        approx_heavy_hitters)
+    ds = tokenized_documents(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"token": col.values.cast(pa.int64())})
+
+    return approx_heavy_hitters(ds.map_batches(explode,
+                                               batch_format="pyarrow"),
+                                "token", k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1816,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_stats": _q_range_partition,
         "user_journeys": _q_user_journeys,
         "source_overlap": _q_source_overlap,
+        "approx_heavy_hitters": _q_approx_heavy_hitters,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,

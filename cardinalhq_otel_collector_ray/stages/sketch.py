@@ -232,3 +232,133 @@ def approx_distinct_per_key(ds: ray.data.Dataset, key: str, column: str,
 
     partials = ds.map_batches(sketch, batch_format="pandas")
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+class CountMinSketch:
+    """Mergeable Count-Min frequency sketch (Cormode & Muthukrishnan 2005):
+    ``d`` rows × ``w`` counters, estimate = min over rows — overestimates
+    only, error ≤ e·N/w with prob. 1−(1/2)^d. Deterministic row hashes
+    (fixed odd multipliers), so merge/order parity holds everywhere."""
+
+    _MULS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                      0xFF51AFD7ED558CCD], dtype=np.uint64)
+
+    def __init__(self, w: int = 2048, d: int = 4,
+                 table: np.ndarray | None = None):
+        assert d <= len(self._MULS)
+        self.w, self.d = w, d
+        self.table = (np.zeros((d, w), dtype=np.int64)
+                      if table is None else table)
+
+    def add_hashed(self, h: np.ndarray,
+                   counts: np.ndarray | None = None) -> "CountMinSketch":
+        if counts is None:
+            counts = np.ones(len(h), dtype=np.int64)
+        h = h.astype(np.uint64)
+        for r in range(self.d):
+            with np.errstate(over="ignore"):
+                pos = ((h * self._MULS[r]) >> np.uint64(40)) % np.uint64(self.w)
+            np.add.at(self.table[r], pos.astype(np.int64), counts)
+        return self
+
+    def estimate_hashed(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.d):
+            with np.errstate(over="ignore"):
+                pos = ((h * self._MULS[r]) >> np.uint64(40)) % np.uint64(self.w)
+            est = np.minimum(est, self.table[r][pos.astype(np.int64)])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.w, self.d) == (other.w, other.d)
+        return CountMinSketch(self.w, self.d, self.table + other.table)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, w: int = 2048, d: int = 4):
+        return cls(w, d, np.frombuffer(b, dtype=np.int64).reshape(d, w).copy())
+
+
+class SpaceSaving:
+    """Mergeable SpaceSaving heavy-hitter sketch (Metwally et al. 2005):
+    ≤ k (item, count, overestimate) triples; any item with true frequency
+    > N/k is guaranteed present. The merge (union counts + keep top-k,
+    Agarwal et al. 2012) preserves the guarantee. Deterministic: ties
+    evicted by smallest item value."""
+
+    def __init__(self, k: int = 64, items: dict | None = None):
+        self.k = k
+        self.items: dict[int, list] = items if items is not None else {}
+
+    def add(self, values: np.ndarray,
+            counts: np.ndarray | None = None) -> "SpaceSaving":
+        v, c_in = np.unique(np.asarray(values, dtype=np.int64),
+                            return_counts=True)
+        if counts is not None:
+            c_in = np.zeros(len(v), dtype=np.int64)
+            idx = np.searchsorted(v, np.asarray(values, dtype=np.int64))
+            np.add.at(c_in, idx, np.asarray(counts, dtype=np.int64))
+        for val, c in zip(v.tolist(), c_in.tolist()):
+            if val in self.items:
+                self.items[val][0] += c
+            elif len(self.items) < self.k:
+                self.items[val] = [c, 0]
+            else:
+                evict = min(self.items, key=lambda x: (self.items[x][0], x))
+                base = self.items.pop(evict)[0]
+                self.items[val] = [base + c, base]
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        merged: dict[int, list] = {}
+        for src in (self.items, other.items):
+            for val, (c, e) in src.items():
+                if val in merged:
+                    merged[val][0] += c
+                    merged[val][1] += e
+                else:
+                    merged[val] = [c, e]
+        if len(merged) > self.k:
+            keep = sorted(merged, key=lambda x: (-merged[x][0], x))[: self.k]
+            merged = {v: merged[v] for v in keep}
+        return SpaceSaving(self.k, merged)
+
+    def candidates(self):
+        """(item, count, overestimate) sorted by count desc, item asc."""
+        return sorted(((v, c, e) for v, (c, e) in self.items.items()),
+                      key=lambda t: (-t[1], t[0]))
+
+
+def approx_heavy_hitters(ds: ray.data.Dataset, column: str, k: int,
+                         sketch_k: int = 256) -> "pd.DataFrame":
+    """Approximate per-column heavy hitters: one SpaceSaving sketch per
+    block (values pre-combined with np.unique), tree-merged on the
+    driver — blocks × O(sketch_k) state moves, never the values. Any item
+    with true share > 1/sketch_k of the stream survives; the exact
+    `exact_heavy_hitters` is the verification path."""
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        s = SpaceSaving(sketch_k).add(batch[column].to_numpy())
+        items = s.candidates()
+        return pd.DataFrame({
+            "val": [np.asarray([t[0] for t in items], dtype=np.int64).tobytes()],
+            "cnt": [np.asarray([t[1] for t in items], dtype=np.int64).tobytes()],
+            "err": [np.asarray([t[2] for t in items], dtype=np.int64).tobytes()],
+        })
+
+    merged = SpaceSaving(sketch_k)
+    for b in ds.map_batches(block, batch_format="pandas") \
+               .iter_batches(batch_format="pandas"):
+        for val_b, cnt_b, err_b in zip(b["val"], b["cnt"], b["err"]):
+            items = {int(v): [int(c), int(e)] for v, c, e in zip(
+                np.frombuffer(val_b, dtype=np.int64),
+                np.frombuffer(cnt_b, dtype=np.int64),
+                np.frombuffer(err_b, dtype=np.int64))}
+            merged = merged.merge(SpaceSaving(sketch_k, items))
+    top = merged.candidates()[:k]
+    return pd.DataFrame({"token": [t[0] for t in top],
+                         "approx_count": [t[1] for t in top],
+                         "max_overestimate": [t[2] for t in top]})

@@ -97,6 +97,7 @@ def test_contract_surface():
                          "anomaly_iforest", "winnow_fingerprints",
                          "kmeans_cluster_sizes", "approx_distinct_hll",
                          "approx_quantiles_kll",
-                         "compression_ratio"}, rows_only
+                         "compression_ratio",
+                         "approx_heavy_hitters"}, rows_only
     assert callable(entrymod.entry)
     assert len(ORACLES) >= 60

@@ -1,0 +1,76 @@
+"""Count-Min + SpaceSaving sketch guarantees (mergeable approx frequency
+family, next to the HLL/KLL tests)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from cardinalhq_otel_collector_ray.stages.sketch import (CountMinSketch,
+                                                         SpaceSaving,
+                                                         approx_heavy_hitters)
+
+
+def _zipf_stream(seed=0, n=20_000):
+    rng = np.random.default_rng(seed)
+    # ~40% of the stream is item 0, long random tail
+    hot = np.zeros(int(n * 0.4), dtype=np.int64)
+    warm = rng.integers(1, 10, int(n * 0.3))
+    tail = rng.integers(10, 5000, n - len(hot) - len(warm))
+    s = np.concatenate([hot, warm, tail])
+    rng.shuffle(s)
+    return s
+
+
+def test_countmin_overestimates_only_and_bounded():
+    s = _zipf_stream()
+    cm = CountMinSketch(w=2048, d=4).add_hashed(s.astype(np.uint64))
+    vals, true = np.unique(s, return_counts=True)
+    est = cm.estimate_hashed(vals.astype(np.uint64))
+    assert (est >= true).all()                      # never underestimates
+    # error bound e*N/w holds with huge margin at this width
+    assert (est - true).max() <= 2 * np.e * len(s) / 2048
+
+
+def test_countmin_merge_equals_union():
+    s = _zipf_stream(1)
+    a = CountMinSketch().add_hashed(s[:7000].astype(np.uint64))
+    b = CountMinSketch().add_hashed(s[7000:].astype(np.uint64))
+    whole = CountMinSketch().add_hashed(s.astype(np.uint64))
+    assert (a.merge(b).table == whole.table).all()
+    rt = CountMinSketch.from_bytes(whole.to_bytes())
+    assert (rt.table == whole.table).all()
+
+
+def test_spacesaving_guarantee_and_merge():
+    s = _zipf_stream(2)
+    vals, true = np.unique(s, return_counts=True)
+    n = len(s)
+    k = 64
+    ss = SpaceSaving(k).add(s)
+    kept = {t[0] for t in ss.candidates()}
+    # every item with true frequency > N/k is guaranteed present
+    for v, c in zip(vals, true):
+        if c > n / k:
+            assert int(v) in kept
+    # counts overestimate by at most the recorded error
+    for v, c, e in ss.candidates():
+        t = int(true[np.searchsorted(vals, v)]) if v in vals else 0
+        assert c >= t and c - e <= t
+    # merge keeps the guarantee across a split stream
+    m = SpaceSaving(k).add(s[:9000]).merge(SpaceSaving(k).add(s[9000:]))
+    kept_m = {t[0] for t in m.candidates()}
+    for v, c in zip(vals, true):
+        if c > 2 * n / k:           # merged guarantee is 2N/k-conservative
+            assert int(v) in kept_m
+
+
+def test_approx_heavy_hitters_superset_of_exact():
+    s = _zipf_stream(3)
+    ds = ray.data.from_pandas(pd.DataFrame({"tok": s}),
+                              override_num_blocks=5)
+    approx = approx_heavy_hitters(ds, "tok", k=10, sketch_k=256)
+    vals, true = np.unique(s, return_counts=True)
+    exact_top = set(vals[np.argsort(-true)][:3].tolist())  # unambiguous top
+    assert exact_top <= set(approx["token"].tolist())
+    assert (approx["approx_count"].to_numpy()[:-1]
+            >= approx["approx_count"].to_numpy()[1:]).all()
