@@ -270,7 +270,19 @@ def run_write(sf_dir: str, num_cpus: int, replication: int) -> dict:
     entries2 = sink.write(routed2, key_col="doc_id", route_col="route",
                           tokens_len_col="n_tok", resume=True)
     t_resume = time.perf_counter() - t0
-    del docs, routed, routed2
+    # sorted-write path: same stream, range-partitioned by doc_id with
+    # in-file sort (globally sorted corpus layout)
+    shutil.rmtree(out_root + "_sorted", ignore_errors=True)
+    sink_s = PartitionedSink(out_root + "_sorted", run_ts=1706078400.0,
+                             num_partitions=32)
+    routed3 = routed_from_docs(docs, vocab, sources)
+    t0 = time.perf_counter()
+    entries_s = sink_s.write_sorted(routed3, sort_col="doc_id",
+                                    route_col="route",
+                                    tokens_len_col="n_tok")
+    t_sorted = time.perf_counter() - t0
+    rows_s = sum(e.rows for e in entries_s)
+    del docs, routed, routed2, routed3
     import gc
     gc.collect()
     return {"rows": rows, "bytes": total_bytes,
@@ -278,7 +290,9 @@ def run_write(sf_dir: str, num_cpus: int, replication: int) -> dict:
             "write_sec": round(t_write, 3),
             "rows_per_sec": round(rows / t_write, 1),
             "resume_skipped_all": len(entries2) == 0,
-            "resume_sec": round(t_resume, 3)}
+            "resume_sec": round(t_resume, 3),
+            "sorted_write_sec": round(t_sorted, 3),
+            "sorted_rows_per_sec": round(rows_s / t_sorted, 1)}
 
 
 def main():

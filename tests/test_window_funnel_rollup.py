@@ -425,3 +425,52 @@ def test_spec_kinds_median_mad_retention(sf_dir):
     }
     out = compile_pipeline(spec, sf_dir).to_pandas()
     assert {"cohort_ms", "active_ms"} <= set(out.columns) and len(out) > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_retention_matches_naive_reference(seed):
+    from cardinalhq_otel_collector_ray.stages.temporal import retention_cohorts
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"u": rng.integers(0, 30, 500),
+                       "ts": rng.integers(0, 10_000, 500).astype(np.int64)})
+    B = 1000
+    out = (retention_cohorts(ray.data.from_pandas(df, override_num_blocks=3),
+                             "u", "ts", B, num_partitions=4)
+           .to_pandas())
+    got = set(zip(out["u"], out["cohort_ms"], out["active_ms"]))
+    expect = set()
+    for u, g in df.groupby("u"):
+        cohort = (g["ts"].min() // B) * B
+        for p in sorted(set((g["ts"] // B) * B)):
+            expect.add((u, cohort, p))
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grouped_concat_matches_naive(seed):
+    from cardinalhq_otel_collector_ray.stages.window import grouped_concat
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"k": rng.integers(0, 10, 200),
+                       "v": rng.choice(list("abc"), 200),
+                       "o": rng.permutation(200)})
+    out = (grouped_concat(ray.data.from_pandas(df, override_num_blocks=3),
+                          ["k"], "v", ["o"], sep="-", num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    expect = (df.sort_values(["k", "o"]).groupby("k")["v"]
+              .agg("-".join).reset_index())
+    assert out["joined"].tolist() == expect["v"].tolist()
+    assert out["n"].sum() == 200
+
+
+def test_range_bounds_match_numpy_rank_rule():
+    from cardinalhq_otel_collector_ray.stages.rangesort import (
+        range_partition_bounds)
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 500, 3000).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": v}), override_num_blocks=4)
+    P = 8
+    b = range_partition_bounds(ds, "v", P)
+    sv = np.sort(v)
+    expect = np.unique(sv[np.ceil(np.arange(1, P) * len(v) / P)
+                          .astype(int) - 1])
+    assert b.tolist() == expect.tolist()
