@@ -48,13 +48,32 @@ def partition_dir(run_ts: float, fmt: str = DEFAULT_PARTITION_FORMAT,
     return datetime.fromtimestamp(run_ts, tz).strftime(fmt)
 
 
+def deterministic_uuid7(run_ts: float, seq: int) -> str:
+    """UUIDv7-shaped unique key (partition.go:118-133, UniqueKeyFunc
+    surface) that is a PURE FUNCTION of (run timestamp, sequence): the
+    48-bit ms field comes from ``run_ts`` and the random fields from an
+    integer hash of ``seq`` with the sequence in the low bits — so keys
+    are RFC-9562-formatted, time-ordered, unique per seq AND idempotent
+    across retries (the reference's wall-clock/os-random generator makes
+    every retry a new object; ours makes it the same object)."""
+    ms = int(run_ts * 1000) & ((1 << 48) - 1)
+    h = (seq * 2654435761 + 12345) & ((1 << 42) - 1)
+    # seq rides the most-significant non-version bits so keys stay
+    # time-(seq-)ordered even within one fixed run timestamp
+    rand_a = (seq >> 20) & 0xFFF
+    rand_b = ((seq & ((1 << 20) - 1)) << 42) | h
+    b = (ms << 80) | (0x7 << 76) | (rand_a << 64) | (0b10 << 62) | rand_b
+    hx = f"{b:032x}"
+    return f"{hx[:8]}-{hx[8:12]}-{hx[12:16]}-{hx[16:20]}-{hx[20:]}"
+
+
 class PartitionedSink:
     def __init__(self, root: str, run_ts: float, *,
                  num_partitions: int = 16, signal: str = "logs",
                  file_prefix: str = "", partition_format: str = DEFAULT_PARTITION_FORMAT,
                  tz=timezone.utc, route_dests: dict[str, str] | None = None,
                  fmt: str = "parquet", compression: str | None = None,
-                 notifier=None):
+                 notifier=None, unique_key: str = "seq"):
         from .serializers import EXTENSIONS, MARSHALERS
         # config-validation at BUILD time, not first write (the reference
         # factory rejects bad marshaler configs at exporter build,
@@ -66,6 +85,10 @@ class PartitionedSink:
                              f"known: {sorted(k for k in _COMPRESSION_SUFFIX if k)}")
         if num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
+        if unique_key not in ("seq", "uuid7"):
+            raise ValueError(f"unknown unique_key {unique_key!r}; "
+                             "known: ['seq', 'uuid7']")
+        self.unique_key = unique_key
         self.root = root
         self.run_ts = run_ts
         self.num_partitions = num_partitions
@@ -91,7 +114,11 @@ class PartitionedSink:
         self.notifier = notifier
 
     def object_path(self, sink: str, pid: int) -> str:
-        fname = f"{self.file_prefix}{self.signal}_{pid:05d}.{self.extension}"
+        if self.unique_key == "uuid7":
+            uniq = deterministic_uuid7(self.run_ts, pid)
+        else:
+            uniq = f"{pid:05d}"
+        fname = f"{self.file_prefix}{self.signal}_{uniq}.{self.extension}"
         root = self.route_dests.get(sink, self.root)
         return os.path.join(root, f"sink={sink}", self.time_dir, fname)
 

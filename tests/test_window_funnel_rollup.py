@@ -474,3 +474,29 @@ def test_range_bounds_match_numpy_rank_rule():
     expect = np.unique(sv[np.ceil(np.arange(1, P) * len(v) / P)
                           .astype(int) - 1])
     assert b.tolist() == expect.tolist()
+
+
+def test_uuid7_unique_key_surface(tmp_path):
+    """Transcribes partition_test.go:307-362 (UniqueKeyFunc/UUIDv7):
+    500 keys unique + time-ordered + RFC-9562 format; filename matches
+    the uuid pattern — made deterministic per (run_ts, partition) so
+    retries stay idempotent (our intentional improvement)."""
+    import re
+
+    from cardinalhq_otel_collector_ray.sinks.partitioned import (
+        PartitionedSink, deterministic_uuid7)
+    ks = [deterministic_uuid7(1706078400.0, i) for i in range(500)]
+    assert len(set(ks)) == 500
+    assert ks == sorted(ks)
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}"
+                     r"-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+    assert all(pat.match(k) for k in ks)
+    sink = PartitionedSink(str(tmp_path), run_ts=1706078400.0,
+                           unique_key="uuid7", file_prefix="collector-capture-")
+    assert re.search(r"collector-capture-logs_[0-9a-f-]{36}\.parquet$",
+                     sink.object_path("main", 3))
+    # same (run_ts, pid) → same object path (idempotent retries)
+    assert sink.object_path("main", 3) == sink.object_path("main", 3)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PartitionedSink(str(tmp_path), run_ts=0.0, unique_key="wallclock")
