@@ -1780,6 +1780,18 @@ def _q_approx_heavy_hitters(sf_dir: str):
                                 "token", k=10)
 
 
+def _q_cdc_dedup_ratio(sf_dir: str):
+    """Content-defined-chunking dedup accounting over binary payloads
+    (rows-only: Rabin boundaries aren't SQL-expressible; the CDC
+    shift-robustness/determinism guarantees live in tests/test_cdc.py)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.multimodal import (
+        attach_binary_payload, chunk_dedup_ratio)
+    ds = attach_binary_payload(read_table(sf_dir, "documents",
+                                          columns=["doc_id", "text"]))
+    return chunk_dedup_ratio(ds, mask_bits=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1838,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": _q_user_journeys,
         "source_overlap": _q_source_overlap,
         "approx_heavy_hitters": _q_approx_heavy_hitters,
+        "cdc_dedup_ratio": _q_cdc_dedup_ratio,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "approx_distinct_hll": _q_approx_distinct_hll,

@@ -193,3 +193,156 @@ def frame_sample_stage(ds: ray.data.Dataset, every_n: int = 10,
         keep = mulhash(ids, mod=every_n) == 0
         return batch.filter(pa.array(keep))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- Content-defined chunking (CDC) dedup ----------------------------------
+
+_CDC_P = np.uint64(1099511628211)            # FNV prime, odd → invertible
+_CDC_PINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _rolling_boundaries(data: np.ndarray, window: int, mask: np.uint64
+                        ) -> np.ndarray:
+    """Positions i where the hash of ``data[i-window+1 : i+1]`` has its
+    low bits zero (Rabin-style gear: 16 shifted multiply-adds, fully
+    vectorized — no per-byte Python)."""
+    n = len(data)
+    if n < window:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(n - window + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(window):
+            w = _CDC_P ** np.uint64(window - 1 - j)
+            h += data[j: n - window + 1 + j].astype(np.uint64) * w
+    return np.flatnonzero((h & mask) == 0) + window - 1
+
+
+def cdc_chunks(ds: ray.data.Dataset, payload_col: str = "payload",
+               id_col: str = "doc_id", window: int = 16,
+               mask_bits: int = 6) -> ray.data.Dataset:
+    """Content-defined chunking for binary-payload dedup (Rabin-style —
+    Muthitacharoen et al., LBFS SOSP'01): chunk boundaries depend only on
+    LOCAL byte content, so an insertion early in a payload re-chunks only
+    the affected neighborhood (shift-robust, unlike fixed-size blocks).
+
+    Per batch everything is vectorized over the flattened Arrow binary
+    buffer: one rolling-hash pass for boundaries, then per-chunk 64-bit
+    polynomial fingerprints from ONE prefix-sum (``hash(chunk) =
+    (S[e]−S[s])·P⁻ˢ`` with wrap-around arithmetic — exact, order-exact,
+    no per-chunk loop). Output per row: id, n_chunks,
+    chunk_hashes (list<int64>), chunk_lens (list<int32>)."""
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.large_binary())
+        n = len(col)
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset: col.offset + n + 1]
+        start = int(offsets[0])
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+            start: int(offsets[-1])]
+        offsets = offsets - start
+        total = len(data)
+
+        cuts = _rolling_boundaries(data, window, mask) + 1  # cut AFTER pos
+        # row-local boundaries: every row start/end is always a cut.
+        # (No min-chunk sweep: an exact one is a sequential dependency —
+        # a per-boundary Python loop — and the expected chunk size is
+        # already set by mask_bits; 2^mask_bits ≈ 64 B here.)
+        cuts = np.unique(np.concatenate([offsets, cuts]))
+
+        # per-chunk polynomial fingerprints from one prefix sum
+        with np.errstate(over="ignore"):
+            pw = np.empty(total + 1, dtype=np.uint64)
+            pw[0] = np.uint64(1)
+            np.multiply.accumulate(
+                np.full(total, _CDC_P, dtype=np.uint64), out=pw[1:])
+            weighted = (data.astype(np.uint64) + np.uint64(1)) * pw[:total]
+            S = np.zeros(total + 1, dtype=np.uint64)
+            np.cumsum(weighted, out=S[1:])
+            s_idx, e_idx = cuts[:-1], cuts[1:]
+            pinv = np.empty(total + 1, dtype=np.uint64)
+            pinv[0] = np.uint64(1)
+            np.multiply.accumulate(
+                np.full(total, _CDC_PINV, dtype=np.uint64), out=pinv[1:])
+            hashes = (S[e_idx] - S[s_idx]) * pinv[s_idx]
+        lens = (e_idx - s_idx).astype(np.int32)
+        chunk_row = np.searchsorted(offsets, s_idx, side="right") - 1
+        # rows with zero bytes produce zero chunks
+        counts = np.bincount(chunk_row, minlength=n).astype(np.int32)
+        list_offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_chunks": pa.array(counts.astype(np.int64)),
+            "chunk_hashes": pa.ListArray.from_arrays(
+                pa.array(list_offsets), pa.array(hashes.view(np.int64))),
+            "chunk_lens": pa.ListArray.from_arrays(
+                pa.array(list_offsets), pa.array(lens)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_dedup_ratio(ds: ray.data.Dataset, payload_col: str = "payload",
+                      id_col: str = "doc_id", **cdc_kwargs):
+    """Corpus-level CDC dedup accounting: distinct vs total chunks and
+    the byte dedup ratio — per-block distinct partials (packed hashes),
+    merged through one bounded-tag partition exchange."""
+    import pandas as pd
+
+    chunks = cdc_chunks(ds, payload_col, id_col, **cdc_kwargs)
+
+    def block(batch: pa.Table) -> pa.Table:
+        h = batch["chunk_hashes"]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        ln = batch["chunk_lens"]
+        if isinstance(ln, pa.ChunkedArray):
+            ln = ln.combine_chunks()
+        hv = h.values.to_numpy(zero_copy_only=False)
+        lv = ln.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        uh, first = np.unique(hv, return_index=True)
+        t = pa.table({"h": pa.array(uh), "len": pa.array(lv[first]),
+                      "n_total": pa.array(
+                          np.r_[np.int64(len(hv)),
+                                np.zeros(len(uh) - 1 if len(uh) else 0,
+                                         np.int64)]
+                          if len(uh) else np.empty(0, np.int64)),
+                      "bytes_total": pa.array(
+                          np.r_[np.int64(lv.sum()),
+                                np.zeros(len(uh) - 1 if len(uh) else 0,
+                                         np.int64)]
+                          if len(uh) else np.empty(0, np.int64))})
+        part = (uh % np.int64(64)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    partials = chunks.map_batches(block, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        hv = g["h"].to_numpy(zero_copy_only=False)
+        lv = g["len"].to_numpy(zero_copy_only=False)
+        uh, first = np.unique(hv, return_index=True)
+        return pa.table({
+            "distinct": pa.array([np.int64(len(uh))]),
+            "distinct_bytes": pa.array([np.int64(lv[first].sum())]),
+            "total": pa.array([np.int64(g["n_total"].to_numpy(
+                zero_copy_only=False).sum())]),
+            "bytes_total": pa.array([np.int64(g["bytes_total"].to_numpy(
+                zero_copy_only=False).sum())]),
+        })
+
+    parts = (partials.groupby("_part").map_groups(merge,
+                                                  batch_format="pyarrow")
+             .to_pandas())
+    distinct = int(parts["distinct"].sum())
+    total = int(parts["total"].sum())
+    dbytes = int(parts["distinct_bytes"].sum())
+    tbytes = int(parts["bytes_total"].sum())
+    return pd.DataFrame({
+        "total_chunks": [total], "distinct_chunks": [distinct],
+        "total_bytes": [tbytes], "distinct_bytes": [dbytes],
+        "byte_dedup_ratio": [round(dbytes / max(tbytes, 1), 6)],
+    })

@@ -98,6 +98,7 @@ def test_contract_surface():
                          "kmeans_cluster_sizes", "approx_distinct_hll",
                          "approx_quantiles_kll",
                          "compression_ratio",
-                         "approx_heavy_hitters"}, rows_only
+                         "approx_heavy_hitters",
+                         "cdc_dedup_ratio"}, rows_only
     assert callable(entrymod.entry)
     assert len(ORACLES) >= 60
