@@ -1792,6 +1792,40 @@ def _q_cdc_dedup_ratio(sf_dir: str):
     return chunk_dedup_ratio(ds, mask_bits=5)
 
 
+def _q_join_salted(sf_dir: str):
+    """Skew-aware salted hash join (hot keys split across salt
+    sub-buckets, right side replicated per salt): lineitem ⋈ supplier,
+    aggregated per nation. Results are identical to the plain bucketed
+    join — the salting is purely physical."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.join import salted_hash_join
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_quantity", "l_linenumber"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                     ).astype(np.int64)
+        return pa.table({"l_suppkey": batch["l_suppkey"],
+                         "lid": batch["l_linenumber"].cast(pa.int64()),
+                         "qty": pa.array(q)})
+
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({"l_suppkey": t["s_suppkey"],
+                            "s_nationkey": t["s_nationkey"]}),
+        batch_format="pyarrow")
+    joined = salted_hash_join(li.map_batches(l_prep, batch_format="pyarrow"),
+                              sup, on="l_suppkey", salt_from="lid",
+                              salt=4, hot_share=0.02)
+    agg = grouped_aggregate(joined, keys=["s_nationkey"], value_col="qty",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("s_nationkey", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"s_nationkey": agg["s_nationkey"].astype("int64"),
+                         "n_items": agg["agg_count"].astype("int64"),
+                         "sum_qty": agg["agg_sum"].astype("int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1825,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unroll_tokens": _q_unroll_tokens,
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
+        "join_salted": _q_join_salted,
         "bloom_semi_join": _q_bloom_semi_join,
         "anti_join": _q_anti_join,
         "funnel_view_purchase": _q_funnel,
@@ -2100,6 +2135,13 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        "join_salted": r"""
+SELECT s_nationkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
 """,
         "anti_join": r"""
 SELECT l_orderkey, l_linenumber FROM lineitem

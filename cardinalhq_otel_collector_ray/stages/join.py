@@ -332,3 +332,124 @@ def interval_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     return (lt.union(rt).groupby("_bucket")
               .map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                     on: str, salt_from: str, *, num_buckets: int = 32,
+                     salt: int = 8, hot_share: float = 0.05,
+                     how: str = "inner") -> ray.data.Dataset:
+    """Skew-aware bucketed hash join: HOT join keys are split across
+    ``salt`` sub-buckets instead of landing in one worker.
+
+    Phase 1 detects hot keys with per-block count partials (each block
+    contributes its locally-heavy candidates — a bounded superset, the
+    `exact_heavy_hitters` discipline) and broadcasts the tiny hot set.
+    Phase 2: LEFT rows of a hot key get ``salt_id = mulhash(salt_from) %
+    salt`` (a pure row property — deterministic under retries); RIGHT
+    rows of a hot key are REPLICATED once per salt id. Bucket =
+    hash(key)·salt + salt_id, so each hot key's work spreads over
+    ``salt`` buckets while cold keys pay nothing. Join semantics are
+    identical to `bucketed_hash_join` (each left row still meets every
+    matching right row exactly once)."""
+    from ..functions.hashing import mulhash
+
+    # --- phase 1: bounded hot-key detection over the LEFT side ----------
+    def block_counts(batch: pa.Table) -> pa.Table:
+        part = batch.select([on]).group_by([on]).aggregate([(on, "count")])
+        t = part.rename_columns([on, "_n"])
+        n_b = batch.num_rows
+        mask = pc.greater(pc.multiply(t["_n"].cast(pa.float64()),
+                                      pa.scalar(1.0 / max(hot_share, 1e-9))),
+                          pa.scalar(float(n_b)))
+        cand = t.filter(mask)
+        return pa.concat_tables([
+            pa.table({on: cand[on], "_n": cand["_n"].cast(pa.int64()),
+                      "_tot": pa.array(np.zeros(cand.num_rows, np.int64))}),
+            pa.table({on: pa.nulls(1, batch[on].type),
+                      "_n": pa.array([0], pa.int64()),
+                      "_tot": pa.array([n_b], pa.int64())}),
+        ])
+
+    phase1 = left.map_batches(block_counts, batch_format="pyarrow").to_pandas()
+    total = int(phase1["_tot"].sum())
+    cand = phase1[phase1[on].notna()]
+    recount = cand.groupby(on, as_index=False)["_n"].sum()
+    hot = np.sort(recount.loc[recount["_n"] > hot_share * total, on]
+                  .to_numpy().astype(np.int64))
+    hot_ref = ray.put(hot)
+
+    S = np.int64(max(salt, 1))
+
+    def _is_hot(keys: np.ndarray) -> np.ndarray:
+        h = ray.get(hot_ref)
+        if not len(h):
+            return np.zeros(len(keys), dtype=bool)
+        pos = np.minimum(np.searchsorted(h, keys), len(h) - 1)
+        return h[pos] == keys
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = np.where(_is_hot(keys),
+                       mulhash(batch[salt_from].to_numpy(
+                           zero_copy_only=False)) % S,
+                       0).astype(np.int64)
+        return batch.append_column("_salt", pa.array(sid))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot_mask = _is_hot(keys)
+        cold = batch.filter(pa.array(~hot_mask)).append_column(
+            "_salt", pa.array(np.zeros(int((~hot_mask).sum()), np.int64)))
+        hot_rows = batch.filter(pa.array(hot_mask))
+        if hot_rows.num_rows == 0:
+            return cold
+        reps = []
+        for s in range(int(S)):
+            reps.append(hot_rows.append_column(
+                "_salt", pa.array(np.full(hot_rows.num_rows, s, np.int64))))
+        return pa.concat_tables([cold] + reps)
+
+    # same union + ONE co-partition shuffle as bucketed_hash_join, with a
+    # composite (hash(key), salt) bucket and the merge on the REAL key
+    l_schema, r_schema = left.schema(), right.schema()
+    lcols, rcols = list(l_schema.names), list(r_schema.names)
+    collide = (set(lcols) & set(rcols)) - {on}
+    r_renames = {c: c + "_r" for c in collide}
+    r_out = [r_renames.get(c, c) for c in rcols]
+    all_cols = [on] + [c for c in lcols if c != on] + \
+               [c for c in r_out if c != on]
+    arrow_types = dict(zip(l_schema.names, l_schema.types))
+    for name, t in zip(r_schema.names, r_schema.types):
+        arrow_types.setdefault(r_renames.get(name, name), t)
+
+    def finish_tag(side_code: int, tag_salt):
+        def fn(t: pa.Table) -> pa.Table:
+            t = tag_salt(t)
+            if side_code == 1:
+                t = t.rename_columns([r_renames.get(c, c)
+                                      for c in t.column_names])
+            n = t.num_rows
+            cols = {c: (t[c] if c in t.column_names
+                        else pa.nulls(n, arrow_types[c])) for c in all_cols}
+            k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            sid = t["_salt"].to_numpy(zero_copy_only=False)
+            b = ((k * np.int64(2654435761) + np.int64(12345))
+                 % np.int64(num_buckets)) * S + sid
+            cols["_bucket"] = pa.array(b.astype(np.int32))
+            cols["_side"] = pa.array(np.full(n, side_code, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    lt = left.map_batches(finish_tag(0, tag_left), batch_format="pyarrow")
+    rt = right.map_batches(finish_tag(1, tag_right), batch_format="pyarrow")
+    l_keep = [on] + [c for c in lcols if c != on]
+    r_keep = [on] + [c for c in r_out if c != on]
+
+    def join_bucket(g: pa.Table):
+        lmask = pc.equal(g["_side"], 0)
+        l = g.filter(lmask).select(l_keep).to_pandas()
+        r = g.filter(pc.invert(lmask)).select(r_keep).to_pandas()
+        return l.merge(r, on=on, how=how)
+
+    return (lt.union(rt).groupby("_bucket")
+            .map_groups(join_bucket, batch_format="pyarrow"))

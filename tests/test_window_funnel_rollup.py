@@ -500,3 +500,36 @@ def test_uuid7_unique_key_surface(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         PartitionedSink(str(tmp_path), run_ts=0.0, unique_key="wallclock")
+
+
+def test_salted_join_equals_plain_on_skew():
+    from cardinalhq_otel_collector_ray.stages.join import (bucketed_hash_join,
+                                                           salted_hash_join)
+    rng = np.random.default_rng(6)
+    n = 4000
+    # 90% of left rows share key 7
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n))
+    left = pd.DataFrame({"k": keys.astype(np.int64),
+                         "lid": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 50, dtype=np.int64),
+                          "attr": np.arange(100, 150, dtype=np.int64)})
+    lds = ray.data.from_pandas(left, override_num_blocks=4)
+    rds = ray.data.from_pandas(right, override_num_blocks=2)
+    plain = (bucketed_hash_join(lds, rds, on="k", num_buckets=8)
+             .to_pandas().sort_values(["k", "lid"]).reset_index(drop=True))
+    salted = (salted_hash_join(
+        ray.data.from_pandas(left, override_num_blocks=4),
+        ray.data.from_pandas(right, override_num_blocks=2),
+        on="k", salt_from="lid", num_buckets=8, salt=4, hot_share=0.05)
+        .to_pandas().sort_values(["k", "lid"]).reset_index(drop=True))
+    assert plain[["k", "lid", "attr"]].equals(salted[["k", "lid", "attr"]])
+
+
+def test_salted_join_spreads_hot_key():
+    from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+    # the salt id is a pure function of the salt_from column: the hot
+    # key's rows land in `salt` distinct sub-buckets
+    ids = np.arange(1000, dtype=np.int64)
+    sids = mulhash(ids) % 4
+    assert len(np.unique(sids)) == 4
+    assert np.bincount(sids).max() < 400     # roughly even spread
