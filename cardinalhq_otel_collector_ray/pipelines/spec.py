@@ -264,6 +264,43 @@ def _s_retention(ds, cfg):
                              bucket_ms=int(cfg["bucket_ms"]))
 
 
+def _s_join_table(ds, cfg):
+    """Broadcast join against another parquet table (the k8sattributes /
+    dimension-enrich shape for TABLE-shaped dims; use ``enrich`` for
+    dict-shaped ones). The dim table is read once on the driver and
+    ``ray.put`` once — small-side contract."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import broadcast_join
+    dim = pq.read_table(f"{cfg['_sf_dir']}/{cfg['table']}.parquet",
+                        columns=cfg.get("columns")).to_pandas()
+    return broadcast_join(ds, dim, on=cfg["on"], how=cfg.get("how", "left"))
+
+
+def _s_unroll(ds, cfg):
+    """unrollprocessor analog (components.go:147): one row per element of
+    a list column."""
+    import numpy as np
+    import pyarrow as _pa
+
+    col, out = cfg["column"], cfg.get("out", "element")
+    keep = cfg.get("keep", None)
+
+    def fn(batch: _pa.Table) -> _pa.Table:
+        lc = batch[col]
+        if isinstance(lc, _pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        offsets = lc.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_per = np.diff(offsets)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_per)
+        cols = {c: batch[c].take(_pa.array(idx))
+                for c in (keep or [c for c in batch.column_names if c != col])}
+        cols[out] = lc.values
+        return _pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _s_pack_sequences(ds, cfg):
     from ..stages.packing import pack_sequences
     return pack_sequences(ds, key=cfg["key"], order_col=cfg["order"],
@@ -342,6 +379,8 @@ _STAGES: dict[str, StageFn] = {
     "moving_window": _s_moving_window,
     "token_entropy": _s_token_entropy,
     "inverted_index": _s_inverted_index,
+    "join_table": _s_join_table,
+    "unroll": _s_unroll,
     "median_mad": _s_median_mad,
     "weighted_sample": _s_weighted_sample,
     "compression_ratio": _s_compression_ratio,
@@ -359,7 +398,7 @@ def compile_pipeline(spec: dict[str, Any], sf_dir: str) -> ray.data.Dataset:
         if kind not in _STAGES:
             raise ValueError(f"stage {i}: unknown kind {kind!r}; "
                              f"known: {sorted(_STAGES)}")
-        ds = _STAGES[kind](ds, st)
+        ds = _STAGES[kind](ds, {**st, "_sf_dir": sf_dir})
     return ds
 
 
