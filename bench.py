@@ -181,7 +181,12 @@ def run_queries(sf_dir: str) -> dict:
              "funnel_view_purchase", "moving_window", "rollup_events",
              "anti_join", "inverted_index_tokens", "token_entropy",
              "orders_revenue_topk", "regional_revenue", "corr_qty_price",
-             "argmax_event_per_type", "knn_ivf", "pii_redaction"]
+             "argmax_event_per_type", "knn_ivf", "pii_redaction",
+             "user_journeys", "mad_per_type", "weighted_sample",
+             "range_partition_stats", "pack_sequences", "dataset_split",
+             "retention_cohorts", "contamination_flags", "join_salted",
+             "source_overlap", "cdc_dedup_ratio", "approx_heavy_hitters",
+             "pivot_routes", "left_join_counts"]
     qs = entrymod.queries()
     out = {}
     for name in names:
