@@ -148,3 +148,73 @@ def streaming_interval_aggregate(batches, *, keys: list[str], ts_col: str,
     if not real:
         return emitted[0] if emitted else pa.table({})
     return pa.concat_tables(real, promote_options="default")
+
+
+class StreamingDeduper:
+    """Incremental interval log-dedup — the logdedupprocessor's TRUE
+    streaming shape (``distribution/components.go:133``): per (interval,
+    key-set) keep the FIRST row (min (ts, tiebreak)) plus a suppressed
+    count, state held across consume calls and evicted by the same
+    event-time watermark as `MicroBatchAggregator`.
+
+    Per-batch pre-combine: one C++ ``group_by`` reduces the micro-batch
+    to ≤G (interval, keys) partials carrying a PACKED (ts, tiebreak)
+    min — the Python merge then touches only partials. Emits each closed
+    interval's (keys, interval, first_ts, tiebreak, count)."""
+
+    def __init__(self, keys: list[str], ts_col: str, tiebreak_col: str,
+                 interval_ms: int, allowed_lateness_ms: int = 0):
+        self.keys = keys
+        self.ts_col = ts_col
+        self.tb_col = tiebreak_col
+        self.interval_ms = interval_ms
+        self.lateness = allowed_lateness_ms
+        self.state: dict = {}          # key → [packed_min, count]
+        self.watermark = -(2**62)
+        self._B = np.int64(1) << np.int64(31)
+
+    def consume(self, batch: pa.Table) -> pa.Table:
+        ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = batch[self.tb_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iv = (ts // self.interval_ms) * self.interval_ms
+        packed = ts * self._B + tb     # contract: 0 ≤ tiebreak < 2³¹
+        t = pa.table({**{k: batch[k] for k in self.keys},
+                      "_iv": pa.array(iv), "_p": pa.array(packed)})
+        part = t.group_by(["_iv", *self.keys]).aggregate(
+            [("_p", "min"), ("_p", "count")])
+        ivs = part["_iv"].to_numpy(zero_copy_only=False)
+        key_cols = [part[k].to_numpy(zero_copy_only=False) for k in self.keys]
+        pmin = part["_p_min"].to_numpy(zero_copy_only=False)
+        cnt = part["_p_count"].to_numpy(zero_copy_only=False)
+        for i in range(part.num_rows):      # ≤ G partials, not batch rows
+            k = (int(ivs[i]), *(c[i] for c in key_cols))
+            s = self.state.get(k)
+            if s is None:
+                self.state[k] = [int(pmin[i]), int(cnt[i])]
+            else:
+                if pmin[i] < s[0]:
+                    s[0] = int(pmin[i])
+                s[1] += int(cnt[i])
+        if len(ts):
+            self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
+        return self._emit_closed()
+
+    def _emit_closed(self) -> pa.Table:
+        boundary = (self.watermark // self.interval_ms) * self.interval_ms
+        done = [k for k in self.state
+                if k[0] + self.interval_ms <= boundary]
+        rows = []
+        for k in sorted(done):
+            p, c = self.state.pop(k)
+            rows.append((k[0], *k[1:], p // int(self._B),
+                         p % int(self._B), c))
+        cols = ["interval_start", *self.keys, "first_ts", "first_tiebreak",
+                "n_dropped_plus_one"]
+        if not rows:
+            return pa.table({c: pa.array([]) for c in cols})
+        arrays = list(zip(*rows))
+        return pa.table({c: pa.array(list(a)) for c, a in zip(cols, arrays)})
+
+    def flush(self) -> pa.Table:
+        self.watermark = 2**62
+        return self._emit_closed()

@@ -69,3 +69,60 @@ def test_streaming_matches_batch(sf_dir):
     assert (merged["agg_count"] == merged["count"]).all()
     assert (merged["agg_min"] == merged["min"]).all()
     assert (merged["agg_max"] == merged["max"]).all()
+
+
+def test_streaming_dedup_matches_batch_interval_dedup():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.stages.streaming import StreamingDeduper
+    rng = np.random.default_rng(8)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "ts": np.sort(rng.integers(0, 5000, n)).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    dd = StreamingDeduper(["k"], "ts", "id", interval_ms=1000)
+    out = []
+    for i in range(0, n, 100):
+        out.append(dd.consume(pa.Table.from_pandas(df.iloc[i:i+100])))
+    out.append(dd.flush())
+    got = (pa.concat_tables([t for t in out if t.num_rows],
+                            promote_options="default").to_pandas()
+           .sort_values(["interval_start", "k"]).reset_index(drop=True))
+    # batch-side reference
+    ref = df.assign(iv=(df["ts"] // 1000) * 1000)
+    exp = (ref.sort_values(["iv", "k", "ts", "id"])
+           .groupby(["iv", "k"], as_index=False)
+           .agg(first_ts=("ts", "min"), n=("ts", "size")))
+    exp_first_id = (ref.sort_values(["ts", "id"])
+                    .groupby(["iv", "k"], as_index=False).first())
+    assert got["interval_start"].tolist() == exp["iv"].tolist()
+    assert got["first_ts"].tolist() == exp["first_ts"].tolist()
+    assert got["n_dropped_plus_one"].tolist() == exp["n"].tolist()
+    assert got["first_tiebreak"].tolist() == exp_first_id["id"].tolist()
+
+
+def test_streaming_dedup_watermark_and_lateness():
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.stages.streaming import StreamingDeduper
+    dd = StreamingDeduper(["k"], "ts", "id", interval_ms=10,
+                          allowed_lateness_ms=5)
+    t1 = pa.table({"k": ["x"], "ts": [3], "id": [0]})
+    assert dd.consume(t1).num_rows == 0          # interval 0 still open
+    t2 = pa.table({"k": ["x"], "ts": [22], "id": [1]})
+    out = dd.consume(t2)                          # watermark 17 closes [0,10)
+    assert out.num_rows == 1 and out["interval_start"][0].as_py() == 0
+    # a late row for a CLOSED interval opens fresh state (no silent
+    # drop) and — the watermark already being past it — re-emits as its
+    # own late record immediately: the reference's late-data rule ("a
+    # late dp lands in a new state entry for its own interval", §2.4)
+    t3 = pa.table({"k": ["x"], "ts": [4], "id": [2]})
+    out3 = dd.consume(t3)
+    assert out3.num_rows == 1 and out3["interval_start"][0].as_py() == 0
+    assert out3["n_dropped_plus_one"][0].as_py() == 1
+    fin = dd.flush().to_pandas()
+    assert fin["interval_start"].tolist() == [20]
