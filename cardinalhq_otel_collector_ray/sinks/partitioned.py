@@ -274,3 +274,67 @@ class PartitionedSink:
         except Exception:  # stats format drift must never fail a write
             pass
         return entries
+
+
+def compact_sink(sink: "PartitionedSink", min_rows: int
+                 ) -> list[ManifestEntry]:
+    """Sink maintenance: merge each route's SMALL partition files
+    (< ``min_rows`` rows) into one consolidated file per route — the
+    many-small-files problem every long-running partitioned writer grows.
+
+    Safe ordering: the consolidated file is written (atomic tmp+rename)
+    and recorded in the manifest BEFORE the absorbed originals are
+    deleted, and the absorbed partition ids are re-recorded as pointing
+    at the consolidated file — a crash between steps leaves only
+    harmless duplicates, never data loss, and `write(resume=True)` still
+    skips every absorbed partition. Parquet sinks only; per-route work
+    is independent (driver-side here — compaction I/O is object-store
+    bound, not compute bound)."""
+    assert sink.fmt == "parquet" and sink.compression is None, \
+        "compaction reads back parquet; run it on parquet sinks"
+    done = sink.manifest.completed()
+    by_sink: dict[str, list[ManifestEntry]] = {}
+    for e in done.values():
+        # pid -1 marks consolidated files (never a real hash bucket)
+        if e.rows < min_rows and not e.partition_id.endswith("/-1"):
+            by_sink.setdefault(e.sink, []).append(e)
+
+    def compact_route(route: str, entries: list[ManifestEntry]):
+        if len(entries) < 2:
+            return None
+        entries = sorted(entries, key=lambda e: e.partition_id)
+        tables = [pq.read_table(e.path) for e in entries]
+        merged = pa.concat_tables(tables, promote_options="default")
+        path = sink.object_path(route, 0).replace(
+            f"{sink.signal}_", f"{sink.signal}_compact_")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, path)
+        return (route, entries, path, merged.num_rows,
+                os.path.getsize(path))
+
+    results = []
+    for route, entries in sorted(by_sink.items()):
+        r = compact_route(route, entries)
+        if r is not None:
+            results.append(r)
+
+    new_entries = []
+    for route, absorbed, path, rows, nbytes in results:
+        tokens = sum(e.tokens for e in absorbed)
+        ce = ManifestEntry(partition_id=f"{route}/-1",
+                           sink=route, path=path, rows=rows,
+                           bytes=nbytes, tokens=tokens)
+        sink.manifest.record(ce)
+        new_entries.append(ce)
+        # repoint absorbed partitions at the consolidated file (resume
+        # keeps skipping them), THEN delete originals
+        for e in absorbed:
+            sink.manifest.record(ManifestEntry(
+                partition_id=e.partition_id, sink=e.sink, path=path,
+                rows=e.rows, bytes=0, tokens=e.tokens))
+        for e in absorbed:
+            if os.path.exists(e.path) and e.path != path:
+                os.remove(e.path)
+    return new_entries

@@ -572,3 +572,35 @@ def test_spec_join_table_and_unroll(sf_dir):
     out2 = _s_unroll(rd.from_arrow(t), {"column": "xs"}).to_pandas()
     assert out2["element"].tolist() == [10, 11, 12]
     assert out2["id"].tolist() == [1, 1, 2]
+
+
+def test_compact_sink_conserves_and_resumes(tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cardinalhq_otel_collector_ray.sinks.partitioned import (
+        PartitionedSink, compact_sink)
+    df = pd.DataFrame({"k": np.arange(2000, dtype=np.int64),
+                       "route": np.where(np.arange(2000) % 2 == 0,
+                                         "main", "errors")})
+    ds = ray.data.from_pandas(df, override_num_blocks=4)
+    sink = PartitionedSink(str(tmp_path / "c"), run_ts=1706078400.0,
+                           num_partitions=16)
+    entries = sink.write(ds, key_col="k", route_col="route")
+    n_files_before = len(glob.glob(str(tmp_path / "c" / "sink=*" / "**" /
+                                       "*.parquet"), recursive=True))
+    new = compact_sink(sink, min_rows=10_000)   # everything is "small"
+    assert {e.sink for e in new} == {"main", "errors"}
+    files_after = glob.glob(str(tmp_path / "c" / "sink=*" / "**" /
+                                "*.parquet"), recursive=True)
+    assert len(files_after) == 2 < n_files_before
+    total = sum(pq.read_table(f).num_rows for f in files_after)
+    assert total == 2000
+    # resume after compaction: identical rerun writes nothing
+    ds2 = ray.data.from_pandas(df, override_num_blocks=3)
+    assert sink.write(ds2, key_col="k", route_col="route") == []
+    # absorbed manifest entries now point at the consolidated files
+    done = sink.manifest.completed()
+    assert all(os.path.exists(e.path) for e in done.values())
