@@ -1826,6 +1826,30 @@ def _q_join_salted(sf_dir: str):
                          "sum_qty": agg["agg_sum"].astype("int64")})
 
 
+def _q_token_budget_mix(sf_dir: str):
+    """Token-budgeted mixture sampling: per source keep docs in
+    deterministic hash-priority order until a 5000-token budget is
+    spent (at-most-one-doc overshoot) — the domain-weighted pretraining
+    mix primitive."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.packing import (
+        token_budget_sample)
+    ds = tokenized_documents(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "source": batch["source"],
+                         "n_tok": batch["n_tok"].cast(pa.int64())})
+
+    kept = token_budget_sample(ds.map_batches(prep, batch_format="pyarrow"),
+                               key="source", id_col="doc_id",
+                               len_col="n_tok", budgets=5000)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "source", "n_tok"]]
+    return kept.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1874,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": _q_regional_revenue,
         "pack_sequences": _q_pack_sequences,
         "dataset_split": _q_dataset_split,
+        "token_budget_mix": _q_token_budget_mix,
         "contamination_flags": _q_contamination,
         "retention_cohorts": _q_retention,
         "pivot_routes": _q_pivot_routes,
@@ -2326,6 +2351,19 @@ FROM orders o
 LEFT JOIN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') l
   ON o.o_orderkey = l.l_orderkey
 GROUP BY o_orderkey
+""",
+        "token_budget_mix": _SQL_TOKENS + r""", pri AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS doc_id, d.source,
+         CAST(t.n_tok AS BIGINT) AS n_tok,
+         (t.doc_id * 2654435761 + 4242) % 1000003 AS p
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+), cum AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY p, doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS excl
+  FROM pri
+)
+SELECT doc_id, source, n_tok FROM cum WHERE excl < 5000
 """,
         "pack_sequences": _SQL_TOKENS + r""", packed AS (
   SELECT CAST(t.doc_id AS BIGINT) AS doc_id, d.source,

@@ -74,3 +74,51 @@ def dataset_split(ds: ray.data.Dataset, id_col: str,
         return batch.append_column(out, pa.array(names[idx]))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_budget_sample(ds: ray.data.Dataset, key: str, id_col: str,
+                        len_col: str, budgets: dict | int,
+                        salt: int = 4242,
+                        num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                        ) -> ray.data.Dataset:
+    """Token-budgeted mixture construction: per ``key`` (source/domain),
+    keep documents in deterministic hash-priority order until the key's
+    token budget is exhausted — the "sample a 30B-token mix with these
+    domain weights" primitive. A doc is kept iff the budget was not
+    already exhausted when its turn came (``excl_cumsum < budget``), so
+    the mix can overshoot by at most one document per key.
+
+    Deterministic: priority = mulhash(id), a pure row property — the same
+    mix on every retry/resume. One key shuffle + a segmented cumsum.
+    ``budgets``: one int for all keys or a per-key dict (missing keys get
+    budget 0)."""
+    per_key = None if isinstance(budgets, int) else dict(budgets)
+    flat = None if per_key is not None else np.int64(budgets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        df = df.assign(_pri=mulhash(ids, salt=salt))
+        df = df.sort_values([key, "_pri", id_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df.drop(columns=["_pri"])
+        v = df[len_col].to_numpy().astype(np.int64)
+        kv = df[key].to_numpy()
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.r_[starts, n])
+        cs = np.cumsum(v)
+        base = np.repeat(cs[starts] - v[starts], seg_len)
+        excl = cs - v - base
+        if per_key is not None:
+            seg_budget = np.asarray(
+                [per_key.get(k, 0) for k in kv[starts]], dtype=np.int64)
+            budget = np.repeat(seg_budget, seg_len)
+        else:
+            budget = flat
+        return df[excl < budget].drop(columns=["_pri"])
+
+    return partitioned_apply(ds, [key], kernel, num_partitions=num_partitions)

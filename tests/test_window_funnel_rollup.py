@@ -604,3 +604,28 @@ def test_compact_sink_conserves_and_resumes(tmp_path):
     # absorbed manifest entries now point at the consolidated files
     done = sink.manifest.completed()
     assert all(os.path.exists(e.path) for e in done.values())
+
+
+def test_token_budget_sample_per_key_dict_and_overshoot():
+    from cardinalhq_otel_collector_ray.stages.packing import (
+        token_budget_sample)
+    df = pd.DataFrame({
+        "src": ["a"] * 10 + ["b"] * 10 + ["c"] * 5,
+        "doc": np.arange(25, dtype=np.int64),
+        "n": np.full(25, 100, dtype=np.int64),
+    })
+    out = (token_budget_sample(ray.data.from_pandas(df, override_num_blocks=3),
+                               "src", "doc", "n",
+                               budgets={"a": 350, "b": 0}, num_partitions=2)
+           .to_pandas())
+    by = out.groupby("src")["n"].sum().to_dict()
+    # a: 3 docs fit under 350, the 4th starts at 300<350 → overshoot to 400
+    assert by.get("a") == 400
+    assert "b" not in by            # zero budget
+    assert "c" not in by            # missing key → budget 0
+    # determinism across blockings
+    out2 = (token_budget_sample(ray.data.from_pandas(df, override_num_blocks=7),
+                                "src", "doc", "n",
+                                budgets={"a": 350, "b": 0}, num_partitions=5)
+            .to_pandas())
+    assert sorted(out["doc"]) == sorted(out2["doc"])
