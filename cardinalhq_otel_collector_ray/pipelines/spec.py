@@ -264,6 +264,17 @@ def _s_retention(ds, cfg):
                              bucket_ms=int(cfg["bucket_ms"]))
 
 
+def _s_token_budget(ds, cfg):
+    from ..stages.packing import token_budget_sample
+    budgets = cfg["budgets"]
+    if isinstance(budgets, dict):
+        budgets = {k: int(v) for k, v in budgets.items()}
+    else:
+        budgets = int(budgets)
+    return token_budget_sample(ds, key=cfg["key"], id_col=cfg["id"],
+                               len_col=cfg["len"], budgets=budgets)
+
+
 def _s_join_table(ds, cfg):
     """Broadcast join against another parquet table (the k8sattributes /
     dimension-enrich shape for TABLE-shaped dims; use ``enrich`` for
@@ -379,6 +390,7 @@ _STAGES: dict[str, StageFn] = {
     "moving_window": _s_moving_window,
     "token_entropy": _s_token_entropy,
     "inverted_index": _s_inverted_index,
+    "token_budget": _s_token_budget,
     "join_table": _s_join_table,
     "unroll": _s_unroll,
     "median_mad": _s_median_mad,

@@ -629,3 +629,15 @@ def test_token_budget_sample_per_key_dict_and_overshoot():
                                 budgets={"a": 350, "b": 0}, num_partitions=5)
             .to_pandas())
     assert sorted(out["doc"]) == sorted(out2["doc"])
+
+
+def test_mixture_example_spec(sf_dir):
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    out = compile_pipeline(
+        load_spec("/root/repo/examples/mixture_sampling.yaml"),
+        sf_dir).to_pandas()
+    assert {"split", "source", "n_chars"} <= set(out.columns)
+    # budget respected up to one-doc overshoot per source
+    g = out.groupby("source")["n_chars"].sum()
+    assert (g < 20000 + out["n_chars"].max()).all()
