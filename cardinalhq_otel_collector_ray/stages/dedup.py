@@ -440,8 +440,6 @@ def cluster_pairs_distributed(pairs_ds: ray.data.Dataset,
     the driver). Returns a Dataset (id, cluster) with cluster = min id of
     the component.
     """
-    import ray.data as rd
-
     def symm(b: pa.Table) -> pa.Table:
         a = b[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
         c = b[id_b].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -11,7 +11,7 @@ SQL ``regexp_extract`` reproduces results exactly.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 import pyarrow.compute as pc
