@@ -1297,7 +1297,11 @@ def _q_funnel(sf_dir: str):
 def _q_anti_join(sf_dir: str):
     """Exact distributed ANTI-join (lineitems whose order is not in
     status 'F'): both sides co-partitioned by ONE shuffle, per-bucket
-    sorted-set filter — the complement of the tail-sampling semi-join."""
+    sorted-set filter. (`join.bloom_anti_join` is the large-scale
+    variant — bloom-negative rows skip the shuffle entirely — but its
+    bitmap build + second scan only pays off when the exchange dominates;
+    measured 1.2 s vs 2.2 s AGAINST it at sf0.1, so the bench query keeps
+    the plain path and the bloom path keeps its exactness test.)"""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.join import partitioned_semi_join
     left = read_table(sf_dir, "lineitem",

@@ -453,3 +453,37 @@ def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     return (lt.union(rt).groupby("_bucket")
             .map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def bloom_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                    on: str, num_bits: int = 1 << 22, num_hashes: int = 4,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """EXACT anti-join with a bloom fast path: a bloom-NEGATIVE left row
+    is *provably* absent from the right side, so it is kept immediately
+    without ever entering the shuffle; only the bloom-positive minority
+    (true matches + false positives) runs the exact co-partitioned
+    anti-join. The two streams union to the exact result — on a
+    mostly-non-matching left side (the common anti-join shape) almost
+    nothing shuffles."""
+    from ..functions.hashing import table_key_hash
+
+    bitmap = build_bloom_filter(right, on, num_bits, num_hashes)
+    nbits = len(bitmap) * 64
+    bref = ray.put(bitmap)
+
+    def split(keep_negative: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            bm = ray.get(bref)
+            h = table_key_hash(batch, [on])       # same hash as the build
+            hit = np.ones(len(h), dtype=bool)
+            for pos in _bloom_positions(h, nbits, num_hashes):
+                hit &= ((bm[pos >> 6] >> (pos & 63).astype(np.uint64))
+                        & np.uint64(1)) != 0
+            return batch.filter(pa.array(~hit if keep_negative else hit))
+        return fn
+
+    definite_out = left.map_batches(split(True), batch_format="pyarrow")
+    maybe = left.map_batches(split(False), batch_format="pyarrow")
+    checked = partitioned_semi_join(maybe, right, on,
+                                    num_buckets=num_buckets, anti=True)
+    return definite_out.union(checked)

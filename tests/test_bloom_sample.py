@@ -78,3 +78,25 @@ def test_stratified_sample_per_key_counts():
     expect = (df.assign(pri=pri).sort_values(["g", "pri", "rid"])
               .groupby("g").head(40))
     assert sorted(out["rid"]) == sorted(expect["rid"])
+
+
+def test_bloom_anti_join_exact():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.stages.join import (bloom_anti_join,
+                                                           partitioned_semi_join)
+    rng = np.random.default_rng(12)
+    left = pd.DataFrame({"k": rng.integers(0, 10_000, 5000).astype(np.int64),
+                         "v": np.arange(5000, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.integers(0, 500, 800).astype(np.int64)})
+    lds = ray.data.from_pandas(left, override_num_blocks=4)
+    rds = ray.data.from_pandas(right, override_num_blocks=2)
+    got = (bloom_anti_join(lds, rds, on="k")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    exp = (partitioned_semi_join(
+        ray.data.from_pandas(left, override_num_blocks=4),
+        ray.data.from_pandas(right, override_num_blocks=2), on="k",
+        anti=True).to_pandas().sort_values("v").reset_index(drop=True))
+    assert got[["k", "v"]].equals(exp[["k", "v"]])
