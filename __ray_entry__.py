@@ -1854,6 +1854,23 @@ def _q_token_budget_mix(sf_dir: str):
     return kept.map_batches(project, batch_format="pandas")
 
 
+def _q_funnel_reach(sf_dir: str):
+    """Three-step funnel reach counts (view → click → purchase within
+    1 h): k−1 masked reduceat passes per partition, then a tiny
+    per-step count."""
+    from cardinalhq_otel_collector_ray.stages.temporal import funnel_steps
+    ds = _events_ms(sf_dir).select_columns(["user_id", "event_type", "ts_ms"])
+    out = funnel_steps(ds, "user_id", "ts_ms", "event_type",
+                       ["view", "click", "purchase"],
+                       window_ms=3_600_000).to_pandas()
+    reached = out["reached"].to_numpy()
+    return pd.DataFrame({
+        "step": np.array([1, 2, 3], dtype=np.int64),
+        "step_name": ["view", "click", "purchase"],
+        "n_users": [int((reached >= i).sum()) for i in (1, 2, 3)],
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1891,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "anti_join": _q_anti_join,
         "funnel_view_purchase": _q_funnel,
+        "funnel_reach": _q_funnel_reach,
         "rollup_events": _q_rollup_events,
         "moving_window": _q_moving_window,
         "inverted_index_tokens": _q_inverted_index,
@@ -2186,6 +2204,29 @@ FROM a JOIN ev e ON e.user_id = a.user_id AND e.event_type = 'purchase'
   AND e.ts_ms >= a.first_view_ms
   AND e.ts_ms - a.first_view_ms <= 1800000
 GROUP BY a.user_id, a.first_view_ms
+""",
+        "funnel_reach": _SQL_EVENTS + r""", a1 AS (
+  SELECT user_id, min(ts_ms) AS t1
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+), a2 AS (
+  SELECT a1.user_id, a1.t1, min(e.ts_ms) AS t2
+  FROM a1 JOIN ev e ON e.user_id = a1.user_id
+    AND e.event_type = 'click' AND e.ts_ms >= a1.t1
+    AND e.ts_ms - a1.t1 <= 3600000
+  GROUP BY a1.user_id, a1.t1
+), a3 AS (
+  SELECT a2.user_id
+  FROM a2 JOIN ev e ON e.user_id = a2.user_id
+    AND e.event_type = 'purchase' AND e.ts_ms >= a2.t2
+    AND e.ts_ms - a2.t1 <= 3600000
+  GROUP BY a2.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       (SELECT count(*) FROM a1) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM a2)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM a3)
 """,
         "rollup_events": _SQL_EVENTS + r""", h AS (
   SELECT event_type, (ts_ms // 3600000) * 3600000 AS hour_ms, value_cents

@@ -367,3 +367,62 @@ def retention_cohorts(ds: ray.data.Dataset, user_col: str, ts_col: str,
         })
 
     return partitioned_apply(ds, [user_col], kernel, num_partitions)
+
+
+def funnel_steps(ds: ray.data.Dataset, key: str, ts_col: str, type_col: str,
+                 steps: list[str], window_ms: int,
+                 num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                 ) -> ray.data.Dataset:
+    """k-step event-time funnel per key: the FIRST step-1 event, then for
+    each later step the first matching event at-or-after the previous
+    step's time and within ``window_ms`` of step 1. Emits one row per key
+    that reached step 1: key, reached (deepest step index, 1-based) and
+    ``t_1..t_k`` (-1 once unreached).
+
+    Same segmented shape as `funnel_match`: one key shuffle, then k−1
+    masked ``minimum.reduceat`` passes per partition — vectorized per
+    STEP, never per key."""
+    inf = np.iinfo(np.int64).max
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            out = {key: df[key].to_numpy()}
+            out["reached"] = np.array([], np.int64)
+            for i in range(len(steps)):
+                out[f"t_{i+1}"] = np.array([], np.int64)
+            return pd.DataFrame(out)
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        et = df[type_col].to_numpy()
+        newkey = _segment_starts(df, [key])
+        starts = np.flatnonzero(newkey)
+        seg_len = np.diff(np.append(starts, n))
+        t_steps = []
+        prev = None
+        t1_rows = None
+        for i, step in enumerate(steps):
+            is_s = et == step
+            if i == 0:
+                cand = np.where(is_s, ts, inf)
+            else:
+                prev_rows = np.repeat(prev, seg_len)
+                ok = (is_s & (prev_rows != inf) & (ts >= prev_rows)
+                      & (t1_rows != inf) & (ts - np.where(
+                          t1_rows == inf, 0, t1_rows) <= window_ms))
+                cand = np.where(ok, ts, inf)
+            cur = np.minimum.reduceat(cand, starts)
+            if i == 0:
+                t1_rows = np.repeat(cur, seg_len)
+            t_steps.append(cur)
+            prev = cur
+        reached_mask = np.stack([t != inf for t in t_steps])  # (k, segs)
+        has_first = reached_mask[0]
+        reached = reached_mask.cumprod(axis=0).sum(axis=0).astype(np.int64)
+        out = {key: df[key].to_numpy()[starts[has_first]],
+               "reached": reached[has_first]}
+        for i, t in enumerate(t_steps):
+            out[f"t_{i+1}"] = np.where(t == inf, -1, t)[has_first]
+        return pd.DataFrame(out)
+
+    return partitioned_apply(ds, [key], kernel, num_partitions)

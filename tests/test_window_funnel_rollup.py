@@ -641,3 +641,24 @@ def test_mixture_example_spec(sf_dir):
     # budget respected up to one-doc overshoot per source
     g = out.groupby("source")["n_chars"].sum()
     assert (g < 20000 + out["n_chars"].max()).all()
+
+
+def test_funnel_steps_three_step_golden():
+    from cardinalhq_otel_collector_ray.stages.temporal import funnel_steps
+    ds = _events([
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),  # full
+        (2, "view", 10), (2, "click", 20),                        # 2 deep
+        (3, "view", 10), (3, "purchase", 15),                     # skip click
+        (4, "click", 5), (4, "purchase", 6),                      # no view
+        (5, "view", 10), (5, "click", 20), (5, "purchase", 900),  # window
+    ])
+    out = (funnel_steps(ds, "user_id", "ts_ms", "event_type",
+                        ["view", "click", "purchase"], window_ms=100,
+                        num_partitions=2)
+           .to_pandas().set_index("user_id").sort_index())
+    assert out.index.tolist() == [1, 2, 3, 5]      # 4 never reached step 1
+    assert out.loc[1, "reached"] == 3 and out.loc[1, "t_3"] == 30
+    assert out.loc[2, "reached"] == 2 and out.loc[2, "t_3"] == -1
+    # purchase before click cannot count as step 3
+    assert out.loc[3, "reached"] == 1
+    assert out.loc[5, "reached"] == 2               # purchase out of window
