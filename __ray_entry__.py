@@ -1871,6 +1871,18 @@ def _q_funnel_reach(sf_dir: str):
     })
 
 
+def _q_intradoc_repetition(sf_dir: str):
+    """Duplicated-trigram fraction per doc (degenerate-text gate):
+    shuffle-free lexsort + run-length kernel; exact-int ratio."""
+    from cardinalhq_otel_collector_ray.sources import (build_vocab,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.textstats import (
+        intradoc_repetition)
+    vocab_size = len(build_vocab(sf_dir))
+    return intradoc_repetition(tokenized_documents(sf_dir), n=3,
+                               vocab_size=vocab_size)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1957,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "boilerplate_trigrams": _q_boilerplate_trigrams,
+        "intradoc_repetition": _q_intradoc_repetition,
         "window_rank": _q_window_rank,
         "quality_logistic": _q_quality_logistic,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
@@ -2777,6 +2790,27 @@ SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
        CAST(COALESCE(p.nh, 0) AS BIGINT) AS n_hot,
        COALESCE(p.nh, 0) > 0 AS has_boilerplate
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+        "intradoc_repetition": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
+), vs AS (SELECT count(*) AS v FROM vocab),
+tri AS (
+  SELECT doc_id,
+         (tid * vs.v + lead(tid, 1) OVER w) * vs.v
+           + lead(tid, 2) OVER w AS key
+  FROM seq CROSS JOIN vs
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), t2 AS (SELECT doc_id, key FROM tri WHERE key IS NOT NULL),
+cnt AS (
+  SELECT doc_id, key, CAST(count(*) AS BIGINT) AS c
+  FROM t2 GROUP BY doc_id, key
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS BIGINT), 6) AS dup_ratio
+FROM cnt GROUP BY doc_id
 """,
         "bigram_logprob": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word

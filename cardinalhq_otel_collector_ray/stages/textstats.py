@@ -313,3 +313,60 @@ def compression_ratio(ds: ray.data.Dataset, text_col: str = "text",
                          "compressed_bytes": pa.array(comp),
                          "compression_ratio": pa.array(np.round(ratio, 6))})
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def intradoc_repetition(ds: ray.data.Dataset, n: int = 3,
+                        vocab_size: int | None = None,
+                        tokens_col: str = "tokens",
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """Intra-document repetition: the fraction of a doc's token n-grams
+    that belong to an n-gram occurring ≥2 times IN THAT DOC — the
+    boilerplate/degenerate-text signal corpus-curation stacks gate on
+    (repetitious docs score high). Shuffle-free (per-doc): packed gram
+    codes, one lexsort per block, run-length counts, per-doc reduceat.
+    Output: id, n_grams, n_dup, dup_ratio (exact-int division)."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(vocab_size if vocab_size is not None
+                     else (values.max() + 1 if len(values) else 1))
+        n_per = np.diff(offsets)
+        n_docs = len(n_per)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_per)
+        if len(values) >= n:
+            key = values[: len(values) - n + 1].copy()
+            row = doc_idx[: len(values) - n + 1]
+            same = row == doc_idx[n - 1:]
+            for j in range(1, n):
+                key = key * V + values[j: len(values) - n + 1 + j]
+            key, row = key[same], row[same]
+        else:
+            key = np.empty(0, np.int64)
+            row = np.empty(0, np.int64)
+        order = np.lexsort((key, row))
+        rs, ks = row[order], key[order]
+        new_run = np.r_[True, (rs[1:] != rs[:-1]) | (ks[1:] != ks[:-1])]
+        run_start = np.flatnonzero(new_run)
+        c = np.diff(np.append(run_start, len(ks))).astype(np.int64)
+        run_doc = rs[run_start] if len(run_start) else run_start
+        dup_c = np.where(c >= 2, c, 0)
+        new_doc = np.r_[True, run_doc[1:] != run_doc[:-1]] \
+            if len(run_doc) else np.empty(0, bool)
+        doc_start = np.flatnonzero(new_doc)
+        n_grams = (np.add.reduceat(c, doc_start)
+                   if len(c) else np.empty(0, np.int64))
+        n_dup = (np.add.reduceat(dup_c, doc_start)
+                 if len(c) else np.empty(0, np.int64))
+        present = run_doc[doc_start] if len(run_doc) else doc_start
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(present)),
+            "n_grams": pa.array(n_grams),
+            "n_dup": pa.array(n_dup),
+            "dup_ratio": pa.array(np.round(n_dup / n_grams, 6)
+                                  if len(n_grams) else
+                                  np.empty(0, np.float64)),
+        })
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -662,3 +662,23 @@ def test_funnel_steps_three_step_golden():
     # purchase before click cannot count as step 3
     assert out.loc[3, "reached"] == 1
     assert out.loc[5, "reached"] == 2               # purchase out of window
+
+
+def test_intradoc_repetition_golden():
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.stages.textstats import (
+        intradoc_repetition)
+    t = pa.table({
+        "doc_id": pa.array(["rep", "uni", "tiny"], pa.string()),
+        "tokens": pa.array([[1, 2, 3, 1, 2, 3, 1, 2, 3],  # (1,2,3) x3 etc.
+                            [1, 2, 3, 4, 5],
+                            [1, 2]],                        # no trigram
+                           pa.list_(pa.int32())),
+    })
+    out = (intradoc_repetition(ray.data.from_arrow(t), n=3, vocab_size=6)
+           .to_pandas().set_index("doc_id"))
+    # rep: 7 grams; (1,2,3)x3, (2,3,1)x2, (3,1,2)x2 → all 7 duplicated
+    assert out.loc["rep", "n_grams"] == 7 and out.loc["rep", "dup_ratio"] == 1.0
+    assert out.loc["uni", "dup_ratio"] == 0.0
+    assert "tiny" not in out.index
