@@ -1883,12 +1883,31 @@ def _q_intradoc_repetition(sf_dir: str):
                                vocab_size=vocab_size)
 
 
+def _q_m4_downsample(sf_dir: str):
+    """M4 time-series downsampling: first/last/min/max point per
+    (event_type, hour) from mergeable packed-int64 partials."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import m4_downsample
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_type", "ts_ms", "value_cents"])
+    out = m4_downsample(ds, ["event_type"], "ts_ms", "value_cents",
+                        bucket_ms=3_600_000)
+    out = out.sort_values(["event_type", "bucket_ms"],
+                          kind="mergesort").reset_index(drop=True)
+    cols = ["event_type", "bucket_ms", "first_ms", "first_cents",
+            "last_ms", "last_cents", "min_ms", "min_cents",
+            "max_ms", "max_cents"]
+    return pd.DataFrame({c: (out[c].astype("int64")
+                             if c != "event_type" else out[c])
+                         for c in cols})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
         "route_counts": _q_route_counts,
         "route_agg_by_source": _q_route_agg_by_source,
         "interval_agg_events": _q_interval_agg_events,
+        "m4_downsample": _q_m4_downsample,
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
@@ -2050,6 +2069,35 @@ SELECT event_type, (ts_ms // 60000) * 60000 AS interval_ms,
        count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
        min(value_cents) AS min_cents, max(value_cents) AS max_cents
 FROM ev GROUP BY event_type, interval_ms
+""",
+        "m4_downsample": _SQL_EVENTS + r""", w AS (
+  SELECT event_type, (ts_ms // 3600000) * 3600000 AS b,
+         ts_ms - (ts_ms // 3600000) * 3600000 AS dt, ts_ms, value_cents
+  FROM ev
+), f AS (
+  SELECT event_type, b, ts_ms AS first_ms, value_cents AS first_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, b
+            ORDER BY dt, value_cents) AS rn FROM w) WHERE rn = 1
+), l AS (
+  SELECT event_type, b, ts_ms AS last_ms, value_cents AS last_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, b
+            ORDER BY dt DESC, value_cents DESC) AS rn FROM w) WHERE rn = 1
+), mn AS (
+  SELECT event_type, b, ts_ms AS min_ms, value_cents AS min_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, b
+            ORDER BY value_cents, dt) AS rn FROM w) WHERE rn = 1
+), mx AS (
+  SELECT event_type, b, ts_ms AS max_ms, value_cents AS max_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, b
+            ORDER BY value_cents DESC, dt DESC) AS rn FROM w) WHERE rn = 1
+)
+SELECT f.event_type, f.b AS bucket_ms,
+       f.first_ms, f.first_cents, l.last_ms, l.last_cents,
+       mn.min_ms, mn.min_cents, mx.max_ms, mx.max_cents
+FROM f
+JOIN l ON f.event_type = l.event_type AND f.b = l.b
+JOIN mn ON f.event_type = mn.event_type AND f.b = mn.b
+JOIN mx ON f.event_type = mx.event_type AND f.b = mx.b
 """,
         "aggregate_absorb": _SQL_EVENTS + r"""
 SELECT 'pass' AS kind, event_type AS name, ts_ms,

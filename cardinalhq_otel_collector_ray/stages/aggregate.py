@@ -536,3 +536,57 @@ def grouped_argmax(ds, keys: list[str], value_col: str, arg_col: str,
     out[f"max_{value_col}"] = pack // int(B)
     out[f"argmax_{arg_col}"] = int(B) - 1 - (pack % int(B))
     return out
+
+
+def m4_downsample(ds, keys: list[str], ts_col: str, value_col: str,
+                  bucket_ms: int, mode: str = "driver"):
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per (keys,
+    bucket) the FIRST, LAST, MIN and MAX points with their timestamps —
+    the error-free reduction for rendering/retention of metric streams.
+
+    Every statistic is a mergeable packed-int64 min/max (the
+    `grouped_argmax` discipline): with ``dt = ts − bucket_start`` and
+    ``s = ceil(log2(bucket_ms))``,
+
+    - first/last = min/max of ``dt·2³¹ + value``  (tie → smaller/larger value)
+    - min/max    = min/max of ``value·2^s + dt``  (tie → earlier/later point)
+
+    so per-block C++ partials merge associatively; one driver (bounded
+    keys × buckets) or partitioned combine finishes. Contract:
+    ``0 ≤ value < 2^(62−s)`` and ``0 ≤ dt < bucket_ms``."""
+    import pandas as _pd
+    s_bits = int(np.ceil(np.log2(bucket_ms)))
+    B31 = np.int64(1) << np.int64(31)
+    BS = np.int64(1) << np.int64(s_bits)
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (ts // bucket_ms) * bucket_ms
+        dt = ts - b
+        p_pos = dt * B31 + v          # position-major (first/last)
+        p_val = v * BS + dt           # value-major (min/max)
+        t = pa.table({**{k: batch[k] for k in keys},
+                      "_b": pa.array(b),
+                      "_pp": pa.array(p_pos), "_pv": pa.array(p_val)})
+        part = t.group_by(["_b", *keys]).aggregate(
+            [("_pp", "min"), ("_pp", "max"), ("_pv", "min"), ("_pv", "max")])
+        return part.rename_columns(["_b", *keys, "_pp_min", "_pp_max",
+                                    "_pv_min", "_pv_max"])
+
+    partials = ds.map_batches(precombine, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["_b", *keys], as_index=False).agg(
+        pp_min=("_pp_min", "min"), pp_max=("_pp_max", "max"),
+        pv_min=("_pv_min", "min"), pv_max=("_pv_max", "max"))
+    b = g["_b"].to_numpy().astype(np.int64)
+    out = {k: g[k] for k in keys}
+    out["bucket_ms"] = b
+    for name, col, base in (("first", "pp_min", B31), ("last", "pp_max", B31)):
+        p = g[col].to_numpy().astype(np.int64)
+        out[f"{name}_ms"] = b + p // base
+        out[f"{name}_cents"] = p % base
+    for name, col in (("min", "pv_min"), ("max", "pv_max")):
+        p = g[col].to_numpy().astype(np.int64)
+        out[f"{name}_cents"] = p // BS
+        out[f"{name}_ms"] = b + p % BS
+    return _pd.DataFrame(out)

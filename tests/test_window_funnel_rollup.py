@@ -682,3 +682,24 @@ def test_intradoc_repetition_golden():
     assert out.loc["rep", "n_grams"] == 7 and out.loc["rep", "dup_ratio"] == 1.0
     assert out.loc["uni", "dup_ratio"] == 0.0
     assert "tiny" not in out.index
+
+
+def test_m4_downsample_golden_and_blocking_invariance():
+    from cardinalhq_otel_collector_ray.stages.aggregate import m4_downsample
+    df = pd.DataFrame({
+        "k": ["a"] * 5,
+        "ts": [105, 101, 150, 199, 120],
+        "v": [7, 3, 9, 2, 9],
+    })
+    out = m4_downsample(ray.data.from_pandas(df, override_num_blocks=3),
+                        ["k"], "ts", "v", bucket_ms=100)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["first_ms"], r["first_cents"]) == (101, 3)
+    assert (r["last_ms"], r["last_cents"]) == (199, 2)
+    assert (r["min_ms"], r["min_cents"]) == (199, 2)
+    # value tie 9 at ts 150 and 120 → max keeps the LATER point
+    assert (r["max_ms"], r["max_cents"]) == (150, 9)
+    out2 = m4_downsample(ray.data.from_pandas(df, override_num_blocks=1),
+                         ["k"], "ts", "v", bucket_ms=100)
+    assert out.equals(out2)
