@@ -703,3 +703,29 @@ def test_m4_downsample_golden_and_blocking_invariance():
     out2 = m4_downsample(ray.data.from_pandas(df, override_num_blocks=1),
                          ["k"], "ts", "v", bucket_ms=100)
     assert out.equals(out2)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_m4_matches_naive_reference(seed):
+    from cardinalhq_otel_collector_ray.stages.aggregate import m4_downsample
+    rng = np.random.default_rng(seed)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "ts": rng.integers(0, 1000, n).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),   # tie-heavy values
+    })
+    out = (m4_downsample(ray.data.from_pandas(df, override_num_blocks=4),
+                         ["k"], "ts", "v", bucket_ms=100)
+           .sort_values(["k", "bucket_ms"]).reset_index(drop=True))
+    for _, r in out.iterrows():
+        g = df[(df["k"] == r["k"]) & (df["ts"] // 100 * 100 == r["bucket_ms"])]
+        g = g.assign(dt=g["ts"] - r["bucket_ms"])
+        first = g.sort_values(["dt", "v"]).iloc[0]
+        last = g.sort_values(["dt", "v"], ascending=False).iloc[0]
+        vmin = g.sort_values(["v", "dt"]).iloc[0]
+        vmax = g.sort_values(["v", "dt"], ascending=False).iloc[0]
+        assert (r["first_ms"], r["first_cents"]) == (first["ts"], first["v"])
+        assert (r["last_ms"], r["last_cents"]) == (last["ts"], last["v"])
+        assert (r["min_ms"], r["min_cents"]) == (vmin["ts"], vmin["v"])
+        assert (r["max_ms"], r["max_cents"]) == (vmax["ts"], vmax["v"])
