@@ -1901,6 +1901,38 @@ def _q_m4_downsample(sf_dir: str):
                          for c in cols})
 
 
+def _q_robust_outliers(sf_dir: str):
+    """Robust outlier counts per key (modified z-score: |v − median| >
+    3.5·MAD): the tiny per-key (median, MAD) table is computed once and
+    broadcast; the stream is then filtered in one vectorized pass —
+    composition of `grouped_median_mad` + broadcast-threshold filter."""
+    import ray as _ray
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.window import grouped_median_mad
+    ds = _events_ms(sf_dir).select_columns(["event_type", "value_cents"])
+    stats = grouped_median_mad(ds, ["event_type"], "value_cents").to_pandas()
+    lut = (dict(zip(stats["event_type"], stats["median"])),
+           dict(zip(stats["event_type"], stats["mad"])))
+    ref = _ray.put(lut)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        med_d, mad_d = _ray.get(ref)
+        med = df["event_type"].map(med_d).to_numpy()
+        mad = df["event_type"].map(mad_d).to_numpy()
+        v = df["value_cents"].to_numpy().astype(np.float64)
+        out = np.abs(v - med) > 3.5 * mad
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "_o": out.astype(np.int64)})
+
+    agg = grouped_aggregate(ds.map_batches(flag, batch_format="pandas"),
+                            keys=["event_type"], value_col="_o",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"event_type": agg["event_type"],
+                         "n": agg["agg_count"].astype("int64"),
+                         "n_outliers": agg["agg_sum"].astype("int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1957,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_routes": _q_pivot_routes,
         "left_join_counts": _q_left_join_counts,
         "mad_per_type": _q_mad_per_type,
+        "robust_outliers": _q_robust_outliers,
         "weighted_sample": _q_weighted_sample,
         "compression_ratio": _q_compression_ratio,
         "range_partition_stats": _q_range_partition,
@@ -2422,6 +2455,23 @@ SELECT m.event_type, m.n, m.med AS median_cents,
          AS mad_cents
 FROM ev e JOIN med m ON e.event_type = m.event_type
 GROUP BY m.event_type, m.n, m.med
+""",
+        "robust_outliers": _SQL_EVENTS + r""", med AS (
+  SELECT event_type, CAST(median(value_cents) AS DOUBLE) AS med
+  FROM ev GROUP BY event_type
+), mad AS (
+  SELECT m.event_type, m.med,
+         CAST(median(abs(CAST(e.value_cents AS DOUBLE) - m.med)) AS DOUBLE)
+           AS mad
+  FROM ev e JOIN med m ON e.event_type = m.event_type
+  GROUP BY m.event_type, m.med
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN abs(CAST(e.value_cents AS DOUBLE) - mad.med)
+                          > 3.5 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM ev e JOIN mad ON e.event_type = mad.event_type
+GROUP BY e.event_type
 """,
         "weighted_sample": r"""
 WITH p AS (
