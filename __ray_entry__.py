@@ -1933,6 +1933,31 @@ def _q_robust_outliers(sf_dir: str):
                          "n_outliers": agg["agg_sum"].astype("int64")})
 
 
+def _q_weighted_avg_price(sf_dir: str):
+    """Quantity-weighted mean price per returnflag: exact int64 Σ(w·v)/Σw
+    partials, bit-identical final division."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import (
+        grouped_weighted_avg)
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                     ).astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qty": pa.array(q), "cents": pa.array(cents)})
+
+    out = grouped_weighted_avg(ds.map_batches(prep, batch_format="pyarrow"),
+                               ["l_returnflag"], "cents", "qty")
+    out = out.sort_values("l_returnflag", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"l_returnflag": out["l_returnflag"],
+                         "sum_qty": out["sum_weight"].astype("int64"),
+                         "wavg_cents": out["weighted_avg"].astype("float64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1978,6 +2003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "orders_revenue_topk": _q_orders_revenue_topk,
         "corr_qty_price": _q_corr_qty_price,
+        "weighted_avg_price": _q_weighted_avg_price,
         "token_entropy": _q_token_entropy,
         "argmax_event_per_type": _q_argmax_event,
         "regional_revenue": _q_regional_revenue,
@@ -2379,6 +2405,17 @@ SELECT o.o_orderkey, o.o_date_days, r.revenue_units
 FROM r JOIN o ON r.l_orderkey = o.o_orderkey
 ORDER BY r.revenue_units DESC, o.o_orderkey
 LIMIT 10
+""",
+        "weighted_avg_price": r"""
+WITH t AS (
+  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(CAST(sum(qty * cents) AS BIGINT) AS DOUBLE)
+         / greatest(CAST(sum(qty) AS BIGINT), 1) AS wavg_cents
+FROM t GROUP BY l_returnflag
 """,
         "corr_qty_price": r"""
 WITH t AS (

@@ -590,3 +590,30 @@ def m4_downsample(ds, keys: list[str], ts_col: str, value_col: str,
         out[f"{name}_cents"] = p // BS
         out[f"{name}_ms"] = b + p % BS
     return _pd.DataFrame(out)
+
+
+def grouped_weighted_avg(ds, keys: list[str], value_col: str,
+                         weight_col: str, mode: str = "driver"):
+    """Weight-exact weighted mean per key: per-block int64 partials of
+    Σ(w·v) and Σw (one C++ group_by), merged like any sum; the final
+    division of two exact integers is a bit-identical double in every
+    engine. Contract: w·v fits int64 per row (callers pass bounded
+    integer units, same as every money column here)."""
+    import pandas as _pd
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({**{k: batch[k] for k in keys},
+                      "_wv": pa.array(w * v), "_w": pa.array(w)})
+        part = t.group_by(keys).aggregate([("_wv", "sum"), ("_w", "sum")])
+        return part.rename_columns(keys + ["_swv", "_sw"])
+
+    partials = ds.map_batches(precombine, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(keys, as_index=False, sort=False).sum()
+    swv = g["_swv"].to_numpy().astype(np.int64)
+    sw = g["_sw"].to_numpy().astype(np.int64)
+    out = g[keys].copy()
+    out["sum_weight"] = sw
+    out["weighted_avg"] = swv / np.maximum(sw, 1)
+    return _pd.DataFrame(out)
