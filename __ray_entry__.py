@@ -1958,6 +1958,30 @@ def _q_weighted_avg_price(sf_dir: str):
                          "wavg_cents": out["weighted_avg"].astype("float64")})
 
 
+def _q_join_composite(sf_dir: str):
+    """Composite-key bucketed hash join (big ⋈ big on (user_id,
+    event_type)): the per-group count table joins back onto the stream —
+    bucket hash co-locates, merge equality is exact on the real key
+    columns."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.join import bucketed_hash_join
+    ds = _events_ms(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type", "value_cents"])
+    agg = grouped_aggregate(ds, keys=["user_id", "event_type"],
+                            value_col="value_cents", mode="partitioned")
+    agg = agg.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "event_type": t["event_type"],
+                            "group_n": t["agg_count"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(ds, agg, on=["user_id", "event_type"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"].astype("int64"),
+                             "group_n": df["group_n"].astype("int64")})
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1992,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unroll_tokens": _q_unroll_tokens,
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
+        "join_composite": _q_join_composite,
         "join_salted": _q_join_salted,
         "bloom_semi_join": _q_bloom_semi_join,
         "anti_join": _q_anti_join,
@@ -2302,6 +2327,13 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        "join_composite": _SQL_EVENTS + r""", g AS (
+  SELECT user_id, event_type, count(*) AS group_n
+  FROM ev GROUP BY user_id, event_type
+)
+SELECT e.event_id, g.group_n
+FROM ev e JOIN g ON e.user_id = g.user_id AND e.event_type = g.event_type
 """,
         "join_salted": r"""
 SELECT s_nationkey,

@@ -54,36 +54,41 @@ def semi_join(ds: ray.data.Dataset, keys, on: str,
 
 
 def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
-                       on: str, num_buckets: int = 32,
+                       on, num_buckets: int = 32,
                        how: str = "inner") -> ray.data.Dataset:
-    """Partitioned hash join of two large datasets on an integer key.
+    """Partitioned hash join of two large datasets on one integer key or
+    a COMPOSITE key (``on`` may be a column name or a list of them).
 
-    Both sides get ``_bucket = (key * 2654435761 + 12345) % num_buckets``
-    and a ``_side`` tag, are unioned, co-partitioned by ONE
-    ``groupby(_bucket)`` shuffle, and merged per bucket with pandas.
-    Columns common to both sides (other than ``on``) get a ``_r`` suffix
-    on the right. Skewed keys: raise ``num_buckets`` (each bucket must fit
-    in a worker's heap).
+    Both sides get ``_bucket = hash(key columns) % num_buckets`` (the
+    engine's canonical ``table_key_hash`` for composites) and a ``_side``
+    tag, are unioned, co-partitioned by ONE ``groupby(_bucket)`` shuffle,
+    and merged per bucket with pandas ON THE REAL KEY COLUMNS (the bucket
+    hash only co-locates; equality is exact). Columns common to both
+    sides (other than the keys) get a ``_r`` suffix on the right. Skewed
+    keys: raise ``num_buckets`` or use `salted_hash_join`.
     """
+    on_cols = [on] if isinstance(on, str) else list(on)
     # Union requires one schema: suffix right-side name collisions, then
     # give each side typed-NA placeholders for the other side's columns.
     # ds.schema() is plan metadata (first-block at worst) — never re-executes
     # the upstream pipeline the way a take_batch(1) sample would.
     l_schema, r_schema = left.schema(), right.schema()
     lcols, rcols = list(l_schema.names), list(r_schema.names)
-    collide = (set(lcols) & set(rcols)) - {on}
+    collide = (set(lcols) & set(rcols)) - set(on_cols)
     r_renames = {c: c + "_r" for c in collide}
     r_out = [r_renames.get(c, c) for c in rcols]
-    all_cols = [on] + [c for c in lcols if c != on] + \
-               [c for c in r_out if c != on]
+    all_cols = on_cols + [c for c in lcols if c not in on_cols] + \
+               [c for c in r_out if c not in on_cols]
 
     arrow_types = dict(zip(l_schema.names, l_schema.types))
     for name, t in zip(r_schema.names, r_schema.types):
         arrow_types.setdefault(r_renames.get(name, name), t)
 
+    from ..functions.hashing import table_key_hash
+
     def tag(side_code: int):
         # Arrow-native tagging: typed-null placeholders (pa.nulls — no
-        # pandas conversion/copies), numpy bucket hash, int8 side marker
+        # pandas conversion/copies), vectorized bucket hash, int8 side
         def fn(t: pa.Table) -> pa.Table:
             if side_code == 1:
                 t = t.rename_columns([r_renames.get(c, c)
@@ -91,10 +96,14 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             n = t.num_rows
             cols = {c: (t[c] if c in t.column_names
                         else pa.nulls(n, arrow_types[c])) for c in all_cols}
-            k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
-            cols["_bucket"] = pa.array(
-                ((k * np.int64(2654435761) + np.int64(12345))
-                 % np.int64(num_buckets)).astype(np.int32))
+            if len(on_cols) == 1 and pa.types.is_integer(t[on_cols[0]].type):
+                k = t[on_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+                b = ((k * np.int64(2654435761) + np.int64(12345))
+                     % np.int64(num_buckets)).astype(np.int32)
+            else:
+                b = (table_key_hash(t, on_cols)
+                     % np.uint64(num_buckets)).astype(np.int32)
+            cols["_bucket"] = pa.array(b)
             cols["_side"] = pa.array(np.full(n, side_code, dtype=np.int8))
             return pa.table(cols)
         return fn
@@ -102,8 +111,8 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     lt = left.map_batches(tag(0), batch_format="pyarrow")
     rt = right.map_batches(tag(1), batch_format="pyarrow")
     both = lt.union(rt)
-    l_keep = [on] + [c for c in lcols if c != on]
-    r_keep = [on] + [c for c in r_out if c != on]
+    l_keep = on_cols + [c for c in lcols if c not in on_cols]
+    r_keep = on_cols + [c for c in r_out if c not in on_cols]
 
     def join_bucket(g: pa.Table) -> pd.DataFrame:
         # split sides FIRST, then select each side's own (null-free)
@@ -111,7 +120,7 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         lmask = pc.equal(g["_side"], 0)
         l = g.filter(lmask).select(l_keep).to_pandas()
         r = g.filter(pc.invert(lmask)).select(r_keep).to_pandas()
-        return l.merge(r, on=on, how=how)
+        return l.merge(r, on=on_cols, how=how)
 
     return both.groupby("_bucket").map_groups(join_bucket,
                                               batch_format="pyarrow")

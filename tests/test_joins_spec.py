@@ -208,3 +208,22 @@ def test_spec_round2_extension_kinds(sf_dir):
     }, sf_dir).to_pandas()
     assert "iforest_score" in scored.columns
     assert scored["iforest_score"].between(0, 1).all()
+
+
+def test_bucketed_join_composite_key():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.stages.join import bucketed_hash_join
+    left = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "y", "x", "x", "z"],
+                         "v": [10, 11, 12, 13, 14]})
+    right = pd.DataFrame({"a": [1, 2, 9], "b": ["x", "x", "z"],
+                          "w": [100, 200, 900]})
+    out = (bucketed_hash_join(ray.data.from_pandas(left, override_num_blocks=2),
+                              ray.data.from_pandas(right, override_num_blocks=2),
+                              on=["a", "b"], num_buckets=4)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    # only exact (a, b) matches — never bucket-level cross products
+    assert out["v"].tolist() == [10, 12, 13]
+    assert out["w"].tolist() == [100, 200, 200]
