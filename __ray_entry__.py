@@ -1982,6 +1982,38 @@ def _q_join_composite(sf_dir: str):
     return joined.map_batches(project, batch_format="pandas")
 
 
+def _q_hourly_active_users(sf_dir: str):
+    """Hourly active users (the DAU/HAU shape): per-block distinct
+    (hour, user) pairs → one partitioned C++ dedup → count per hour.
+    Exact distinct at scale without shuffling raw events."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    ds = _events_ms(sf_dir).select_columns(["user_id", "ts_ms"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        hour = pc.multiply(pc.divide(batch["ts_ms"], 3_600_000), 3_600_000)
+        t = pa.table({"hour_ms": hour, "user_id": batch["user_id"]})
+        d = t.group_by(["hour_ms", "user_id"]).aggregate([])
+        return d.append_column("_one", pa.array(
+            np.ones(d.num_rows, dtype=np.int64)))
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    # cross-block dedup + per-hour count in one partitioned pass: hash on
+    # the pair, dedup per partition, then a bounded per-hour merge
+    from cardinalhq_otel_collector_ray.stages.temporal import partitioned_apply
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["hour_ms", "user_id"])
+        g = d.groupby("hour_ms", as_index=False)["_one"].sum()
+        return g.rename(columns={"_one": "n"})
+
+    parts = partitioned_apply(pairs, ["user_id"], per_part,
+                              num_partitions=32).to_pandas()
+    agg = parts.groupby("hour_ms", as_index=False)["n"].sum()
+    agg = agg.sort_values("hour_ms", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"hour_ms": agg["hour_ms"].astype("int64"),
+                         "active_users": agg["n"].astype("int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -1989,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_agg_by_source": _q_route_agg_by_source,
         "interval_agg_events": _q_interval_agg_events,
         "m4_downsample": _q_m4_downsample,
+        "hourly_active_users": _q_hourly_active_users,
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
@@ -2153,6 +2186,11 @@ SELECT event_type, (ts_ms // 60000) * 60000 AS interval_ms,
        count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
        min(value_cents) AS min_cents, max(value_cents) AS max_cents
 FROM ev GROUP BY event_type, interval_ms
+""",
+        "hourly_active_users": _SQL_EVENTS + r"""
+SELECT (ts_ms // 3600000) * 3600000 AS hour_ms,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM ev GROUP BY hour_ms
 """,
         "m4_downsample": _SQL_EVENTS + r""", w AS (
   SELECT event_type, (ts_ms // 3600000) * 3600000 AS b,
