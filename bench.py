@@ -186,7 +186,10 @@ def run_queries(sf_dir: str) -> dict:
              "range_partition_stats", "pack_sequences", "dataset_split",
              "retention_cohorts", "contamination_flags", "join_salted",
              "source_overlap", "cdc_dedup_ratio", "approx_heavy_hitters",
-             "pivot_routes", "left_join_counts"]
+             "pivot_routes", "left_join_counts", "m4_downsample",
+             "hourly_active_users", "funnel_reach", "intradoc_repetition",
+             "token_budget_mix", "robust_outliers", "weighted_avg_price",
+             "join_composite"]
     qs = entrymod.queries()
     out = {}
     for name in names:
