@@ -2014,6 +2014,36 @@ def _q_hourly_active_users(sf_dir: str):
                          "active_users": agg["n"].astype("int64")})
 
 
+def _q_period_over_period(sf_dir: str):
+    """Period-over-period change of an aggregated series: hourly sums per
+    event_type (two-phase interval aggregate), then the per-key ordered
+    lag delta over the (bounded) series — interval agg composed with the
+    segmented window kernel."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import interval_aggregate
+    from cardinalhq_otel_collector_ray.stages.window import windowed_moving_agg
+    ds = _events_ms(sf_dir)
+    agg = interval_aggregate(ds, ts_col="ts_ms", interval_ms=3_600_000,
+                             keys=["event_type"], value_col="value_cents",
+                             out_ts_col="hour_ms", mode="driver")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "hour_ms": batch["hour_ms"],
+                         "sum_cents": batch["agg_sum"].cast(pa.int64())})
+
+    series = agg.map_batches(prep, batch_format="pyarrow")
+    out = windowed_moving_agg(series, keys=["event_type"], ts_col="hour_ms",
+                              value_col="sum_cents", tiebreak_col="hour_ms",
+                              window_rows=1, num_partitions=8)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hour_ms": df["hour_ms"].astype("int64"),
+                             "sum_cents": df["sum_cents"].astype("int64"),
+                             "delta_cents": df["lag_delta"].astype("int64")})
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -2022,6 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_agg_events": _q_interval_agg_events,
         "m4_downsample": _q_m4_downsample,
         "hourly_active_users": _q_hourly_active_users,
+        "period_over_period": _q_period_over_period,
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
@@ -2186,6 +2217,17 @@ SELECT event_type, (ts_ms // 60000) * 60000 AS interval_ms,
        count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
        min(value_cents) AS min_cents, max(value_cents) AS max_cents
 FROM ev GROUP BY event_type, interval_ms
+""",
+        "period_over_period": _SQL_EVENTS + r""", h AS (
+  SELECT event_type, (ts_ms // 3600000) * 3600000 AS hour_ms,
+         CAST(sum(value_cents) AS BIGINT) AS sum_cents
+  FROM ev GROUP BY event_type, hour_ms
+)
+SELECT event_type, hour_ms, sum_cents,
+       CAST(sum_cents - COALESCE(lag(sum_cents) OVER
+            (PARTITION BY event_type ORDER BY hour_ms), sum_cents)
+            AS BIGINT) AS delta_cents
+FROM h
 """,
         "hourly_active_users": _SQL_EVENTS + r"""
 SELECT (ts_ms // 3600000) * 3600000 AS hour_ms,
