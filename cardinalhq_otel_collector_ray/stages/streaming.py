@@ -218,3 +218,80 @@ class StreamingDeduper:
     def flush(self) -> pa.Table:
         self.watermark = 2**62
         return self._emit_closed()
+
+
+class StreamingSessionizer:
+    """Incremental session windows — the streaming shape of `sessionize`:
+    per key an OPEN session (start, last_ts, n) survives across consume
+    calls; a session closes when the event-time watermark passes
+    ``last_ts + gap_ms`` (no later event can extend it) and emits
+    (key, session_start, session_end, n_events).
+
+    Contract: per-key arrival in ts order (the same per-bucket ordering
+    every streaming stage here relies on). Per-batch pre-combine: the
+    batch's own session structure is computed with the segmented numpy
+    kernel (one sort, reduceat) and only each key's FIRST/LAST batch
+    sessions touch the Python state — interior sessions emit directly."""
+
+    def __init__(self, key: str, ts_col: str, gap_ms: int):
+        self.key = key
+        self.ts_col = ts_col
+        self.gap = gap_ms
+        self.open: dict = {}      # key → [start, last_ts, n]
+        self.watermark = -(2**62)
+        self._emitted = []
+
+    def consume(self, batch: pa.Table) -> pa.Table:
+        df = batch.select([self.key, self.ts_col]).to_pandas()
+        df = df.sort_values([self.key, self.ts_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        rows = []
+        if n:
+            ts = df[self.ts_col].to_numpy().astype(np.int64)
+            kv = df[self.key].to_numpy()
+            new_key = np.zeros(n, dtype=bool)
+            new_key[0] = True
+            new_key[1:] = kv[1:] != kv[:-1]
+            new_sess = new_key.copy()
+            new_sess[1:] |= (ts[1:] - ts[:-1]) > self.gap
+            starts = np.flatnonzero(new_sess)
+            ends = np.append(starts[1:], n) - 1
+            counts = np.diff(np.append(starts, n))
+            key_of = kv[starts]
+            first_of_key = new_key[starts]
+            for i in range(len(starts)):      # ≤ sessions in batch, not rows
+                k, s, e, c = key_of[i], int(ts[starts[i]]), int(ts[ends[i]]), int(counts[i])
+                st = self.open.get(k)
+                if first_of_key[i] and st is not None:
+                    if s - st[1] <= self.gap:     # continues the open session
+                        s, c = st[0], st[2] + c   # merged; falls through
+                    else:
+                        rows.append((k, st[0], st[1], st[2]))  # closed by gap
+                    del self.open[k]
+                is_last_of_key = (i + 1 == len(starts)) or key_of[i + 1] != k
+                if is_last_of_key:
+                    self.open[k] = [s, e, c]      # may still be extended
+                else:
+                    rows.append((k, s, e, c))     # interior session: final
+            self.watermark = max(self.watermark, int(ts.max()))
+        # watermark closes idle open sessions
+        done = [k for k, st in self.open.items()
+                if self.watermark - st[1] > self.gap]
+        for k in sorted(done):
+            st = self.open.pop(k)
+            rows.append((k, st[0], st[1], st[2]))
+        return self._table(rows)
+
+    def flush(self) -> pa.Table:
+        rows = [(k, st[0], st[1], st[2])
+                for k, st in sorted(self.open.items())]
+        self.open.clear()
+        return self._table(rows)
+
+    def _table(self, rows) -> pa.Table:
+        cols = [self.key, "session_start", "session_end", "n_events"]
+        if not rows:
+            return pa.table({c: pa.array([]) for c in cols})
+        arrays = list(zip(*rows))
+        return pa.table({c: pa.array(list(a)) for c, a in zip(cols, arrays)})

@@ -126,3 +126,56 @@ def test_streaming_dedup_watermark_and_lateness():
     assert out3["n_dropped_plus_one"][0].as_py() == 1
     fin = dd.flush().to_pandas()
     assert fin["interval_start"].tolist() == [20]
+
+
+def test_streaming_sessionizer_matches_batch_sessionize():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.stages.streaming import (
+        StreamingSessionizer)
+    from cardinalhq_otel_collector_ray.stages.temporal import sessionize
+    rng = np.random.default_rng(13)
+    n = 800
+    df = pd.DataFrame({
+        "u": rng.integers(0, 25, n),
+        "ts": np.sort(rng.integers(0, 20_000, n)).astype(np.int64),
+    })
+    ss = StreamingSessionizer("u", "ts", gap_ms=300)
+    out = []
+    for i in range(0, n, 120):
+        out.append(ss.consume(pa.Table.from_pandas(df.iloc[i:i+120])))
+    out.append(ss.flush())
+    got = (pa.concat_tables([t for t in out if t.num_rows],
+                            promote_options="default").to_pandas()
+           .sort_values(["u", "session_start"]).reset_index(drop=True))
+    ref = (sessionize(ray.data.from_pandas(df), "u", "ts", gap_ms=300,
+                      num_partitions=4).to_pandas()
+           .sort_values(["u", "session_start"]).reset_index(drop=True))
+    assert got["u"].tolist() == ref["u"].tolist()
+    assert got["session_start"].tolist() == ref["session_start"].tolist()
+    assert got["session_end"].tolist() == ref["session_end"].tolist()
+    assert got["n_events"].tolist() == ref["n_events"].tolist()
+
+
+def test_streaming_sessionizer_cross_batch_continuation():
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.stages.streaming import (
+        StreamingSessionizer)
+    ss = StreamingSessionizer("u", "ts", gap_ms=100)
+    # session spans two batches; an idle key closes by watermark
+    assert ss.consume(pa.table({"u": ["a", "b"], "ts": [10, 20]})).num_rows == 0
+    out = ss.consume(pa.table({"u": ["a"], "ts": [80]}))
+    # watermark 80: b's last ts 20 not yet stale (80-20 <= 100) → nothing
+    assert out.num_rows == 0
+    out = ss.consume(pa.table({"u": ["a"], "ts": [500]}))
+    # a's open session (10..80) closed by the 500-80>100 gap AND b idle
+    got = out.to_pandas().sort_values("u")
+    assert got["u"].tolist() == ["a", "b"]
+    assert got[got["u"] == "a"]["session_end"].tolist() == [80]
+    assert got[got["u"] == "a"]["n_events"].tolist() == [2]
+    fin = ss.flush().to_pandas()
+    assert fin["session_start"].tolist() == [500]
