@@ -2044,6 +2044,21 @@ def _q_period_over_period(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_followed_by(sf_dir: str):
+    """Every (view → purchase ≤30 min) PAIR per user (pattern-mining
+    count, not just first completion): one key shuffle + a single
+    searchsorted pass over segment-folded timestamps."""
+    from cardinalhq_otel_collector_ray.stages.temporal import followed_by_counts
+    ds = _events_ms(sf_dir).select_columns(["user_id", "event_type", "ts_ms"])
+    out = followed_by_counts(ds, "user_id", "ts_ms", "event_type",
+                             "view", "purchase", window_ms=1_800_000)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "n_pairs": df["n_pairs"].astype("int64")})
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -2086,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "funnel_view_purchase": _q_funnel,
         "funnel_reach": _q_funnel_reach,
+        "followed_by_pairs": _q_followed_by,
         "rollup_events": _q_rollup_events,
         "moving_window": _q_moving_window,
         "inverted_index_tokens": _q_inverted_index,
@@ -2436,6 +2452,13 @@ FROM a JOIN ev e ON e.user_id = a.user_id AND e.event_type = 'purchase'
   AND e.ts_ms >= a.first_view_ms
   AND e.ts_ms - a.first_view_ms <= 1800000
 GROUP BY a.user_id, a.first_view_ms
+""",
+        "followed_by_pairs": _SQL_EVENTS + r"""
+SELECT a.user_id, count(*) AS n_pairs
+FROM ev a JOIN ev b ON a.user_id = b.user_id
+  AND a.event_type = 'view' AND b.event_type = 'purchase'
+  AND b.ts_ms >= a.ts_ms AND b.ts_ms - a.ts_ms <= 1800000
+GROUP BY a.user_id
 """,
         "funnel_reach": _SQL_EVENTS + r""", a1 AS (
   SELECT user_id, min(ts_ms) AS t1

@@ -426,3 +426,53 @@ def funnel_steps(ds: ray.data.Dataset, key: str, ts_col: str, type_col: str,
         return pd.DataFrame(out)
 
     return partitioned_apply(ds, [key], kernel, num_partitions)
+
+
+def followed_by_counts(ds: ray.data.Dataset, key: str, ts_col: str,
+                       type_col: str, first_step: str, second_step: str,
+                       window_ms: int,
+                       num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                       ) -> ray.data.Dataset:
+    """Temporal self-join pair counting: per key, the number of
+    (first_step, second_step) event PAIRS with ``0 ≤ t_b − t_a ≤
+    window_ms`` — the "A followed by B" pattern-mining primitive (the
+    funnel counts only the first completion; this counts every pair).
+
+    One key shuffle, then a fully vectorized per-partition kernel: the
+    partition's B-timestamps form one sorted array with per-segment
+    offsets folded into the VALUES (segment_id·2⁴⁴ + ts), so a single
+    pair of ``np.searchsorted`` calls prices every A row's window at
+    once — no per-key Python, no quadratic pair expansion."""
+    SEG = np.int64(1) << np.int64(44)   # ts_ms < 2^44; segments < 2^19
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({key: df[key].to_numpy(),
+                                 "n_pairs": np.array([], np.int64)})
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        et = df[type_col].to_numpy()
+        newkey = _segment_starts(df, [key])
+        seg_id = np.cumsum(newkey) - 1
+        folded = seg_id * SEG + ts
+        is_b = et == second_step
+        bs = folded[is_b]                  # sorted: seg-major, ts-minor
+        is_a = et == first_step
+        qa = folded[is_a]
+        lo = np.searchsorted(bs, qa, side="left")
+        hi = np.searchsorted(bs, qa + window_ms, side="right")
+        # window never crosses a segment: qa + window stays inside the
+        # segment's 2^44 slot because ts + window < 2^44
+        pairs = hi - lo
+        a_seg = seg_id[is_a]
+        uniq, inv = np.unique(a_seg, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, pairs)
+        starts = np.flatnonzero(newkey)
+        keys_of_seg = df[key].to_numpy()[starts]
+        keep = sums > 0
+        return pd.DataFrame({key: keys_of_seg[uniq[keep]],
+                             "n_pairs": sums[keep]})
+
+    return partitioned_apply(ds, [key], kernel, num_partitions)

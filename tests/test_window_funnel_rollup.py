@@ -729,3 +729,46 @@ def test_m4_matches_naive_reference(seed):
         assert (r["last_ms"], r["last_cents"]) == (last["ts"], last["v"])
         assert (r["min_ms"], r["min_cents"]) == (vmin["ts"], vmin["v"])
         assert (r["max_ms"], r["max_cents"]) == (vmax["ts"], vmax["v"])
+
+
+def test_followed_by_counts_pairs():
+    from cardinalhq_otel_collector_ray.stages.temporal import followed_by_counts
+    ds = _events([
+        (1, "view", 10), (1, "purchase", 20), (1, "purchase", 60),
+        (1, "view", 50), (1, "purchase", 500),
+        (2, "view", 10),                         # no purchases
+        (3, "purchase", 5), (3, "view", 10),     # B before A doesn't count
+    ])
+    out = (followed_by_counts(ds, "user_id", "ts_ms", "event_type",
+                              "view", "purchase", window_ms=100,
+                              num_partitions=2)
+           .to_pandas().set_index("user_id"))
+    # user 1: view@10→{20,60}, view@50→{60} = 3 pairs (500 out of window)
+    assert out.loc[1, "n_pairs"] == 3
+    assert 2 not in out.index and 3 not in out.index
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_followed_by_matches_naive(seed):
+    from cardinalhq_otel_collector_ray.stages.temporal import followed_by_counts
+    rng = np.random.default_rng(seed)
+    n = 400
+    df = pd.DataFrame({
+        "u": rng.integers(0, 25, n),
+        "t": rng.choice(["view", "purchase", "click"], n),
+        "ts": rng.integers(0, 2000, n).astype(np.int64),
+    })
+    W = 150
+    out = (followed_by_counts(
+        ray.data.from_pandas(df.rename(columns={"u": "user_id",
+                                                "t": "event_type",
+                                                "ts": "ts_ms"}),
+                             override_num_blocks=3),
+        "user_id", "ts_ms", "event_type", "view", "purchase", W,
+        num_partitions=4).to_pandas().set_index("user_id"))
+    for u, g in df.groupby("u"):
+        a = g.loc[g["t"] == "view", "ts"].to_numpy()
+        b = g.loc[g["t"] == "purchase", "ts"].to_numpy()
+        expect = sum(int(((b >= x) & (b - x <= W)).sum()) for x in a)
+        got = int(out.loc[u, "n_pairs"]) if u in out.index else 0
+        assert got == expect
