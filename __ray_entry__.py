@@ -2059,6 +2059,23 @@ def _q_followed_by(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_neardup_cluster_sizes(sf_dir: str):
+    """Near-dup pairs → connected-component cluster-size histogram (the
+    dedup-audit view): exact Jaccard pairs feed union-find; the oracle
+    reproduces components with a recursive-CTE closure — making the
+    clustering operator itself oracle-checked."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import (
+        cluster_pairs, wordset_jaccard_pairs)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pairs = wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.9)
+    clusters = cluster_pairs(pairs)
+    sizes = clusters.groupby("cluster").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({"cluster_size": hist.index.astype("int64"),
+                         "n_clusters": hist.to_numpy().astype("int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": _q_tokenize,
@@ -2080,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logdedup_events": _q_logdedup,
         "knn_bruteforce": _q_knn,
         "wordset_jaccard": _q_wordset_jaccard,
+        "neardup_cluster_sizes": _q_neardup_cluster_sizes,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -2830,6 +2848,34 @@ FROM inter
 JOIN sizes sa ON inter.id_a = sa.doc_id
 JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+""",
+        "neardup_cluster_sizes": r"""
+WITH RECURSIVE ws AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ws GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ws a JOIN ws b ON a.w = b.w AND a.lang = b.lang
+    AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+), e(a, b) AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), r(a, b) AS (
+  SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS label FROM r GROUP BY a
+), comp AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS csize FROM labels GROUP BY label
+)
+SELECT csize AS cluster_size, count(*) AS n_clusters
+FROM comp GROUP BY csize
 """,
         "ngram_jaccard": r"""
 WITH ex AS (
