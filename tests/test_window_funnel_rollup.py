@@ -772,3 +772,24 @@ def test_followed_by_matches_naive(seed):
         expect = sum(int(((b >= x) & (b - x <= W)).sum()) for x in a)
         got = int(out.loc[u, "n_pairs"]) if u in out.index else 0
         assert got == expect
+
+
+def test_training_topology_example(sf_dir):
+    import pyarrow.parquet as pq
+
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_topology, load_spec)
+    views = compile_topology(
+        load_spec("/root/repo/examples/training_topology.yaml"), sf_dir)
+    assert set(views) == {"train", "val", "test"}
+    total = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    frames = {k: v.to_pandas() for k, v in views.items()}
+    # conservation: every doc lands in exactly one split view
+    assert sum(len(f) for f in frames.values()) == total
+    # per-sink chains applied: train is redacted+gated, eval views are raw
+    assert frames["train"]["has_word"].all()
+    assert list(frames["val"].columns) == ["doc_id", "text", "split", "route"]
+    # deterministic split: route matches the split column everywhere
+    for name, f in frames.items():
+        if len(f):
+            assert (f["route"] == name).all()
