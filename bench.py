@@ -189,7 +189,8 @@ def run_queries(sf_dir: str) -> dict:
              "pivot_routes", "left_join_counts", "m4_downsample",
              "hourly_active_users", "funnel_reach", "intradoc_repetition",
              "token_budget_mix", "robust_outliers", "weighted_avg_price",
-             "join_composite"]
+             "join_composite", "followed_by_pairs", "neardup_cluster_sizes",
+             "period_over_period"]
     qs = entrymod.queries()
     out = {}
     for name in names:
