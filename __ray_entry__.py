@@ -897,6 +897,28 @@ def _q_bigram_logprob(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance resampling weights (Xie et al. 2023): hashed-bigram
+    bucket multinomials for a deterministic target subset (src_num % 7 == 3)
+    vs the raw corpus, add-one smoothed; per-doc log weight summed in
+    position order (float parity). Counts merge via a bounded-tag
+    partitioned C++ group_by; the B-double log-ratio array broadcasts once
+    for the shuffle-free scoring pass."""
+    from cardinalhq_otel_collector_ray.sources import (build_vocab,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.relevance import dsir_weights
+    vocab = build_vocab(sf_dir)
+    ds = tokenized_documents(sf_dir, vocab=vocab)
+    out = dsir_weights(ds, vocab_size=len(vocab))
+
+    def project(batch: pa.Table) -> pa.Table:
+        lw = batch["log_w"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_pairs": batch["n_pairs"],
+                         "log_w": pa.array(np.round(lw, 6))})
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_quality_logistic(sf_dir: str):
     """Logistic quality classifier over exact-ratio features (broadcast
     fixed weights; z accumulated strictly left-to-right so the SQL oracle
@@ -2168,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_windows": _q_interval_join_windows,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_logprob": _q_bigram_logprob,
+        "dsir_weights": _q_dsir_weights,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "boilerplate_trigrams": _q_boilerplate_trigrams,
         "intradoc_repetition": _q_intradoc_repetition,
@@ -3148,6 +3171,38 @@ terms AS (
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round(list_sum(list(t ORDER BY pos)), 6) AS logprob
+FROM terms GROUP BY doc_id
+""",
+        "dsir_weights": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
+), td AS (
+  SELECT doc_id, (CAST(substr(source, 4) AS BIGINT) % 7 = 3) AS is_t
+  FROM documents
+), bi AS (
+  SELECT doc_id, pos, tid AS prev,
+         lead(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+  FROM seq
+), vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+bib AS (
+  SELECT b.doc_id, b.pos, (b.prev * vs.v + b.cur) % 4096 AS bucket
+  FROM bi b CROSS JOIN vs WHERE b.cur IS NOT NULL
+), bc AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN td.is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM bib JOIN td ON bib.doc_id = td.doc_id GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+  FROM bc
+), terms AS (
+  SELECT bib.doc_id, bib.pos,
+         ln((bc.ct + 1.0) / (tot.nt + 4096))
+           - ln((bc.cr + 1.0) / (tot.nr + 4096)) AS t
+  FROM bib JOIN bc USING (bucket) CROSS JOIN tot
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(list_sum(list(t ORDER BY pos)), 6) AS log_w
 FROM terms GROUP BY doc_id
 """,
         "quality_logistic": r"""

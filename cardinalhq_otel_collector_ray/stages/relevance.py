@@ -438,3 +438,117 @@ def cross_source_overlap(ds: ray.data.Dataset, source_ids: dict,
             rows.append((inv[a], inv[b], inter,
                          round(inter / union, 6)))
     return _pd.DataFrame(rows, columns=["src_a", "src_b", "inter", "jaccard"])
+
+
+def dsir_weights(ds: ray.data.Dataset, vocab_size: int,
+                 n_buckets: int = 4096, target_mod: int = 7,
+                 target_rem: int = 3, tokens_col: str = "tokens",
+                 doc_id_col: str = "doc_id", source_col: str = "source",
+                 num_partitions: int = 16) -> ray.data.Dataset:
+    """DSIR-style importance weights over hashed bigram features
+    (Data Selection via Importance Resampling, Xie et al. 2023 — public
+    method). Feature bucket = ``(prev·V + cur) % B`` (positional packing,
+    SQL-reproducible); target/raw bag-of-features multinomials with
+    add-one smoothing; per-doc log importance weight
+    ``Σ ln p̂_target(b) − ln p̂_raw(b)`` summed in POSITION order so an
+    ordered-list SQL sum reproduces the doubles (CLAUDE.md float rules).
+
+    Target membership is a pure row property (``src_num % mod == rem``) —
+    deterministic and retry-stable, like the routing hash.
+
+    Scale shape: per-block counts collapse to ≤2·B rows via one
+    ``np.unique`` on the packed (bucket, flag) key; partials merge through
+    a hash-partitioned C++ ``group_by`` (bounded-tag exchange, same shape
+    as ``frequent_ngrams``); only the dense 2×B count table reaches the
+    driver, and the per-bucket log-ratio array (B doubles) is broadcast
+    once for the shuffle-free scoring pass. Two passes over the token
+    table — recompute, never materialize, at corpus scale.
+
+    Closest reference surface: the fingerprint-frequency aggregation
+    family (``processor/aggregationprocessor``); DSIR itself is
+    beyond-reference training-data tooling.
+    """
+    import pyarrow.compute as pc
+
+    V = np.int64(vocab_size)
+    B = np.int64(n_buckets)
+
+    def _pair_buckets(batch: pa.Table):
+        doc_idx, values, n_per = _flat_tokens(batch, tokens_col)
+        if len(values) == 0:
+            return None
+        same = doc_idx[:-1] == doc_idx[1:]
+        prev, cur = values[:-1][same], values[1:][same]
+        row = doc_idx[:-1][same]
+        return (prev * V + cur) % B, row, n_per
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int32()),
+                          "flag": pa.array([], pa.int32()),
+                          "_c": pa.array([], pa.int64()),
+                          "_part": pa.array([], pa.int32())})
+        p = _pair_buckets(batch)
+        if p is None:
+            return empty
+        bucket, row, _ = p
+        src = pc.cast(pc.utf8_slice_codeunits(batch[source_col], 3, 64),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        t = ((src % np.int64(target_mod)) == target_rem).astype(np.int64)
+        key = (bucket << np.int64(1)) | t[row]
+        k, c = np.unique(key, return_counts=True)
+        bk = k >> np.int64(1)
+        return pa.table({
+            "bucket": pa.array(bk.astype(np.int32)),
+            "flag": pa.array((k & np.int64(1)).astype(np.int32)),
+            "_c": pa.array(c.astype(np.int64)),
+            "_part": pa.array((bk % np.int64(num_partitions)).astype(np.int32))})
+
+    partials = ds.map_batches(block_counts, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        out = g.group_by(["bucket", "flag"]).aggregate([("_c", "sum")])
+        return pa.table({"bucket": out["bucket"], "flag": out["flag"],
+                         "c": out["_c_sum"].cast(pa.int64())})
+
+    merged = list(partials.groupby("_part")
+                  .map_groups(merge, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow"))
+    counts = (pa.concat_tables(merged, promote_options="default") if merged
+              else pa.table({"bucket": pa.array([], pa.int32()),
+                             "flag": pa.array([], pa.int32()),
+                             "c": pa.array([], pa.int64())}))
+
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    bk = counts["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fl = counts["flag"].to_numpy(zero_copy_only=False)
+    cc = counts["c"].to_numpy(zero_copy_only=False)
+    np.add.at(cr, bk, cc)
+    tm = fl == 1
+    np.add.at(ct, bk[tm], cc[tm])
+    nt, nr = int(ct.sum()), int(cr.sum())
+    # operand-for-operand with the oracle: ln((c+1.0)/(N+B)) both sides
+    term = (np.log((ct + 1.0) / float(nt + n_buckets))
+            - np.log((cr + 1.0) / float(nr + n_buckets)))
+    ref = ray.put(term)
+
+    def block_score(batch: pa.Table) -> pa.Table:
+        terms = ray.get(ref)
+        p = _pair_buckets(batch)
+        if p is None:
+            return pa.table({doc_id_col: batch[doc_id_col].slice(0, 0),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "log_w": pa.array([], pa.float64())})
+        bucket, _, n_per = p
+        vals = terms[bucket]
+        n_pairs = np.maximum(n_per - 1, 0)
+        keep = np.flatnonzero(n_pairs > 0)
+        seg = (np.r_[0, np.cumsum(n_pairs[keep][:-1])].astype(np.int64)
+               if len(keep) else np.empty(0, np.int64))
+        lw = (np.add.reduceat(vals, seg) if len(keep)
+              else np.empty(0, np.float64))
+        return pa.table({doc_id_col: batch[doc_id_col].take(pa.array(keep)),
+                         "n_pairs": pa.array(n_pairs[keep].astype(np.int64)),
+                         "log_w": pa.array(lw)})
+
+    return ds.map_batches(block_score, batch_format="pyarrow")

@@ -121,3 +121,39 @@ def test_logistic_score_left_to_right():
                          bias=0.5, out="s").to_pandas()
     z = 0.5 + 2.0 * df["a"].to_numpy() + -1.0 * df["b"].to_numpy().astype(float)
     np.testing.assert_array_equal(out["s"].to_numpy(), 1.0 / (1.0 + np.exp(-z)))
+
+
+def test_dsir_weights_favor_target_distribution():
+    """DSIR semantics: docs whose bigrams match the TARGET subset's
+    distribution must get higher log importance weights than docs matching
+    the raw-majority distribution (Xie et al. 2023 sanity property)."""
+    from cardinalhq_otel_collector_ray.stages.relevance import dsir_weights
+    # target sources: src_num % 7 == 3 → src3. Target docs use bigrams over
+    # tokens {0,1}; raw-majority docs (src0) use tokens {5,6}.
+    n_each = 8
+    rows_id, rows_tok, rows_src = [], [], []
+    for i in range(n_each):
+        rows_id.append(f"t{i}")
+        rows_tok.append([0, 1, 0, 1, 0])
+        rows_src.append("src3")
+        rows_id.append(f"r{i}")
+        rows_tok.append([5, 6, 5, 6, 5])
+        rows_src.append("src0")
+    # probe docs, both from a NON-target source: one target-like, one raw-like
+    rows_id += ["probe_t", "probe_r"]
+    rows_tok += [[0, 1, 0, 1, 0], [5, 6, 5, 6, 5]]
+    rows_src += ["src1", "src1"]
+    t = pa.table({
+        "doc_id": pa.array(rows_id),
+        "tokens": pa.array(rows_tok, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(x) for x in rows_tok], type=pa.int32()),
+        "source": pa.array(rows_src),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = dsir_weights(ds, vocab_size=7, n_buckets=64).to_pandas()
+    w = out.set_index("doc_id")["log_w"]
+    assert w["probe_t"] > w["probe_r"]
+    # every pure-target-style doc outweighs every raw-style doc
+    assert w[[f"t{i}" for i in range(n_each)]].min() > \
+        w[[f"r{i}" for i in range(n_each)]].max()
+    assert (out["n_pairs"] == 4).all()
