@@ -872,6 +872,38 @@ def _q_kmeans_cluster_sizes(sf_dir: str):
                          "n_vectors": agg["agg_count"].astype("int64").to_numpy()})
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) per-cell summary: k-means partition +
+    within-cluster cosine dedup, keep the min-id representative per dup
+    group. Rows-only (iterative Lloyd's is not SQL-expressible); semantics
+    guaranteed by tests/test_semdedup.py (planted dup groups keep exactly
+    one survivor, distinct vectors survive, per-cell conservation)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import semdedup
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    flags = semdedup(ds, "embedding", "vec_id", n_centroids=16,
+                     threshold=0.35)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        k = batch["keep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cell": batch["cell"],
+                         "_n": pa.array(np.ones(len(k), np.int64)),
+                         "_k": pa.array(k)})
+
+    parts = flags.map_batches(pre, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    out = (merged.group_by("cell")
+           .aggregate([("_n", "sum"), ("_k", "sum")]).to_pandas()
+           .sort_values("cell", kind="mergesort"))
+    n, k = out["_n_sum"].to_numpy(), out["_k_sum"].to_numpy()
+    return pd.DataFrame({"cell": out["cell"].astype("int32").to_numpy(),
+                         "n_vectors": n.astype("int64"),
+                         "n_kept": k.astype("int64"),
+                         "n_removed": (n - k).astype("int64")})
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Per-doc add-one-smoothed bigram LM log-likelihood (language-model
     quality scoring): bigram + unigram tables from distributed passes
@@ -2191,6 +2223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_logprob": _q_bigram_logprob,
         "dsir_weights": _q_dsir_weights,
+        "semdedup": _q_semdedup,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "boilerplate_trigrams": _q_boilerplate_trigrams,
         "intradoc_repetition": _q_intradoc_repetition,

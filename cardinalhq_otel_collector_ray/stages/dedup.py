@@ -679,3 +679,54 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
                                  "cosine": pd.Series([], dtype="float64")})
         return pd.concat(out, ignore_index=True)
     return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def semdedup(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
+             n_centroids: int = 16, threshold: float = 0.97,
+             sample_size: int = 2048, seed: int = 13,
+             max_block: int = 16384) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic deduplication = k-means partition of the embedding space +
+    within-cluster cosine near-dup detection + keep ONE representative
+    (the min id of each connected dup group).
+
+    Composition of existing scale-correct pieces:
+
+    1. ``kmeans_assign`` — centroids trained once on a bounded driver
+       sample, broadcast; assignment is a matmul-argmax per batch.
+    2. ``embedding_neardup_pairs`` with ``block_col="cell"`` — the corpus
+       shuffles ONCE (groupby cell); per-cell blocked matmul with the
+       ``max_block`` chunk guard.
+    3. ``cluster_pairs`` union-find — pairs are the rare case
+       (coordinator-sized, the documented contract); the removed-id set
+       (smaller still) broadcasts for the final flag pass, so the corpus
+       itself never materializes.
+
+    Output: (id, cell:int32, keep:bool) — ``keep`` is False for every
+    member of a dup group except its min-id representative.
+    """
+    import ray as _ray
+
+    from .similarity import kmeans_assign
+
+    assigned = kmeans_assign(ds, vec_col, id_col, n_centroids=n_centroids,
+                             sample_size=sample_size, seed=seed,
+                             keep_vec=True)
+    pairs = embedding_neardup_pairs(assigned, vec_col, "id",
+                                    block_col="cell", threshold=threshold,
+                                    max_block=max_block)
+    comps = cluster_pairs(pairs)
+    removed = comps.loc[comps["id"] != comps["cluster"], "id"].to_numpy()
+    rref = _ray.put(np.sort(np.asarray(removed, dtype=np.int64)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        rem = _ray.get(rref)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(rem, ids)
+        pos = np.minimum(pos, max(len(rem) - 1, 0))
+        hit = (rem[pos] == ids) if len(rem) else np.zeros(len(ids), bool)
+        return pa.table({"id": batch["id"], "cell": batch["cell"],
+                         "keep": pa.array(~hit)})
+    return assigned.map_batches(flag, batch_format="pyarrow")

@@ -309,12 +309,13 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
 
 def kmeans_assign(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
                   n_centroids: int = 16, sample_size: int = 2048,
-                  seed: int = 13) -> ray.data.Dataset:
+                  seed: int = 13, keep_vec: bool = False) -> ray.data.Dataset:
     """Distributed k-means cluster assignment (the IVF coarse quantizer as
     a first-class operator — corpus partitioning / near-dup blocking for
     embedding pipelines): centroids trained ONCE on a bounded driver
     sample, broadcast; assignment is one matmul-argmax per batch.
-    Output: (id, cell:int32)."""
+    Output: (id, cell:int32), plus the vector column when ``keep_vec``
+    (the SemDeDup composition needs vectors alongside the cell)."""
     sample = ds.limit(sample_size).to_pandas()[vec_col]
     smat = _normalize(np.stack(sample.to_numpy()).astype(np.float64))
     centroids = _normalize(_kmeans(smat, n_centroids, seed=seed))
@@ -330,5 +331,8 @@ def kmeans_assign(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
         m = _normalize(vecs.values.to_numpy(zero_copy_only=False)
                        .astype(np.float64).reshape(-1, d))
         cells = (m @ cents.T).argmax(axis=1).astype(np.int32)
-        return pa.table({"id": batch[id_col], "cell": pa.array(cells)})
+        cols = {"id": batch[id_col], "cell": pa.array(cells)}
+        if keep_vec:
+            cols[vec_col] = batch[vec_col]
+        return pa.table(cols)
     return ds.map_batches(assign, batch_format="pyarrow")
