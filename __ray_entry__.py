@@ -872,6 +872,20 @@ def _q_kmeans_cluster_sizes(sf_dir: str):
                          "n_vectors": agg["agg_count"].astype("int64").to_numpy()})
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich et al. 2016): first 30 merges
+    learned from the corpus. The corpus-sized pass is the distributed
+    word-frequency count (per-block C++ value_counts → bounded-tag
+    partitioned merge); the merge loop runs segmented-numpy over the
+    BOUNDED distinct-word table. Rows-only (iterative merges are not
+    SQL-expressible); equality with the canonical naive algorithm is
+    guaranteed by tests/test_bpe.py (classic corpus + seeded fuzz)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.bpe import bpe_merges
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_merges(ds, "text", k=30)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) per-cell summary: k-means partition +
     within-cluster cosine dedup, keep the min-id representative per dup
@@ -2224,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "dsir_weights": _q_dsir_weights,
         "semdedup": _q_semdedup,
+        "bpe_merges": _q_bpe_merges,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "boilerplate_trigrams": _q_boilerplate_trigrams,
         "intradoc_repetition": _q_intradoc_repetition,
