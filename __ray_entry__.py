@@ -886,6 +886,20 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merges(ds, "text", k=30)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """BPE application: learn 30 merges, then encode the corpus — per-doc
+    subword counts via the flat-array merge kernel over Arrow string
+    buffers (byte-level base alphabet, broadcast merge plan, no per-row
+    Python). Rows-only; equality with the canonical word-by-word apply
+    loop is guaranteed by tests/test_bpe.py."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.bpe import (bpe_encode_stats,
+                                                          bpe_merges)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_merges(ds, "text", k=30)
+    return bpe_encode_stats(ds, merges, "text", "doc_id")
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) per-cell summary: k-means partition +
     within-cluster cosine dedup, keep the min-id representative per dup
@@ -2239,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "semdedup": _q_semdedup,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "boilerplate_trigrams": _q_boilerplate_trigrams,
         "intradoc_repetition": _q_intradoc_repetition,

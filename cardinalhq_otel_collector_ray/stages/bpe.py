@@ -165,3 +165,100 @@ def bpe_merges(ds: ray.data.Dataset, text_col: str = "text",
     """Corpus → first ``k`` BPE merges (the tokenizer-training pipeline)."""
     wf = word_frequencies(ds, text_col, num_partitions=num_partitions)
     return bpe_train_merges(wf, k)
+
+
+def _merge_id_plan(merges: pd.DataFrame):
+    """Map merge strings to a self-contained id space for the encode
+    kernel: byte values 0–255 are the base symbols, 256 is ``</w>``, and
+    merge r's output symbol is 257+r. Left/right of merge r are products
+    of earlier merges (or base symbols), so the dict lookup always hits."""
+    sid = {chr(b): b for b in range(256)}
+    sid[END_WORD] = 256
+    plan = []
+    for r, row in enumerate(merges.itertuples(index=False)):
+        lid, rid = sid[row.left], sid[row.right]
+        mid = 257 + r
+        sid[row.merged] = mid
+        plan.append((np.int64(lid) << np.int64(32) | np.int64(rid),
+                     np.int64(mid)))
+    return plan
+
+
+def apply_merges_kernel(sym: np.ndarray, wb: np.ndarray, plan) -> tuple:
+    """Apply learned merges in rank order over a flat symbol array with
+    word boundaries — the training loop's merge step without the counting
+    (leftmost-non-overlapping via the alternate-in-run trick)."""
+    for target, mid in plan:
+        if len(sym) < 2:
+            break
+        pk = (sym[:-1] << np.int64(32)) | sym[1:]
+        valid = wb[:-1] == wb[1:]
+        match = np.flatnonzero((pk == target) & valid)
+        if len(match) == 0:
+            continue
+        run_start = np.r_[True, np.diff(match) != 1]
+        run_first = np.flatnonzero(run_start)
+        run_id = np.cumsum(run_start) - 1
+        offset = np.arange(len(match)) - run_first[run_id]
+        kept = match[offset % 2 == 0]
+        sym[kept] = mid
+        drop = np.zeros(len(sym), dtype=bool)
+        drop[kept + 1] = True
+        sym = sym[~drop]
+        wb = wb[~drop]
+    return sym, wb
+
+
+def bpe_encode_stats(ds: ray.data.Dataset, merges: pd.DataFrame,
+                     text_col: str = "text",
+                     doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Apply learned BPE merges to the corpus; per-doc subword counts.
+
+    Byte-level encode (GPT-2-style base alphabet: every byte is a base
+    symbol — identical to char-level on the ASCII corpus contract): the
+    whole block becomes ONE flat symbol array built from the Arrow string
+    buffers (no per-row Python), the broadcast merge plan is applied with
+    ``apply_merges_kernel`` (k vectorized passes), and per-doc counts come
+    from one bincount. Output: (doc_id, n_words, n_subwords).
+    """
+    import ray as _ray
+    plan_ref = _ray.put(_merge_id_plan(merges))
+
+    def block(batch: pa.Table) -> pa.Table:
+        plan = _ray.get(plan_ref)
+        words = split_words(batch[text_col])
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        doc_off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words_per_doc = np.diff(doc_off)
+        flat = words.values
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off_buf = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+        off = off_buf[flat.offset: flat.offset + len(flat) + 1] \
+            .astype(np.int64)
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)[off[0]:off[-1]]
+        off = off - off[0]
+        n_words = len(off) - 1
+        if n_words == 0:
+            return pa.table({doc_id_col: batch[doc_id_col].slice(0, 0),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_subwords": pa.array([], pa.int64())})
+        word_len = np.diff(off)
+        total = off[-1] + n_words                    # + one </w> per word
+        sym = np.empty(total, dtype=np.int64)
+        word_idx_per_byte = np.repeat(np.arange(n_words), word_len)
+        byte_pos = np.arange(len(data), dtype=np.int64)
+        sym[byte_pos + word_idx_per_byte] = data
+        sym[off[1:] + np.arange(n_words)] = 256      # </w>
+        wb = np.repeat(np.arange(n_words, dtype=np.int64), word_len + 1)
+        sym, wb = apply_merges_kernel(sym, wb, plan)
+        doc_of_word = np.repeat(np.arange(len(n_words_per_doc)),
+                                n_words_per_doc)
+        n_sub = np.bincount(doc_of_word[wb],
+                            minlength=len(n_words_per_doc)).astype(np.int64)
+        return pa.table({doc_id_col: batch[doc_id_col],
+                         "n_words": pa.array(n_words_per_doc.astype(np.int64)),
+                         "n_subwords": pa.array(n_sub)})
+
+    return ds.map_batches(block, batch_format="pyarrow")

@@ -85,3 +85,44 @@ def test_word_frequencies_distributed_matches_counter():
     want = Counter(w for s in texts for w in s.split(" ") if w)
     got = dict(zip(wf["word"], wf["freq"]))
     assert got == dict(want)
+
+
+def _naive_encode_counts(texts, merges):
+    """Word-by-word merge application (canonical apply loop)."""
+    out = []
+    for s in texts:
+        n_sub = 0
+        for w in s.split(" "):
+            syms = [chr(b) for b in w.encode()] + ["</w>"]
+            for _, left, right, _m, _c in merges:
+                i, res = 0, []
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == left and \
+                            syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            n_sub += len(syms)
+        out.append(n_sub)
+    return out
+
+
+def test_bpe_encode_matches_naive():
+    from cardinalhq_otel_collector_ray.stages.bpe import (bpe_encode_stats,
+                                                          bpe_train_merges)
+    texts = ["low low lower", "newest widest low", "aaaa aaa a",
+             "the newest low", "widest widest"]
+    freqs = Counter(w for s in texts for w in s.split(" "))
+    merges_df = bpe_train_merges(_wf_table(dict(freqs)), k=8)
+    merges = list(map(tuple, merges_df.itertuples(index=False)))
+    t = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = (bpe_encode_stats(ds, merges_df, "text", "doc_id").to_pandas()
+           .sort_values("doc_id"))
+    want = _naive_encode_counts(texts, merges)
+    assert got["n_subwords"].tolist() == want
+    assert got["n_words"].tolist() == [len(s.split(" ")) for s in texts]
