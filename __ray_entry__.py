@@ -849,6 +849,21 @@ def _q_boilerplate_trigrams(sf_dir: str):
     return flag_boilerplate(ds, hot, n=3, vocab_size=vocab_size)
 
 
+def _q_dup_ngram_fraction(sf_dir: str):
+    """Lee et al. 2022 substring-duplication metric: per-doc fraction of
+    token 8-grams whose corpus occurrence count ≥ 2. Duplicated-key set
+    found distributed (bounded-tag partitioned merge), broadcast once
+    (dups are the rare case); fraction is an exact-int division."""
+    from cardinalhq_otel_collector_ray.sources import (build_vocab,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        dup_ngram_fraction, frequent_ngrams)
+    vocab_size = len(build_vocab(sf_dir))
+    ds = tokenized_documents(sf_dir)
+    hot = frequent_ngrams(ds, n=8, min_count=2, vocab_size=vocab_size)
+    return dup_ngram_fraction(ds, hot, n=8, vocab_size=vocab_size)
+
+
 def _q_kmeans_cluster_sizes(sf_dir: str):
     """Embedding-corpus partitioning: k-means coarse quantizer (driver
     sample fit, broadcast) + distributed matmul-argmax assignment, then
@@ -998,6 +1013,17 @@ def _q_quality_logistic(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"],
                          "q_score": pa.array(np.round(q, 6))})
     return scored.map_batches(project, batch_format="pyarrow")
+
+
+def _q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule filter (Rae et al. 2021 App. A): word-count,
+    mean-word-length and stopword-presence rules over the vectorized
+    quality_stats pass; per-doc rule flags + overall pass."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import (gopher_rules,
+                                                                quality_stats)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_rules(quality_stats(ds))
 
 
 def _q_winnow_fingerprints(sf_dir: str):
@@ -2254,6 +2280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "gopher_rules": _q_gopher_rules,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "boilerplate_trigrams": _q_boilerplate_trigrams,
         "intradoc_repetition": _q_intradoc_repetition,
@@ -3236,6 +3264,29 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        round(list_sum(list(t ORDER BY pos)), 6) AS logprob
 FROM terms GROUP BY doc_id
 """,
+        "dup_ngram_fraction": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
+), vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+ng AS (
+  SELECT doc_id, pos, tid AS t0,
+         lead(tid,1) OVER w AS t1, lead(tid,2) OVER w AS t2,
+         lead(tid,3) OVER w AS t3, lead(tid,4) OVER w AS t4,
+         lead(tid,5) OVER w AS t5, lead(tid,6) OVER w AS t6,
+         lead(tid,7) OVER w AS t7
+  FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), keys AS (
+  SELECT doc_id, pos,
+         (((((((CAST(t0 AS BIGINT)*v + t1)*v + t2)*v + t3)*v + t4)*v + t5)
+            *v + t6)*v + t7) AS key
+  FROM ng CROSS JOIN vs WHERE t7 IS NOT NULL
+), kc AS (SELECT key, count(*) AS c FROM keys GROUP BY key)
+SELECT CAST(k.doc_id AS VARCHAR) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN kc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN kc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+         / count(*) AS dup_frac
+FROM keys k JOIN kc USING (key) GROUP BY k.doc_id
+""",
         "dsir_weights": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
 ), td AS (
@@ -3267,6 +3318,27 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round(list_sum(list(t ORDER BY pos)), 6) AS log_w
 FROM terms GROUP BY doc_id
+""",
+        "gopher_rules": r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, CAST(length(words) AS BIGINT) AS n_words,
+       COALESCE(list_aggregate(list_transform(words, x -> CAST(length(x) AS DOUBLE)), 'sum'), 0)
+         / greatest(length(words), 1) AS mwl,
+       CAST(length(list_filter(words, x -> x IN
+         ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+         / greatest(length(words), 1) AS sr
+  FROM w
+)
+SELECT doc_id, n_words,
+       (n_words >= 20 AND n_words <= 80) AS pass_word_count,
+       (mwl >= 4.0 AND mwl <= 4.8) AS pass_word_len,
+       (sr >= 0.05) AS pass_stopwords,
+       (n_words >= 20 AND n_words <= 80 AND mwl >= 4.0 AND mwl <= 4.8
+        AND sr >= 0.05) AS passes
+FROM f
 """,
         "quality_logistic": r"""
 WITH w AS (

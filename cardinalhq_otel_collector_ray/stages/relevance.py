@@ -552,3 +552,53 @@ def dsir_weights(ds: ray.data.Dataset, vocab_size: int,
                          "log_w": pa.array(lw)})
 
     return ds.map_batches(block_score, batch_format="pyarrow")
+
+
+def dup_ngram_fraction(ds: ray.data.Dataset, hot_keys: np.ndarray, n: int,
+                       vocab_size: int, tokens_col: str = "tokens",
+                       doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc duplicated-n-gram fraction — the cross-document substring
+    duplication metric of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", exact-substring variant at n-gram
+    granularity). ``hot_keys`` = packed n-gram keys with corpus count ≥ 2
+    (from ``frequent_ngrams(min_count=2)`` — broadcast once; the dup set
+    is the rare case). One packed-key construction + sorted membership
+    test per batch; fraction = exact-int division (double parity).
+
+    Positional base-V packing must fit BIGINT in BOTH engines (DuckDB
+    errors on overflow, numpy wraps): asserted here. Beyond that bound,
+    swap the packing for a rolling hash (parity then becomes rows-only).
+
+    Output: (doc_id, n_grams:int64, n_dup:int64, dup_frac:float64) —
+    docs with fewer than ``n`` tokens are omitted.
+    """
+    V = np.int64(vocab_size)
+    if vocab_size ** n >= 2 ** 63:
+        raise ValueError("base-V packed n-gram key overflows int64; "
+                         "use a rolling hash for this (V, n)")
+    ref = ray.put(np.sort(np.asarray(hot_keys, dtype=np.int64)))
+
+    def block(batch: pa.Table) -> pa.Table:
+        hot = ray.get(ref)
+        doc_idx, values, n_per = _flat_tokens(batch, tokens_col)
+        n_rows = batch.num_rows
+        n_dup = np.zeros(n_rows, dtype=np.int64)
+        if len(values) >= n and len(hot):
+            key = values[: len(values) - n + 1].copy()
+            row = doc_idx[: len(values) - n + 1]
+            same = row == doc_idx[n - 1:]
+            for j in range(1, n):
+                key = key * V + values[j: len(values) - n + 1 + j]
+            key, row = key[same], row[same]
+            pos = np.searchsorted(hot, key)
+            pos = np.minimum(pos, len(hot) - 1)
+            np.add.at(n_dup, row[hot[pos] == key], 1)
+        n_grams = np.maximum(n_per - (n - 1), 0)
+        keep = np.flatnonzero(n_grams > 0)
+        frac = (n_dup[keep] * 1.0) / n_grams[keep]
+        return pa.table({
+            doc_id_col: batch[doc_id_col].take(pa.array(keep)),
+            "n_grams": pa.array(n_grams[keep].astype(np.int64)),
+            "n_dup": pa.array(n_dup[keep]),
+            "dup_frac": pa.array(frac)})
+    return ds.map_batches(block, batch_format="pyarrow")

@@ -370,3 +370,31 @@ def intradoc_repetition(ds: ray.data.Dataset, n: int = 3,
                                   np.empty(0, np.float64)),
         })
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def gopher_rules(stats: ray.data.Dataset, *, min_words: int = 20,
+                 max_words: int = 80, min_mwl: float = 4.0,
+                 max_mwl: float = 4.8,
+                 min_stopword_ratio: float = 0.05) -> ray.data.Dataset:
+    """Gopher-style quality-rule filter (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A heuristics — public method):
+    word-count bounds, mean-word-length bounds, stopword-presence
+    threshold; a doc passes when ALL rules pass. Consumes the
+    ``quality_stats`` output — the comparisons run on doubles computed
+    operand-for-operand like the SQL oracle, so the boolean flags are
+    engine-stable. Pure per-batch map: no shuffle, no state."""
+    def fn(batch: pa.Table) -> pa.Table:
+        nw = batch["n_words"].to_numpy(zero_copy_only=False)
+        mwl = batch["mean_word_len"].to_numpy(zero_copy_only=False)
+        sr = batch["stopword_ratio"].to_numpy(zero_copy_only=False)
+        p_wc = (nw >= min_words) & (nw <= max_words)
+        p_mwl = (mwl >= min_mwl) & (mwl <= max_mwl)
+        p_sw = sr >= min_stopword_ratio
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": batch["n_words"],
+            "pass_word_count": pa.array(p_wc),
+            "pass_word_len": pa.array(p_mwl),
+            "pass_stopwords": pa.array(p_sw),
+            "passes": pa.array(p_wc & p_mwl & p_sw)})
+    return stats.map_batches(fn, batch_format="pyarrow")
