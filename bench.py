@@ -190,7 +190,8 @@ def run_queries(sf_dir: str) -> dict:
              "hourly_active_users", "funnel_reach", "intradoc_repetition",
              "token_budget_mix", "robust_outliers", "weighted_avg_price",
              "join_composite", "followed_by_pairs", "neardup_cluster_sizes",
-             "period_over_period"]
+             "period_over_period", "dsir_weights", "semdedup", "bpe_merges",
+             "bpe_encode", "dup_ngram_fraction", "gopher_rules"]
     qs = entrymod.queries()
     out = {}
     for name in names:

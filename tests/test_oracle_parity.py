@@ -99,6 +99,7 @@ def test_contract_surface():
                          "approx_quantiles_kll",
                          "compression_ratio",
                          "approx_heavy_hitters",
-                         "cdc_dedup_ratio"}, rows_only
+                         "cdc_dedup_ratio",
+                         "semdedup", "bpe_merges", "bpe_encode"}, rows_only
     assert callable(entrymod.entry)
     assert len(ORACLES) >= 60
