@@ -1838,6 +1838,25 @@ def _q_range_partition(sf_dir: str):
     return range_partition_stats(ds, "value_cents", num_partitions=8)
 
 
+def _q_global_rank(sf_dir: str):
+    """Exact global rank() over value (curriculum ordering: best row is
+    rank 1) with NO global sort shuffle: bounded per-value histogram →
+    driver cumulative offsets → (value, rank) arrays broadcast once →
+    shuffle-free searchsorted tag per batch."""
+    from cardinalhq_otel_collector_ray.stages.rangesort import global_rank
+    ds = _events_ms(sf_dir).select_columns(["event_id", "value_cents"])
+    return global_rank(ds, "value_cents", descending=True)
+
+
+def _q_exact_quantiles(sf_dir: str):
+    """EXACT global discrete quantiles (value at rank ceil(p*n/100),
+    exact-int arithmetic) from the bounded per-value histogram — the
+    exact complement to approx_quantiles_kll; no sort shuffle."""
+    from cardinalhq_otel_collector_ray.stages.rangesort import exact_quantiles
+    ds = _events_ms(sf_dir).select_columns(["value_cents"])
+    return exact_quantiles(ds, "value_cents")
+
+
 def _q_user_journeys(sf_dir: str):
     """Ordered per-user event-type journey strings (SQL string_agg with
     ORDER BY): one key shuffle, C++ binary_join per partition."""
@@ -2250,6 +2269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "compression_ratio": _q_compression_ratio,
         "range_partition_stats": _q_range_partition,
+        "global_rank": _q_global_rank,
+        "exact_quantiles": _q_exact_quantiles,
         "user_journeys": _q_user_journeys,
         "source_overlap": _q_source_overlap,
         "approx_heavy_hitters": _q_approx_heavy_hitters,
@@ -2729,6 +2750,25 @@ SELECT i.src_a, i.src_b, i.inter,
 FROM inter i
 JOIN sz sa ON i.src_a = sa.source
 JOIN sz sb ON i.src_b = sb.source
+""",
+        "global_rank": _SQL_EVENTS + r"""
+SELECT event_id, value_cents,
+       rank() OVER (ORDER BY value_cents DESC) AS global_rank
+FROM ev
+""",
+        "exact_quantiles": _SQL_EVENTS + r""", nn AS (
+  SELECT count(*) AS n FROM ev
+), ranked AS (
+  SELECT value_cents AS v,
+         row_number() OVER (ORDER BY value_cents) AS rn
+  FROM ev
+), ps AS (
+  SELECT CAST(unnest([1, 5, 25, 50, 75, 90, 99]) AS BIGINT) AS p
+)
+SELECT ps.p AS p, r.v AS value_cents
+FROM ps CROSS JOIN nn
+JOIN ranked r ON r.rn = (ps.p * nn.n + 99) // 100
+ORDER BY p
 """,
         "range_partition_stats": _SQL_EVENTS + r""", nn AS (
   SELECT count(*) AS n FROM ev

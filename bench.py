@@ -191,7 +191,8 @@ def run_queries(sf_dir: str) -> dict:
              "token_budget_mix", "robust_outliers", "weighted_avg_price",
              "join_composite", "followed_by_pairs", "neardup_cluster_sizes",
              "period_over_period", "dsir_weights", "semdedup", "bpe_merges",
-             "bpe_encode", "dup_ngram_fraction", "gopher_rules"]
+             "bpe_encode", "dup_ngram_fraction", "gopher_rules", "global_rank",
+             "exact_quantiles"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -26,11 +26,10 @@ import ray.data
 from .aggregate import grouped_aggregate
 
 
-def range_partition_bounds(ds: ray.data.Dataset, col: str,
-                           num_partitions: int) -> np.ndarray:
-    """Exact balanced range boundaries: the distinct values at global
-    ranks ``ceil(j·n/P)`` for j = 1..P-1 (duplicates collapsed — a value
-    never straddles two partitions)."""
+def _value_histogram(ds: ray.data.Dataset, col: str):
+    """Exact per-value counts, value-sorted ascending — the bounded-domain
+    scale contract shared by every order statistic here (two-phase count:
+    per-block C++ ``group_by`` partials → driver merge of ≤ domain rows)."""
     def one(batch: pa.Table) -> pa.Table:
         return batch.select([col]).append_column(
             "_one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
@@ -39,8 +38,16 @@ def range_partition_bounds(ds: ray.data.Dataset, col: str,
                                keys=[col], value_col="_one",
                                mode="driver").to_pandas()
     counts = counts.sort_values(col, kind="mergesort").reset_index(drop=True)
-    c = counts["agg_count"].to_numpy().astype(np.int64)
-    v = counts[col].to_numpy()
+    return (counts[col].to_numpy().astype(np.int64),
+            counts["agg_count"].to_numpy().astype(np.int64))
+
+
+def range_partition_bounds(ds: ray.data.Dataset, col: str,
+                           num_partitions: int) -> np.ndarray:
+    """Exact balanced range boundaries: the distinct values at global
+    ranks ``ceil(j·n/P)`` for j = 1..P-1 (duplicates collapsed — a value
+    never straddles two partitions)."""
+    v, c = _value_histogram(ds, col)
     n = int(c.sum())
     if n == 0 or num_partitions <= 1:
         return np.empty(0, dtype=np.int64)
@@ -49,6 +56,53 @@ def range_partition_bounds(ds: ray.data.Dataset, col: str,
                     / float(num_partitions)).astype(np.int64)
     idx = np.searchsorted(cum, ranks, side="left")
     return np.unique(v[idx]).astype(np.int64)
+
+
+def global_rank(ds: ray.data.Dataset, col: str, descending: bool = False,
+                out_col: str = "global_rank") -> ray.data.Dataset:
+    """Exact global SQL ``rank()`` over ``col`` (ties share the min rank,
+    gaps follow) WITHOUT a global sort shuffle — the curriculum-ordering
+    primitive (order every document by a quality score at corpus scale).
+
+    Scale shape: the only thing that ever leaves the workers is the
+    per-value histogram (two-phase count, bounded domain — quality scores
+    are discretized ints, same contract as ``range_partition_bounds``).
+    The driver turns it into a (sorted values, rank-at-value) pair of
+    arrays, broadcast ONCE via ``ray.put``; the row pass is a shuffle-free
+    ``searchsorted`` lookup per batch. rank(v) = 1 + #{rows strictly
+    before v in the requested order}.
+    """
+    vals_asc, c = _value_histogram(ds, col)
+    cum = np.cumsum(c)                       # rows with value <= vals_asc[i]
+    if descending:
+        ranks = cum[-1] - cum + 1 if len(c) else cum
+    else:
+        ranks = cum - c + 1
+    ref = ray.put((vals_asc, ranks.astype(np.int64)))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v, r = ray.get(ref)
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v, vals, side="left")
+        return batch.append_column(out_col, pa.array(r[idx]))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str,
+                    percentiles: tuple[int, ...] = (1, 5, 25, 50, 75, 90, 99)
+                    ) -> pd.DataFrame:
+    """EXACT global discrete quantiles (the value at rank ``ceil(p·n/100)``,
+    exact-int arithmetic) — the exact complement to the KLL sketch query,
+    from the same bounded per-value histogram. No sort shuffle; only the
+    histogram reaches the driver."""
+    vals_asc, c = _value_histogram(ds, col)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(c) else 0
+    ps = np.asarray(percentiles, dtype=np.int64)
+    ranks = (ps * n + 99) // 100             # ceil(p*n/100), exact int
+    idx = np.searchsorted(cum, ranks, side="left")
+    return pd.DataFrame({"p": ps, col: vals_asc[idx]})
 
 
 def range_partition_stats(ds: ray.data.Dataset, col: str,

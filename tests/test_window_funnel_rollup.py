@@ -793,3 +793,28 @@ def test_training_topology_example(sf_dir):
     for name, f in frames.items():
         if len(f):
             assert (f["route"] == name).all()
+
+
+def test_global_rank_ties_and_directions():
+    from cardinalhq_otel_collector_ray.stages.rangesort import global_rank
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                       "v": [10, 30, 30, 20, 10]})
+    ds = ray.data.from_pandas(df)
+    asc = global_rank(ds, "v").to_pandas().sort_values("id")
+    # min-rank with gaps: 10,10 -> 1; 20 -> 3; 30,30 -> 4
+    assert asc["global_rank"].tolist() == [1, 4, 4, 3, 1]
+    dsc = global_rank(ds, "v", descending=True).to_pandas().sort_values("id")
+    assert dsc["global_rank"].tolist() == [4, 1, 1, 3, 4]
+    assert dsc["global_rank"].dtype == np.int64
+
+
+def test_exact_quantiles_golden():
+    from cardinalhq_otel_collector_ray.stages.rangesort import exact_quantiles
+    # 1..100 → p-th percentile is exactly p
+    df = pd.DataFrame({"v": np.arange(1, 101, dtype=np.int64)})
+    out = exact_quantiles(ray.data.from_pandas(df), "v")
+    assert out["v"].tolist() == [1, 5, 25, 50, 75, 90, 99]
+    # duplicates: rank selection lands inside the run
+    df2 = pd.DataFrame({"v": np.array([7] * 99 + [100], dtype=np.int64)})
+    out2 = exact_quantiles(ray.data.from_pandas(df2), "v")
+    assert out2["v"].tolist() == [7, 7, 7, 7, 7, 7, 7]
