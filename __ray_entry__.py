@@ -1857,6 +1857,16 @@ def _q_exact_quantiles(sf_dir: str):
     return exact_quantiles(ds, "value_cents")
 
 
+def _q_global_percentile(sf_dir: str):
+    """Score→percentile normalization (SQL percent_rank) at corpus scale:
+    same bounded-histogram/broadcast shape as global_rank; exact-int
+    division → identical float64 in both engines."""
+    from cardinalhq_otel_collector_ray.stages.rangesort import (
+        global_percent_rank)
+    ds = _events_ms(sf_dir).select_columns(["event_id", "value_cents"])
+    return global_percent_rank(ds, "value_cents")
+
+
 def _q_user_journeys(sf_dir: str):
     """Ordered per-user event-type journey strings (SQL string_agg with
     ORDER BY): one key shuffle, C++ binary_join per partition."""
@@ -2271,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_stats": _q_range_partition,
         "global_rank": _q_global_rank,
         "exact_quantiles": _q_exact_quantiles,
+        "global_percentile": _q_global_percentile,
         "user_journeys": _q_user_journeys,
         "source_overlap": _q_source_overlap,
         "approx_heavy_hitters": _q_approx_heavy_hitters,
@@ -2754,6 +2765,11 @@ JOIN sz sb ON i.src_b = sb.source
         "global_rank": _SQL_EVENTS + r"""
 SELECT event_id, value_cents,
        rank() OVER (ORDER BY value_cents DESC) AS global_rank
+FROM ev
+""",
+        "global_percentile": _SQL_EVENTS + r"""
+SELECT event_id, value_cents,
+       percent_rank() OVER (ORDER BY value_cents) AS pct
 FROM ev
 """,
         "exact_quantiles": _SQL_EVENTS + r""", nn AS (

@@ -89,6 +89,31 @@ def global_rank(ds: ray.data.Dataset, col: str, descending: bool = False,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def global_percent_rank(ds: ray.data.Dataset, col: str,
+                        out_col: str = "pct") -> ray.data.Dataset:
+    """Exact global SQL ``percent_rank()`` — score→percentile
+    normalization for curriculum/quality-mixing policies. Same scale
+    shape as ``global_rank``: bounded histogram → driver
+    (value, (rank-1)/(n-1)) arrays → broadcast searchsorted tag.
+    The division is exact-int → float64 on both engines (parity-safe);
+    0.0 for a single-row input, matching SQL."""
+    vals_asc, c = _value_histogram(ds, col)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(c) else 0
+    ranks = cum - c + 1
+    pct = ((ranks - 1) / float(n - 1) if n > 1
+           else np.zeros(len(c), dtype=np.float64))
+    ref = ray.put((vals_asc, pct.astype(np.float64)))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v, p = ray.get(ref)
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v, vals, side="left")
+        return batch.append_column(out_col, pa.array(p[idx]))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def exact_quantiles(ds: ray.data.Dataset, col: str,
                     percentiles: tuple[int, ...] = (1, 5, 25, 50, 75, 90, 99)
                     ) -> pd.DataFrame:

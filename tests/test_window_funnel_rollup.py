@@ -818,3 +818,17 @@ def test_exact_quantiles_golden():
     df2 = pd.DataFrame({"v": np.array([7] * 99 + [100], dtype=np.int64)})
     out2 = exact_quantiles(ray.data.from_pandas(df2), "v")
     assert out2["v"].tolist() == [7, 7, 7, 7, 7, 7, 7]
+
+
+def test_global_percent_rank_ties_and_single_row():
+    from cardinalhq_otel_collector_ray.stages.rangesort import (
+        global_percent_rank)
+    df = pd.DataFrame({"id": [1, 2, 3, 4], "v": [10, 20, 20, 30]})
+    out = (global_percent_rank(ray.data.from_pandas(df), "v")
+           .to_pandas().sort_values("id"))
+    # min-rank 1,2,2,4 -> (r-1)/3
+    assert out["pct"].tolist() == [0.0, 1 / 3, 1 / 3, 1.0]
+    one = global_percent_rank(
+        ray.data.from_pandas(pd.DataFrame({"id": [1], "v": [5]})),
+        "v").to_pandas()
+    assert one["pct"].tolist() == [0.0]
