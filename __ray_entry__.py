@@ -292,15 +292,22 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    """Rows-only check (LSH is approximate — no exact SQL oracle)."""
+    """LSH-accelerated EXACT near-dup pairs: MinHash+LSH candidates
+    (p_miss ≈ 5e-8 per true pair at r=4, b=32) re-verified with exact
+    char-6-shingle Jaccard — the output is deterministic and oracle-checked
+    against DuckDB's substr-explode self-join."""
     from cardinalhq_otel_collector_ray.sources import read_table
-    from cardinalhq_otel_collector_ray.stages.dedup import minhash_lsh_pairs
+    from cardinalhq_otel_collector_ray.stages.dedup import minhash_neardup_exact
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.8)
+    return minhash_neardup_exact(ds, "text", "doc_id", k_shingle=6,
+                                 threshold=0.8)
 
 
 def _q_simhash_pairs(sf_dir: str):
-    """Rows-only check (SimHash bit pattern has no SQL equivalent)."""
+    """EXACT Hamming-≤3 simhash pairs: 4×16-bit pigeonhole banding has
+    recall 1.0 for max_hamming=3 (any pair ≤3 differing bits agrees on ≥1
+    chunk), so the output equals the all-pairs answer and is oracle-checked
+    against a DuckDB FNV-1a/simhash reimplementation + bit_count join."""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.dedup import simhash_pairs
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -3069,6 +3076,56 @@ FROM inter
 JOIN sizes sa ON inter.id_a = sa.doc_id
 JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.75
+""",
+        "minhash_lsh_pairs": r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 6) AS s
+  FROM documents, unnest(range(1, greatest(length(text) - 4, 1))) AS t(i)
+  WHERE length(text) >= 6
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+""",
+        "simhash_pairs": r"""
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+), f(w, i, h) AS (
+  SELECT w, 1, CAST(14695981039346656037 AS UBIGINT) FROM vocab
+  UNION ALL
+  SELECT w, i + 1,
+    CAST(CAST(xor(h, CAST(ord(substr(w, i, 1)) AS UBIGINT)) AS HUGEINT)
+         * 1099511628211 % 18446744073709551616 AS UBIGINT)
+  FROM f WHERE i <= length(w)
+), wh AS (
+  SELECT w, h FROM f WHERE i = length(w) + 1
+), dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), db AS (
+  SELECT doc_id, bit,
+    SUM(CASE WHEN (h >> CAST(bit AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM dw JOIN wh USING (w), unnest(range(64)) AS t(bit)
+  GROUP BY doc_id, bit
+), sim AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0
+             THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+             ELSE 0 END) AS UBIGINT) AS sh
+  FROM db GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS DOUBLE) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """,
         "embedding_neardup": r"""
 WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -59,9 +59,17 @@ def map_words_to_ids(words_list: pa.Array, vocab: dict[str, int],
                                     pa.array(token_ids, type=pa.int32()))
 
 
-def char_shingles_u64(texts, k: int = 4,
-                      max_bytes: int = 4096) -> tuple[np.ndarray, np.ndarray]:
+def char_shingles_u64(texts, k: int = 4, max_bytes: int = 4096,
+                      code: str = "poly") -> tuple[np.ndarray, np.ndarray]:
     """All k-char shingles of every text as uint64 codes, batch-vectorized.
+
+    ``code="poly"`` (default) is a wrapping polynomial hash — fast, but
+    codes can (rarely) collide, so distinct-code counts are approximate.
+    ``code="pack"`` (k ≤ 8 only) packs the k raw bytes big-endian into the
+    uint64 — INJECTIVE, so set operations on codes are exactly set
+    operations on the substrings (what a SQL ``substr`` oracle computes,
+    byte-for-char on ASCII corpora). Use "pack" wherever exact Jaccard
+    parity with an oracle matters.
 
     Returns ``(doc_boundaries, shingle_codes)`` where ``doc_boundaries`` is
     the int64 start offset of each doc's shingles in ``shingle_codes``
@@ -94,11 +102,17 @@ def char_shingles_u64(texts, k: int = 4,
         return np.zeros(n + 1, dtype=np.int64), np.empty(0, dtype=np.uint64)
     buf = np.concatenate([data, np.zeros(k, dtype=np.uint8)])
     win = np.lib.stride_tricks.sliding_window_view(buf[: len(data) + k - 1], k)
-    # polynomial code of each window (uint64 wrap is fine for hashing)
     codes = np.zeros(win.shape[0], dtype=np.uint64)
-    with np.errstate(over="ignore"):
+    if code == "pack":
+        if k > 8:
+            raise ValueError("code='pack' requires k <= 8 (64-bit codes)")
         for j in range(k):
-            codes = codes * np.uint64(1099511628211) + win[:, j].astype(np.uint64)
+            codes |= win[:, j].astype(np.uint64) << np.uint64(8 * (k - 1 - j))
+    else:
+        # polynomial code of each window (uint64 wrap is fine for hashing)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                codes = codes * np.uint64(1099511628211) + win[:, j].astype(np.uint64)
     # number of valid shingles per doc: max(min(len, cap) - k + 1, 0)
     n_sh = np.maximum(capped - (k - 1), 0)
     sh_starts = np.zeros(n + 1, dtype=np.int64)

@@ -348,6 +348,242 @@ def _bucketed_pairs(index: ray.data.Dataset, key: str, *, sig_col: str,
             .groupby("_part").map_groups(partition_pairs, batch_format="pandas"))
 
 
+# ------------------------------------------------- exact candidate verification
+
+def _shingle_sets(ds: ray.data.Dataset, text_col: str, id_col: str,
+                  cand_ref, k_shingle: int, max_bytes: int) -> ray.data.Dataset:
+    """(id, codes: large_binary) — sorted UNIQUE packed k-byte shingle codes
+    per candidate doc. ``cand_ref`` is a ray.put of the sorted candidate-id
+    array; only candidate docs' sets are ever built (near-dups are rare)."""
+    import ray as _ray
+
+    def build(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(cand_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand, ids)
+        pos = np.minimum(pos, max(len(cand) - 1, 0))
+        mask = (cand[pos] == ids) if len(cand) else np.zeros(len(ids), bool)
+        if not mask.any():
+            return pa.table({"id": pa.array([], type=pa.int64()),
+                             "codes": pa.array([], type=pa.large_binary())})
+        sub = batch.filter(pa.array(mask))
+        starts, codes = char_shingles_u64(
+            sub[text_col], k=k_shingle, max_bytes=max_bytes, code="pack")
+        out_ids, blobs = [], []
+        for i, did in enumerate(sub[id_col].to_numpy(zero_copy_only=False)):
+            u = np.unique(codes[starts[i]:starts[i + 1]])
+            out_ids.append(int(did))
+            blobs.append(u.tobytes())
+        return pa.table({"id": pa.array(out_ids, type=pa.int64()),
+                         "codes": pa.array(blobs, type=pa.large_binary())})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def exact_shingle_jaccard_verify(
+        pairs: ray.data.Dataset, ds: ray.data.Dataset, text_col: str,
+        id_col: str, *, k_shingle: int = 6, threshold: float = 0.8,
+        max_driver_docs: int = 200_000,
+        max_bytes: int = 1 << 30) -> ray.data.Dataset:
+    """Re-verify candidate (id_a, id_b) pairs with EXACT char-k-shingle
+    Jaccard; emit (id_a, id_b, jaccard) for pairs ≥ threshold.
+
+    The exactness chain: ``code="pack"`` shingle codes are injective
+    (distinct codes ≡ distinct substrings), the division is exact-int /
+    exact-int in float64, and rounding happens after filtering — so the
+    output value-hashes against a DuckDB ``substr``-explode oracle
+    (byte-for-char on ASCII corpora; documented divergence otherwise).
+
+    Scale shape: candidate ids (≤ 2×|pairs|, rare by the near-dup
+    contract — same boundedness argument as ``hot_bucket_keys``) are
+    broadcast; only candidate docs' shingle sets are built. Up to
+    ``max_driver_docs`` candidates the sets are broadcast as one dict and
+    pairs verify embarrassingly parallel; above it, verification runs as a
+    distributed co-partition join (pairs meet both sides' sets via two
+    bounded-tag shuffles of candidate-only rows — never the corpus).
+    """
+    import ray as _ray
+
+    pairs = pairs.materialize()  # consumed twice: id set + verification
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False),
+            b["id_b"].to_numpy(zero_copy_only=False)])).astype(np.int64)
+        return pa.table({"id": pa.array(u)})
+
+    id_blocks = [b["id"].to_numpy(zero_copy_only=False)
+                 for b in pairs.map_batches(pair_ids, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow") if b.num_rows]
+    cand = (np.unique(np.concatenate(id_blocks)) if id_blocks
+            else np.empty(0, dtype=np.int64))
+    cand_ref = _ray.put(cand)
+
+    sets = _shingle_sets(ds, text_col, id_col, cand_ref, k_shingle, max_bytes)
+
+    if len(cand) <= max_driver_docs:
+        # broadcast path: ONE dict of candidate sets in plasma, node-local
+        # lazy ray.get inside every verify task
+        table: dict[int, np.ndarray] = {}
+        for b in sets.iter_batches(batch_format="pyarrow"):
+            ids = b["id"].to_pylist()
+            for i, blob in enumerate(b["codes"]):
+                table[ids[i]] = np.frombuffer(blob.as_py(), dtype=np.uint64)
+        set_ref = _ray.put(table)
+
+        def verify(b: pa.Table) -> pa.Table:
+            d = _ray.get(set_ref)
+            a_ids = b["id_a"].to_numpy(zero_copy_only=False)
+            b_ids = b["id_b"].to_numpy(zero_copy_only=False)
+            ja, oa, ob = [], [], []
+            for x, y in zip(a_ids, b_ids):
+                sa, sb = d.get(int(x)), d.get(int(y))
+                if sa is None or sb is None:
+                    continue
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                p = np.searchsorted(sb, sa)
+                p = np.minimum(p, max(len(sb) - 1, 0))
+                inter = int((sb[p] == sa).sum()) if len(sb) else 0
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    oa.append(int(x)); ob.append(int(y)); ja.append(round(j, 6))
+            return pa.table({"id_a": pa.array(oa, type=pa.int64()),
+                             "id_b": pa.array(ob, type=pa.int64()),
+                             "jaccard": pa.array(ja, type=pa.float64())})
+
+        return pairs.map_batches(verify, batch_format="pyarrow")
+
+    return _verify_pairs_distributed(pairs, sets, threshold)
+
+
+def _verify_pairs_distributed(pairs: ray.data.Dataset,
+                              sets: ray.data.Dataset, threshold: float,
+                              num_partitions: int = 64) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verify: candidate-only rows flow through
+    two bounded-tag co-partition shuffles (same shape as
+    ``hot_bucket_keys``) — pair rows meet side-A sets partitioned on id_a,
+    carry the blob, then meet side-B sets partitioned on id_b."""
+    P = np.int64(num_partitions)
+
+    def _tag(col):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = ((k * np.int64(2654435761)) % P).astype(np.int32)
+            return b.append_column("_part", pa.array(t))
+        return fn
+
+    def _union_schema(b: pa.Table, kind: int, id_key: str,
+                      other: str | None, carry: str | None) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "kind": pa.array(np.full(n, kind, dtype=np.int8)),
+            "id": b[id_key].cast(pa.int64()),
+            "oid": (b[other].cast(pa.int64()) if other
+                    else pa.array([None] * n, type=pa.int64())),
+            "blob": (b[carry].cast(pa.large_binary()) if carry
+                     else pa.array([None] * n, type=pa.large_binary())),
+            "blob_a": (b["blob_a"].cast(pa.large_binary())
+                       if "blob_a" in b.column_names
+                       else pa.array([None] * n, type=pa.large_binary())),
+        })
+
+    def _join(part: pa.Table, out_has_a: bool) -> pa.Table:
+        kinds = part["kind"].to_numpy(zero_copy_only=False)
+        docs = part.filter(pa.array(kinds == 0))
+        prs = part.filter(pa.array(kinds == 1))
+        d = {i: blob for i, blob in zip(docs["id"].to_pylist(),
+                                        docs["blob"].to_pylist())}
+        ids = prs["id"].to_pylist()
+        blobs = [d.get(i) for i in ids]
+        keep = pa.array([bl is not None for bl in blobs], type=pa.bool_())
+        out = pa.table({
+            "kind": pa.array(np.full(len(ids), 1, dtype=np.int8)),
+            # swap: next round partitions on the OTHER id
+            "id": prs["oid"],
+            "oid": prs["id"].cast(pa.int64()),
+            "blob": pa.array([None] * len(ids), type=pa.large_binary()),
+            "blob_a": pa.array(blobs, type=pa.large_binary()),
+        }).filter(keep)
+        return out
+
+    docs0 = sets.map_batches(
+        lambda b: _union_schema(b, 0, "id", None, "codes"),
+        batch_format="pyarrow")
+    pairs0 = pairs.map_batches(
+        lambda b: _union_schema(b, 1, "id_a", "id_b", None),
+        batch_format="pyarrow")
+    r1 = (docs0.union(pairs0)
+          .map_batches(_tag("id"), batch_format="pyarrow")
+          .groupby("_part")
+          .map_groups(lambda t: _join(t, False), batch_format="pyarrow"))
+    # round 2: r1 pair rows are keyed on id_b (swapped into "id"), carry
+    # blob_a; join against the doc sets again
+    r2 = (docs0.union(r1)
+          .map_batches(_tag("id"), batch_format="pyarrow")
+          .groupby("_part"))
+
+    def finish(part: pa.Table) -> pa.Table:
+        kinds = part["kind"].to_numpy(zero_copy_only=False)
+        docs = part.filter(pa.array(kinds == 0))
+        prs = part.filter(pa.array(kinds == 1))
+        d = {i: blob for i, blob in zip(docs["id"].to_pylist(),
+                                        docs["blob"].to_pylist())}
+        oa, ob, ja = [], [], []
+        for idb, ida, blob_a in zip(prs["id"].to_pylist(),
+                                    prs["oid"].to_pylist(),
+                                    prs["blob_a"].to_pylist()):
+            blob_b = d.get(idb)
+            if blob_b is None or blob_a is None:
+                continue
+            sa = np.frombuffer(blob_a, dtype=np.uint64)
+            sb = np.frombuffer(blob_b, dtype=np.uint64)
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            p = np.searchsorted(sb, sa)
+            p = np.minimum(p, max(len(sb) - 1, 0))
+            inter = int((sb[p] == sa).sum()) if len(sb) else 0
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                oa.append(lo); ob.append(hi); ja.append(round(j, 6))
+        return pa.table({"id_a": pa.array(oa, type=pa.int64()),
+                         "id_b": pa.array(ob, type=pa.int64()),
+                         "jaccard": pa.array(ja, type=pa.float64())})
+
+    return r2.map_groups(finish, batch_format="pyarrow")
+
+
+def minhash_neardup_exact(ds: ray.data.Dataset, text_col: str, id_col: str, *,
+                          k_shingle: int = 6, threshold: float = 0.8,
+                          num_perm: int = 128, bands: int = 32,
+                          max_bucket: int = 2000, seed: int = 7,
+                          max_bytes: int = 1 << 30) -> ray.data.Dataset:
+    """EXACT near-dup pairs (char-k-shingle Jaccard ≥ threshold),
+    LSH-accelerated: MinHash+LSH generates candidates, then every candidate
+    is re-verified with the exact set Jaccard — so the OUTPUT is
+    deterministic and SQL-oracle-checkable even though the candidate stage
+    is probabilistic.
+
+    Recall contract: a true pair at J=t is missed only if all ``bands``
+    bands disagree — p_miss = (1 - t^r)^b with r = num_perm/bands; at the
+    defaults (r=4, b=32, t=0.8) that is ≈ 5e-8 per pair, and vanishes for
+    the high-J pairs real corpora contain. The est-Jaccard prefilter runs
+    ≥7σ below threshold (σ ≈ sqrt(t(1-t)/num_perm)) so it only bounds
+    candidate volume, never rejects a true pair.
+    """
+    est_floor = max(threshold - 0.25, 0.0)
+    cand = minhash_lsh_pairs(ds, text_col, id_col, k_shingle=k_shingle,
+                             num_perm=num_perm, bands=bands,
+                             threshold=est_floor, max_bucket=max_bucket,
+                             seed=seed)
+    return exact_shingle_jaccard_verify(
+        cand, ds, text_col, id_col, k_shingle=k_shingle,
+        threshold=threshold, max_bytes=max_bytes)
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash64(ds: ray.data.Dataset, text_col: str, out: str = "simhash") -> ray.data.Dataset:

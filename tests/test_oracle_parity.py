@@ -92,7 +92,7 @@ def test_contract_surface():
     approximate/emit set; entry() exists."""
     rows_only = set(QUERIES) - set(ORACLES)
     assert set(ORACLES) <= set(QUERIES)
-    assert rows_only == {"minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
+    assert rows_only == {"knn_lsh",
                          "aggregate_emit_shape", "drain_templates",
                          "anomaly_iforest", "winnow_fingerprints",
                          "kmeans_cluster_sizes", "approx_distinct_hll",

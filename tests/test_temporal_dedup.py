@@ -332,3 +332,73 @@ def test_approx_quantiles_per_key_dataset():
         .set_index("k")["q_0_5"]
     assert 40 < out["a"] < 60
     assert 1400 < out["b"] < 1600
+
+
+def test_char_shingles_pack_injective():
+    """code="pack" must be an exact byte-pack (distinct codes ≡ distinct
+    substrings) — the property the SQL substr oracle relies on."""
+    from cardinalhq_otel_collector_ray.functions.text import char_shingles_u64
+    texts = pa.array(["abcdef ghijkl", "abcdef"])
+    starts, codes = char_shingles_u64(texts, k=6, code="pack")
+    # first shingle of both docs is "abcdef" — identical packed code
+    assert codes[starts[0]] == codes[starts[1]]
+    expect = 0
+    for ch in b"abcdef":
+        expect = (expect << 8) | ch
+    assert int(codes[starts[1]]) == expect
+    import pytest
+    with pytest.raises(ValueError):
+        char_shingles_u64(texts, k=9, code="pack")
+
+
+def test_exact_verify_distributed_matches_broadcast():
+    """exact_shingle_jaccard_verify: the >max_driver_docs co-partition-join
+    path must produce byte-identical output to the broadcast path."""
+    from cardinalhq_otel_collector_ray.stages.dedup import (
+        exact_shingle_jaccard_verify, minhash_lsh_pairs)
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(60):
+        ws = list(rng.choice(words, size=40))
+        texts.append(" ".join(ws)); ids.append(i * 2)
+        if i < 8:
+            ws2 = list(ws); ws2[3] = "MUT"
+            texts.append(" ".join(ws2)); ids.append(i * 2 + 1)
+    tbl = pa.table({"doc_id": ids, "text": texts})
+
+    def run(max_driver_docs):
+        ds = ray.data.from_arrow(tbl)
+        cand = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.3)
+        out = exact_shingle_jaccard_verify(
+            cand, ray.data.from_arrow(tbl), "text", "doc_id",
+            k_shingle=6, threshold=0.6, max_driver_docs=max_driver_docs)
+        df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return df
+
+    a, b = run(10**6), run(0)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_neardup_exact_planted():
+    """The exact pipeline finds every planted near-dup with its exact
+    shingle Jaccard, and rejects unrelated pairs."""
+    from cardinalhq_otel_collector_ray.stages.dedup import minhash_neardup_exact
+    rng = np.random.default_rng(3)
+    words = [f"v{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(40):
+        ws = list(rng.choice(words, size=50))
+        texts.append(" ".join(ws)); ids.append(i * 2)
+        if i < 6:
+            ws2 = list(ws); ws2[-1] = ws[-1]  # identical twin
+            texts.append(" ".join(ws2)); ids.append(i * 2 + 1)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = minhash_neardup_exact(ds, "text", "doc_id", threshold=0.9).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(out["id_a"], out["id_b"])}
+    planted = {(2 * i, 2 * i + 1) for i in range(6)}
+    assert planted <= found
+    # identical twins must verify at exactly 1.0
+    twin = out[(out.id_a % 2 == 0) & (out.id_b == out.id_a + 1)]
+    assert (twin["jaccard"] == 1.0).all()
