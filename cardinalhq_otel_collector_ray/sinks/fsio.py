@@ -1,0 +1,145 @@
+"""Object-store filesystem layer for sinks and manifests.
+
+The reference's sink is an object-store uploader (S3 transfermanager
+multipart with storage-class/ACL/GCS-compat endpoints,
+``exporter/awss3exporter/internal/upload/s3_writer.go:54-132``,
+``writer.go:92-155``); on a multi-node cluster there is no shared local
+filesystem, so every sink/manifest path must accept ``s3://…`` /
+``gs://…`` / ``file://…`` URIs, not just local paths.
+
+``resolve_fs`` maps a root URI to a ``pyarrow.fs.FileSystem`` + an
+FS-internal path: plain paths and ``file://`` → ``LocalFileSystem``;
+schemes pyarrow knows natively (``s3://``, ``gs://``, ``hdfs://``) → the
+native FS; anything else (e.g. ``memory://`` in tests) falls back to the
+matching fsspec filesystem wrapped in ``PyFileSystem``. Every helper
+below takes a full URI/path and resolves internally, so callers (Ray
+tasks included) never hold — or pickle — a FileSystem object; fsspec's
+own instance cache keeps per-process state (e.g. ``memory://``) shared.
+
+Atomicity contract (the reason this module exists rather than bare
+``fs.open_output_stream`` calls): on a LOCAL filesystem, readers must
+never observe partial files, so writes go to ``<path>.tmp`` + atomic
+``rename``. On object stores a PUT is already atomic — the object appears
+only when the upload completes — so ``atomic_output`` writes directly (a
+tmp+copy+delete dance would double the I/O for nothing; ``fs.move`` on
+S3-likes is copy+delete, which is why we never rely on it there).
+"""
+
+from __future__ import annotations
+
+import posixpath
+from contextlib import contextmanager
+
+import pyarrow as pa
+import pyarrow.fs as pafs
+
+
+def resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
+    """Root URI or local path → (FileSystem, FS-internal path)."""
+    if "://" not in path:
+        return pafs.LocalFileSystem(), path
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except (pa.ArrowInvalid, ValueError):
+        scheme, rest = path.split("://", 1)
+        import fsspec
+        fs = fsspec.filesystem(scheme)  # fsspec caches instances per scheme
+        return pafs.PyFileSystem(pafs.FSSpecHandler(fs)), rest
+
+
+def is_local(path: str) -> bool:
+    """True when ``path`` lands on the local (POSIX-rename) filesystem."""
+    return "://" not in path or path.startswith("file://")
+
+
+def join(*parts: str) -> str:
+    """Sink paths are always '/'-separated (object-store keys)."""
+    return posixpath.join(*parts)
+
+
+def dirname(path: str) -> str:
+    return posixpath.dirname(path)
+
+
+def makedirs(path: str) -> None:
+    fs, p = resolve_fs(path)
+    fs.create_dir(p, recursive=True)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve_fs(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def file_size(path: str) -> int:
+    fs, p = resolve_fs(path)
+    return int(fs.get_file_info(p).size or 0)
+
+
+def read_bytes(path: str) -> bytes:
+    fs, p = resolve_fs(path)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def delete(path: str) -> None:
+    fs, p = resolve_fs(path)
+    fs.delete_file(p)
+
+
+@contextmanager
+def atomic_output(path: str):
+    """Binary output stream whose result lands atomically at ``path``.
+
+    Local FS: write ``<path>.tmp`` then atomic rename (readers never see
+    a partial file; a retried deterministic partition overwrites in
+    place). Object stores: write the key directly — PUT-on-close is
+    already atomic, and the stream upload is the multipart analog of the
+    reference's transfermanager (``s3_writer.go:54-132``)."""
+    fs, p = resolve_fs(path)
+    # parent create is a no-op on real object stores (keys, not dirs) but
+    # required by dir-ful filesystems reached through fsspec
+    fs.create_dir(posixpath.dirname(p), recursive=True)
+    if is_local(path):
+        tmp = p + ".tmp"
+        with fs.open_output_stream(tmp) as f:
+            yield f
+        fs.move(tmp, p)
+    else:
+        with fs.open_output_stream(p) as f:
+            yield f
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    with atomic_output(path) as f:
+        f.write(data)
+
+
+def open_input(path: str):
+    """Random-access input file (for parquet reads back)."""
+    fs, p = resolve_fs(path)
+    return fs.open_input_file(p)
+
+
+def list_files(dir_path: str) -> list[str]:
+    """Full paths (original scheme re-attached) of files under ``dir_path``."""
+    fs, p = resolve_fs(dir_path)
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return []
+    sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+    out = []
+    prefix = dir_path[: len(dir_path) - len(p)] if dir_path.endswith(p) else ""
+    for i in fs.get_file_info(sel):
+        if i.type == pafs.FileType.File:
+            out.append(prefix + i.path)
+    return sorted(out)
+
+
+def append_line(path: str, line: str) -> None:
+    """Append one line. Local FS only: a single O_APPEND write ≤ PIPE_BUF
+    is atomic on POSIX. Object stores have no append — callers must use
+    one-object-per-record layouts there (see ``state/manifest.py``)."""
+    assert is_local(path), "append_line is local-FS only"
+    _, p = resolve_fs(path)
+    with open(p, "a") as f:
+        f.write(line)

@@ -18,14 +18,20 @@ with two deliberate determinism changes (SURVEY §7.4):
 
 Execution shape: rows get a ``_pid = mulhash(key) % num_partitions``
 column; each (sink, pid) group is written by one task as one Parquet file
-(atomic tmp+rename), emitting one ManifestEntry — the notify analog (C8).
-On resume, completed (sink, pid) partitions are filtered out BEFORE the
-shuffle, so finished work costs nothing.
+(atomic tmp+rename locally, atomic PUT on object stores — see
+``fsio.atomic_output``), emitting one ManifestEntry — the notify analog
+(C8). On resume, completed (sink, pid) partitions are filtered out BEFORE
+the shuffle, so finished work costs nothing.
+
+Roots may be local paths or ``s3://`` / ``gs://`` / ``file://`` URIs
+(``fsio.resolve_fs``) — on the target multi-node cluster there is no
+shared local FS, so the sink, manifest and compaction reads all go
+through the same filesystem layer the reference's uploader uses
+(``exporter/awss3exporter/internal/upload/writer.go:92-155``).
 """
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timezone
 
 import numpy as np
@@ -36,6 +42,7 @@ import ray.data
 
 from ..functions.hashing import bytes_hash64, mulhash
 from ..state.manifest import Manifest, ManifestEntry
+from . import fsio
 from .serializers import COMPRESSION_SUFFIX as _COMPRESSION_SUFFIX
 
 DEFAULT_PARTITION_FORMAT = "year=%Y/month=%m/day=%d/hour=%H/minute=%M"
@@ -120,7 +127,7 @@ class PartitionedSink:
             uniq = f"{pid:05d}"
         fname = f"{self.file_prefix}{self.signal}_{uniq}.{self.extension}"
         root = self.route_dests.get(sink, self.root)
-        return os.path.join(root, f"sink={sink}", self.time_dir, fname)
+        return fsio.join(root, f"sink={sink}", self.time_dir, fname)
 
     def write(self, ds: ray.data.Dataset, *, key_col: str,
               route_col: str = "route", tokens_len_col: str | None = None,
@@ -189,27 +196,24 @@ class PartitionedSink:
             sink = g[route_col].iloc[0]
             pid = int(g["_pid"].iloc[0])
             path = sink_self.object_path(sink, pid)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
             # deterministic row order within the file for byte-stable output
             # (range-partitioned writes sort by the range column instead,
             # so partition-id file order == global sort order)
             g = g.sort_values(file_sort_col or key_col,
                               kind="mergesort").drop(columns=["_pid"])
-            tmp = path + ".tmp"
             table = pa.Table.from_pandas(g, preserve_index=False)
-            if sink_self.fmt == "parquet" and sink_self.compression is None:
-                pq.write_table(table, tmp)
-            else:
-                from .serializers import serialize
-                data, _ = serialize(table, sink_self.fmt,
-                                    compression=sink_self.compression)
-                with open(tmp, "wb") as f:
+            with fsio.atomic_output(path) as f:
+                if sink_self.fmt == "parquet" and sink_self.compression is None:
+                    pq.write_table(table, f)
+                else:
+                    from .serializers import serialize
+                    data, _ = serialize(table, sink_self.fmt,
+                                        compression=sink_self.compression)
                     f.write(data)
-            os.replace(tmp, path)  # atomic: readers never see partial files
             tokens = int(g[tokens_len_col].sum()) if tokens_len_col else 0
             return pd.DataFrame({"partition_id": [f"{sink}/{pid}"], "sink": [sink],
                                  "path": [path], "rows": [len(g)],
-                                 "bytes": [os.path.getsize(path)], "tokens": [tokens]})
+                                 "bytes": [fsio.file_size(path)], "tokens": [tokens]})
 
         result = with_pid.groupby([route_col, "_pid"]).map_groups(
             write_group, batch_format="pandas")
@@ -250,8 +254,9 @@ class PartitionedSink:
         Use ``write`` (deterministic per-partition files + manifest) unless
         the co-partitioning shuffle dominates the job.
         """
-        out_dir = os.path.join(self.root, "stream", self.time_dir)
-        ds.write_parquet(out_dir, partition_cols=[route_col])
+        out_dir = fsio.join(self.root, "stream", self.time_dir)
+        fs, internal = fsio.resolve_fs(out_dir)
+        ds.write_parquet(internal, filesystem=fs, partition_cols=[route_col])
         return out_dir
 
     def _record_entries(self, result) -> list[ManifestEntry]:
@@ -303,16 +308,14 @@ def compact_sink(sink: "PartitionedSink", min_rows: int
         if len(entries) < 2:
             return None
         entries = sorted(entries, key=lambda e: e.partition_id)
-        tables = [pq.read_table(e.path) for e in entries]
+        tables = [pq.read_table(fsio.open_input(e.path)) for e in entries]
         merged = pa.concat_tables(tables, promote_options="default")
         path = sink.object_path(route, 0).replace(
             f"{sink.signal}_", f"{sink.signal}_compact_")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        pq.write_table(merged, tmp)
-        os.replace(tmp, path)
+        with fsio.atomic_output(path) as f:
+            pq.write_table(merged, f)
         return (route, entries, path, merged.num_rows,
-                os.path.getsize(path))
+                fsio.file_size(path))
 
     results = []
     for route, entries in sorted(by_sink.items()):
@@ -335,6 +338,6 @@ def compact_sink(sink: "PartitionedSink", min_rows: int
                 partition_id=e.partition_id, sink=e.sink, path=path,
                 rows=e.rows, bytes=0, tokens=e.tokens))
         for e in absorbed:
-            if os.path.exists(e.path) and e.path != path:
-                os.remove(e.path)
+            if e.path != path and fsio.exists(e.path):
+                fsio.delete(e.path)
     return new_entries

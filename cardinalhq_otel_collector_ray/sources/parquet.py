@@ -9,17 +9,18 @@ pruning.
 
 from __future__ import annotations
 
-import os
-
 import ray.data
 
+from ..sinks import fsio
 
 TARGET_BLOCK_BYTES = 16 << 20  # split reads into ~16 MiB blocks
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                filter=None, **kwargs) -> ray.data.Dataset:
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    """``sf_dir`` may be a local dir or an object-store URI (``s3://…``) —
+    size probing and the read itself go through the fsio layer."""
+    path = fsio.join(sf_dir, f"{name}.parquet")
     if "override_num_blocks" not in kwargs:
         # Ray's default parallelism heuristic (≈2× CPUs) oversplits small
         # files into dozens of near-empty blocks; every downstream stage and
@@ -28,9 +29,13 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
         # non-tiny files so downstream groupby/map_groups stages keep
         # shuffle parallelism. Large inputs: size ≫ TARGET_BLOCK_BYTES, so
         # the byte-based count dominates and matches Ray's own splitting.
-        size = os.path.getsize(path)
+        size = fsio.file_size(path)
         by_bytes = max(1, -(-size // TARGET_BLOCK_BYTES))
         kwargs["override_num_blocks"] = max(by_bytes, 8) if size >= (1 << 20) else by_bytes
+    if "://" in path and not fsio.is_local(path):
+        fs, internal = fsio.resolve_fs(path)
+        return ray.data.read_parquet(internal, filesystem=fs, columns=columns,
+                                     filter=filter, **kwargs)
     return ray.data.read_parquet(path, columns=columns, filter=filter, **kwargs)
 
 
@@ -39,4 +44,6 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     The cheap way to size hash-priority sample cutoffs without executing
     the pipeline an extra time."""
     import pyarrow.parquet as pq
-    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    path = fsio.join(sf_dir, f"{name}.parquet")
+    with fsio.open_input(path) as f:
+        return pq.ParquetFile(f).metadata.num_rows

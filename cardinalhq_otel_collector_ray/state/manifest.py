@@ -3,22 +3,32 @@
 The analog of the reference's notify-after-upload events: every successful
 upload enqueues ``{bucket, key, size}`` to a webhook
 (``exporter/awss3exporter/internal/notify/notifier.go:160-257``,
-``payload.go:57-75``). Here every partition write appends one JSON line
-``{partition_id, sink, path, rows, bytes, tokens}`` to ``manifest.jsonl``;
-on resume, partitions already present are skipped (ls-what-exists
-resumability, SURVEY §4 "Checkpoint / resume").
+``payload.go:57-75``). Here every partition write records one JSON entry
+``{partition_id, sink, path, rows, bytes, tokens}``; on resume, partitions
+already present are skipped (ls-what-exists resumability, SURVEY §4
+"Checkpoint / resume").
 
-Writes are atomic (tmp file + rename for partition data; O_APPEND line
-writes for the manifest) so a killed run never leaves a half-recorded
-partition: data is renamed into place BEFORE the manifest line lands, and a
-retried partition overwrites the same deterministic path (idempotent).
+Storage layout depends on the root filesystem (``sinks/fsio.py``):
+
+- **local / file://** — one ``manifest.jsonl``, appended with single
+  O_APPEND line writes (atomic on POSIX ≤ PIPE_BUF); last line wins.
+- **object stores** (``s3://`` …) — no atomic append exists, so each
+  entry is its own small object ``manifest/<encoded-partition-id>.json``
+  (PUT is atomic; a re-recorded partition overwrites the same key —
+  last-write-wins matches the jsonl semantics). ``completed()`` is one
+  LIST + N small GETs, proportional to finished partitions, not data.
+
+Either way, data is renamed/PUT into place BEFORE the manifest entry
+lands, and a retried partition overwrites the same deterministic path
+(idempotent) — a killed run never leaves a half-recorded partition.
 """
 
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import asdict, dataclass
+
+from ..sinks import fsio
 
 
 @dataclass(frozen=True)
@@ -31,32 +41,50 @@ class ManifestEntry:
     tokens: int = 0
 
 
+def _encode_pid(partition_id: str) -> str:
+    """Partition id → flat object key ('/' and '%' escaped, reversible)."""
+    return partition_id.replace("%", "%25").replace("/", "%2F")
+
+
 class Manifest:
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(root, exist_ok=True)
-        self.path = os.path.join(root, "manifest.jsonl")
+        self.local = fsio.is_local(root)
+        if self.local:
+            fsio.makedirs(root)
+            self.path = fsio.join(root, "manifest.jsonl")
+        else:
+            self.path = fsio.join(root, "manifest")
 
     def completed(self) -> dict[str, ManifestEntry]:
         """partition_id → entry for every finished partition (last wins)."""
         out: dict[str, ManifestEntry] = {}
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
+        if self.local:
+            if fsio.exists(self.path):
+                for line in fsio.read_bytes(self.path).decode().splitlines():
+                    if line.strip():
                         e = ManifestEntry(**json.loads(line))
                         out[e.partition_id] = e
+        else:
+            for p in fsio.list_files(self.path):
+                e = ManifestEntry(**json.loads(fsio.read_bytes(p)))
+                out[e.partition_id] = e
         return out
 
     def record(self, entry: ManifestEntry) -> None:
-        # single O_APPEND write ≤ PIPE_BUF → atomic on POSIX
-        with open(self.path, "a") as f:
-            f.write(json.dumps(asdict(entry)) + "\n")
+        if self.local:
+            fsio.append_line(self.path, json.dumps(asdict(entry)) + "\n")
+        else:
+            key = fsio.join(self.path, _encode_pid(entry.partition_id) + ".json")
+            fsio.write_bytes_atomic(key, json.dumps(asdict(entry)).encode())
 
     def reset(self) -> None:
-        if os.path.exists(self.path):
-            os.remove(self.path)
+        if self.local:
+            if fsio.exists(self.path):
+                fsio.delete(self.path)
+        else:
+            for p in fsio.list_files(self.path):
+                fsio.delete(p)
 
 
 def backoff_delays(max_attempts: int = 3, initial_s: float = 1.0,

@@ -11,7 +11,6 @@ the engine-side analog of the reference's per-component obsreport metrics
 from __future__ import annotations
 
 import json
-import os
 import re
 
 _OP_RE = re.compile(r"^Operator (\d+) (.+?): (?:(\d+) tasks executed, )?"
@@ -61,8 +60,7 @@ def stage_metrics(ds) -> list[dict]:
 
 
 def write_metrics(ds, root: str, filename: str = "metrics.json") -> str:
-    os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, filename)
-    with open(path, "w") as f:
-        json.dump(stage_metrics(ds), f, indent=1)
+    from ..sinks import fsio
+    path = fsio.join(root, filename)
+    fsio.write_bytes_atomic(path, json.dumps(stage_metrics(ds), indent=1).encode())
     return path
