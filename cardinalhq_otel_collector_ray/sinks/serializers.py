@@ -195,16 +195,68 @@ def marshal_otlp_proto(batch: pa.Table, *, body_col: str = "body",
     return bytes(_len_delim(1, resource_logs))
 
 
+def _any_value_json(v) -> dict:
+    """OTLP/JSON AnyValue mapping (proto3 JSON): int64 rides as a STRING,
+    doubles as numbers, strings/bools natively — the same encoding plog's
+    JSON marshaler emits (``marshaler.go:27-40`` / OTLP spec)."""
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    return {"stringValue": str(v)}
+
+
+def marshal_otlp_json(batch: pa.Table, *, body_col: str = "body",
+                      ts_col: str | None = None,
+                      resource_attr_cols: tuple[str, ...] = (),
+                      record_attr_cols: tuple[str, ...] = ()) -> bytes:
+    """OTLP/JSON LogsData envelope — the reference's fourth marshal format
+    (``exporter/awss3exporter/marshaler.go:27-40``; round-trip test
+    ``exporter_test.go:36-40``): ``resourceLogs → scopeLogs → logRecords``
+    with proto3-JSON field names and AnyValue encoding. Same flat-row →
+    one-ResourceLogs mapping as ``marshal_otlp_proto`` (resource attrs
+    from the first row of the pre-split batch, record attrs per row,
+    ``timeUnixNano`` as a string when ``ts_col`` is given)."""
+    if body_col not in batch.column_names:
+        raise MarshalError(f"otlp_json requires a {body_col!r} column")
+    rows = batch.to_pylist()
+    resource: dict = {}
+    if rows:
+        attrs = [{"key": c, "value": _any_value_json(rows[0][c])}
+                 for c in resource_attr_cols if rows[0].get(c) is not None]
+        if attrs:
+            resource["attributes"] = attrs
+    log_records = []
+    for row in rows:
+        rec: dict = {}
+        if ts_col is not None and row.get(ts_col) is not None:
+            rec["timeUnixNano"] = str(int(row[ts_col]))
+        body = row[body_col]
+        rec["body"] = _any_value_json("" if body is None else body)
+        rattrs = [{"key": c, "value": _any_value_json(row[c])}
+                  for c in record_attr_cols if row.get(c) is not None]
+        if rattrs:
+            rec["attributes"] = rattrs
+        log_records.append(rec)
+    doc = {"resourceLogs": [{"resource": resource,
+                             "scopeLogs": [{"scope": {},
+                                            "logRecords": log_records}]}]}
+    return json.dumps(doc, separators=(",", ":"), sort_keys=True).encode()
+
+
 MARSHALERS = {
     "parquet": marshal_parquet,
     "jsonl": marshal_jsonl,
     "body": marshal_body,
     "sumo_ic": marshal_sumo_ic,
     "otlp_proto": marshal_otlp_proto,
+    "otlp_json": marshal_otlp_json,
 }
 
 EXTENSIONS = {"parquet": "parquet", "jsonl": "jsonl", "body": "txt",
-              "sumo_ic": "jsonl", "otlp_proto": "binpb"}
+              "sumo_ic": "jsonl", "otlp_proto": "binpb", "otlp_json": "json"}
 
 
 def serialize(batch: pa.Table, fmt: str, compression: str | None = None,

@@ -274,6 +274,110 @@ def test_otlp_proto_anyvalue_types():
     assert _varint(300) == b"\xac\x02"
 
 
+def test_otlp_json_golden_roundtrip():
+    """OTLP/JSON envelope golden (reference round-trip test
+    exporter_test.go:36-40): resourceLogs/scopeLogs/logRecords with
+    proto3-JSON AnyValue encoding — int64 as string, doubles as numbers."""
+    import json as _json
+    from cardinalhq_otel_collector_ray.sinks.serializers import marshal_otlp_json
+    batch = pa.table({
+        "body": ["hello", "world"],
+        "ts_ns": [1_706_078_400_000_000_000, 1_706_078_401_000_000_000],
+        "service": ["api", "api"],
+        "level": ["info", "error"],
+        "retries": [0, 3],
+    })
+    buf = marshal_otlp_json(batch, ts_col="ts_ns",
+                            resource_attr_cols=("service",),
+                            record_attr_cols=("level", "retries"))
+    expected = {"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service", "value": {"stringValue": "api"}}]},
+        "scopeLogs": [{"scope": {}, "logRecords": [
+            {"timeUnixNano": "1706078400000000000",
+             "body": {"stringValue": "hello"},
+             "attributes": [
+                 {"key": "level", "value": {"stringValue": "info"}},
+                 {"key": "retries", "value": {"intValue": "0"}}]},
+            {"timeUnixNano": "1706078401000000000",
+             "body": {"stringValue": "world"},
+             "attributes": [
+                 {"key": "level", "value": {"stringValue": "error"}},
+                 {"key": "retries", "value": {"intValue": "3"}}]},
+        ]}]}]}
+    assert _json.loads(buf) == expected  # JSONEq, order-insensitive values
+
+
+def test_otlp_json_matches_otlp_proto_content():
+    """The two OTLP encodings of one batch carry identical records: decode
+    the binpb with the independent wire parser and compare field-by-field
+    against the JSON envelope."""
+    import json as _json
+    from cardinalhq_otel_collector_ray.sinks.serializers import (
+        marshal_otlp_json, marshal_otlp_proto)
+    batch = pa.table({"body": ["a", "b", "c"],
+                      "ts_ns": [1, 2, 3],
+                      "level": ["x", "y", "z"]})
+    doc = _json.loads(marshal_otlp_json(batch, ts_col="ts_ns",
+                                        record_attr_cols=("level",)))
+    buf = marshal_otlp_proto(batch, ts_col="ts_ns",
+                             record_attr_cols=("level",))
+    (rl,) = _field(_parse_proto(buf), 1)
+    (sl,) = _field(_parse_proto(rl), 2)
+    records = _field(_parse_proto(sl), 2)
+    jrecords = doc["resourceLogs"][0]["scopeLogs"][0]["logRecords"]
+    assert len(records) == len(jrecords) == 3
+    for wire_rec, jrec in zip(records, jrecords):
+        msgs = _parse_proto(wire_rec)
+        assert str(_field(msgs, 1)[0]) == jrec["timeUnixNano"]
+        (body_av,) = _field(msgs, 5)
+        assert _field(_parse_proto(body_av), 1)[0].decode() \
+            == jrec["body"]["stringValue"]
+        (attr,) = _field(msgs, 6)
+        kv = _parse_proto(attr)
+        assert _field(kv, 1)[0].decode() == jrec["attributes"][0]["key"]
+
+
+def test_otlp_json_anyvalue_types_and_errors():
+    import json as _json
+    from cardinalhq_otel_collector_ray.sinks.serializers import (
+        MarshalError, marshal_otlp_json)
+    batch = pa.table({"body": [None], "b": [True], "f": [1.5], "i": [7]})
+    doc = _json.loads(marshal_otlp_json(batch,
+                                        record_attr_cols=("b", "f", "i")))
+    rec = doc["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+    assert rec["body"] == {"stringValue": ""}  # None body → empty string
+    vals = {a["key"]: a["value"] for a in rec["attributes"]}
+    assert vals == {"b": {"boolValue": True}, "f": {"doubleValue": 1.5},
+                    "i": {"intValue": "7"}}
+    with pytest.raises(MarshalError, match="body"):
+        marshal_otlp_json(pa.table({"x": [1]}))
+
+
+def test_sink_otlp_json_format(sf_dir, tmp_path):
+    """C7 end-to-end: PartitionedSink(fmt='otlp_json') writes parseable
+    .json envelopes whose record counts sum to the input rows."""
+    import json as _json
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.sinks import PartitionedSink
+    import pyarrow.parquet as _pq
+    routed = routed_documents(sf_dir).map_batches(
+        lambda t: t.append_column("body", t["head_word"]),
+        batch_format="pyarrow")
+    sink = PartitionedSink(str(tmp_path / "oj"), 1706078400.0,
+                           num_partitions=2, fmt="otlp_json")
+    entries = sink.write(routed, key_col="doc_id",
+                         route_col="route", tokens_len_col="n_tok")
+    assert entries and all(e.path.endswith(".json") for e in entries)
+    total = 0
+    for e in entries:
+        doc = _json.loads(open(e.path, "rb").read())
+        recs = doc["resourceLogs"][0]["scopeLogs"][0]["logRecords"]
+        assert len(recs) == e.rows
+        total += len(recs)
+    assert total == _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
 def test_serialize_zstd_roundtrip_deterministic():
     from cardinalhq_otel_collector_ray.sinks.serializers import decompress
     batch = pa.table({"body": ["x"] * 3})
