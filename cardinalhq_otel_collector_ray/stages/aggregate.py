@@ -46,6 +46,59 @@ from ray.data.aggregate import Max, Min, Sum
 MAX_DRIVER_ROWS = 20_000_000
 
 
+def merge_partials(partials: ray.data.Dataset, group_cols: list[str],
+                   spec: list[tuple[str, str]], *, mode: str = "driver",
+                   num_partitions: int = 64):
+    """Finish a two-phase aggregate over skinny per-block partials: merge
+    by ``group_cols`` with ``spec = [(col, 'sum'|'min'|'max'), ...]``,
+    returning a pandas DataFrame with the SAME column names.
+
+    Every mergeable-partial aggregate here shares this last step; the
+    scale contract lives in one place:
+
+    - ``mode='driver'`` — coordinator concat + one C++ ``group_by``, valid
+      only while the partials stay coordinator-sized: a ``MAX_DRIVER_ROWS``
+      guard streams the partials in and falls back to the distributed
+      shuffle on overflow (monkeypatch the cap in tests to force it).
+    - ``mode='partitioned'`` — bounded-tag hash partition + one C++ merge
+      per partition: distributed, skips the Aggregate operator's fixed
+      sort-shuffle overhead (see CLAUDE.md / BASELINE.md measurements).
+    """
+    names = [c for c, _ in spec]
+    if mode == "partitioned":
+        from ..functions.hashing import table_key_hash
+
+        def add_part(b: pa.Table) -> pa.Table:
+            tag = (table_key_hash(b, group_cols)
+                   % np.uint64(num_partitions)).astype(np.int32)
+            return b.append_column("_apart", pa.array(tag))
+
+        def per_part(t: pa.Table) -> pa.Table:
+            out = t.group_by(group_cols).aggregate(spec)
+            return out.rename_columns(group_cols + names)
+
+        return (partials.map_batches(add_part, batch_format="pyarrow")
+                .groupby("_apart").map_groups(per_part, batch_format="pyarrow")
+                .to_pandas())
+    if mode != "driver":
+        raise ValueError(f"unknown merge mode {mode!r}; "
+                         "known: ['driver', 'partitioned']")
+    batches, total, overflow = [], 0, False
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        batches.append(b)
+        total += b.num_rows
+        if total > MAX_DRIVER_ROWS:
+            overflow = True
+            break
+    if overflow or not batches:
+        aggs = [{"sum": Sum, "min": Min, "max": Max}[op](c, alias_name=c)
+                for c, op in spec]
+        return partials.groupby(group_cols).aggregate(*aggs).to_pandas()
+    merged = pa.concat_tables(batches, promote_options="default")
+    out = merged.group_by(group_cols).aggregate(spec)
+    return out.rename_columns(group_cols + names).to_pandas()
+
+
 def with_interval(ts_ms: pa.Array, interval_ms: int) -> pa.Array:
     """Event-time tumbling bucket start: ``(ts_ms // interval) * interval``."""
     return pc.multiply(pc.floor(pc.divide(ts_ms.cast(pa.float64()), interval_ms)).cast(pa.int64()),
@@ -430,10 +483,13 @@ def rollup_aggregate(ds, keys: list[str], value_col: str,
     return out
 
 
-def grouped_corr(ds, keys: list[str], x_col: str, y_col: str):
+def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
+                 mode: str = "driver"):
     """Pearson correlation per key from EXACT integer partial sums
     (n, Σx, Σy, Σx², Σy², Σxy accumulated per block with one C++
-    ``group_by``, merged on the driver — bounded key cardinality).
+    ``group_by``, merged via ``merge_partials`` — driver merge is guarded
+    by ``MAX_DRIVER_ROWS`` with a distributed fallback;
+    ``mode='partitioned'`` for unbounded key cardinality).
 
     Callers pass integer-valued columns with |x|,|y| small enough that the
     per-block int64 products cannot overflow (the unbounded-scale variant
@@ -457,8 +513,11 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str):
         return part.rename_columns(keys + ["_sx", "_sy", "_sxx", "_syy",
                                            "_sxy", "_n"])
 
-    partials = ds.map_batches(precombine, batch_format="pyarrow").to_pandas()
-    g = partials.groupby(keys, as_index=False, sort=False).sum()
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    g = merge_partials(partials, keys,
+                       [("_sx", "sum"), ("_sy", "sum"), ("_sxx", "sum"),
+                        ("_syy", "sum"), ("_sxy", "sum"), ("_n", "sum")],
+                       mode=mode)
     n = g["_n"].to_numpy().astype(np.float64)
     sx = g["_sx"].to_numpy().astype(np.float64)
     sy = g["_sy"].to_numpy().astype(np.float64)
@@ -551,8 +610,10 @@ def m4_downsample(ds, keys: list[str], ts_col: str, value_col: str,
     - first/last = min/max of ``dt·2³¹ + value``  (tie → smaller/larger value)
     - min/max    = min/max of ``value·2^s + dt``  (tie → earlier/later point)
 
-    so per-block C++ partials merge associatively; one driver (bounded
-    keys × buckets) or partitioned combine finishes. Contract:
+    so per-block C++ partials merge associatively; ``merge_partials``
+    finishes (keys × buckets cardinality grows with the corpus TIME SPAN,
+    so the driver merge carries the ``MAX_DRIVER_ROWS`` overflow fallback
+    and ``mode='partitioned'`` is the long-retention path). Contract:
     ``0 ≤ value < 2^(62−s)`` and ``0 ≤ dt < bucket_ms``."""
     import pandas as _pd
     s_bits = int(np.ceil(np.log2(bucket_ms)))
@@ -574,18 +635,19 @@ def m4_downsample(ds, keys: list[str], ts_col: str, value_col: str,
         return part.rename_columns(["_b", *keys, "_pp_min", "_pp_max",
                                     "_pv_min", "_pv_max"])
 
-    partials = ds.map_batches(precombine, batch_format="pyarrow").to_pandas()
-    g = partials.groupby(["_b", *keys], as_index=False).agg(
-        pp_min=("_pp_min", "min"), pp_max=("_pp_max", "max"),
-        pv_min=("_pv_min", "min"), pv_max=("_pv_max", "max"))
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    g = merge_partials(partials, ["_b", *keys],
+                       [("_pp_min", "min"), ("_pp_max", "max"),
+                        ("_pv_min", "min"), ("_pv_max", "max")],
+                       mode=mode)
     b = g["_b"].to_numpy().astype(np.int64)
     out = {k: g[k] for k in keys}
     out["bucket_ms"] = b
-    for name, col, base in (("first", "pp_min", B31), ("last", "pp_max", B31)):
+    for name, col, base in (("first", "_pp_min", B31), ("last", "_pp_max", B31)):
         p = g[col].to_numpy().astype(np.int64)
         out[f"{name}_ms"] = b + p // base
         out[f"{name}_cents"] = p % base
-    for name, col in (("min", "pv_min"), ("max", "pv_max")):
+    for name, col in (("min", "_pv_min"), ("max", "_pv_max")):
         p = g[col].to_numpy().astype(np.int64)
         out[f"{name}_cents"] = p // BS
         out[f"{name}_ms"] = b + p % BS
@@ -598,7 +660,8 @@ def grouped_weighted_avg(ds, keys: list[str], value_col: str,
     Σ(w·v) and Σw (one C++ group_by), merged like any sum; the final
     division of two exact integers is a bit-identical double in every
     engine. Contract: w·v fits int64 per row (callers pass bounded
-    integer units, same as every money column here)."""
+    integer units, same as every money column here). Merge via
+    ``merge_partials`` (guarded driver default / partitioned)."""
     import pandas as _pd
 
     def precombine(batch: pa.Table) -> pa.Table:
@@ -609,8 +672,9 @@ def grouped_weighted_avg(ds, keys: list[str], value_col: str,
         part = t.group_by(keys).aggregate([("_wv", "sum"), ("_w", "sum")])
         return part.rename_columns(keys + ["_swv", "_sw"])
 
-    partials = ds.map_batches(precombine, batch_format="pyarrow").to_pandas()
-    g = partials.groupby(keys, as_index=False, sort=False).sum()
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    g = merge_partials(partials, keys, [("_swv", "sum"), ("_sw", "sum")],
+                       mode=mode)
     swv = g["_swv"].to_numpy().astype(np.int64)
     sw = g["_sw"].to_numpy().astype(np.int64)
     out = g[keys].copy()

@@ -8,6 +8,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -153,3 +154,51 @@ def test_driver_mode_overflow_falls_back_to_shuffle(monkeypatch):
         .sort_values("name").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         g_shuffle[sorted(g_shuffle.columns)], g_driver[sorted(g_driver.columns)])
+
+
+def test_merge_partials_three_modes_equivalent(monkeypatch):
+    """m4_downsample / grouped_weighted_avg / grouped_corr finish through
+    merge_partials: driver, forced-overflow-fallback and partitioned modes
+    must all produce identical frames (the VERDICT-r02 guard unification)."""
+    import cardinalhq_otel_collector_ray.stages.aggregate as agg_mod
+    from cardinalhq_otel_collector_ray.stages.aggregate import (
+        grouped_corr, grouped_weighted_avg, m4_downsample)
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 5, n).astype("int64")),
+        "ts": pa.array(np.arange(n, dtype="int64") * 137),
+        "v": pa.array(rng.integers(0, 1000, n).astype("int64")),
+        "w": pa.array(rng.integers(1, 9, n).astype("int64")),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    def runs(fn):
+        base = fn(ds, mode="driver")
+        monkeypatch.setattr(agg_mod, "MAX_DRIVER_ROWS", 1)
+        fallback = fn(ds, mode="driver")
+        monkeypatch.setattr(agg_mod, "MAX_DRIVER_ROWS", 20_000_000)
+        part = fn(ds, mode="partitioned")
+        return base, fallback, part
+
+    for fn in (
+        lambda d, mode: m4_downsample(d, ["k"], "ts", "v", 10_000, mode=mode),
+        lambda d, mode: grouped_weighted_avg(d, ["k"], "v", "w", mode=mode),
+        lambda d, mode: grouped_corr(d, ["k"], "v", "w", mode=mode),
+    ):
+        base, fallback, part = runs(fn)
+        key_cols = [c for c in ("k", "bucket_ms") if c in base.columns]
+        def norm(df):
+            df = df.sort_values(key_cols).reset_index(drop=True)
+            return df[sorted(df.columns)].astype(
+                {c: "int64" for c in df.columns
+                 if str(df[c].dtype).startswith(("int", "uint"))})
+        pd.testing.assert_frame_equal(norm(base), norm(fallback))
+        pd.testing.assert_frame_equal(norm(base), norm(part))
+
+
+def test_merge_partials_rejects_unknown_mode():
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_weighted_avg
+    ds = ray.data.from_arrow(pa.table({"k": [1], "v": [1], "w": [1]}))
+    with pytest.raises(ValueError, match="unknown merge mode"):
+        grouped_weighted_avg(ds, ["k"], "v", "w", mode="coordinator")
