@@ -42,7 +42,7 @@ import ray.data
 
 from ..functions.hashing import bytes_hash64, mulhash
 from ..state.manifest import Manifest, ManifestEntry
-from . import fsio
+from .. import fsio
 from .serializers import COMPRESSION_SUFFIX as _COMPRESSION_SUFFIX
 
 DEFAULT_PARTITION_FORMAT = "year=%Y/month=%m/day=%d/hour=%H/minute=%M"

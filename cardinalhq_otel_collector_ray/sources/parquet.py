@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import ray.data
 
-from ..sinks import fsio
+from .. import fsio
 
 TARGET_BLOCK_BYTES = 16 << 20  # split reads into ~16 MiB blocks
 

@@ -786,10 +786,40 @@ def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
 
 # ------------------------------------------------- word-set Jaccard (exact)
 
+def _block_part_tags(col, partitions: int) -> np.ndarray:
+    """Deterministic int32 partition tag for a block-key column (int or
+    string). Dispatch for blocked pair generation is ``hash(block) % P`` —
+    O(P) Ray tasks regardless of block cardinality (the same shape as
+    ``_bucketed_pairs``), never one ``map_groups`` call per distinct block
+    value. String keys hash via crc32 of UTF-8 over the per-batch
+    dictionary (O(distinct-per-batch) Python, O(rows) numpy gather)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return ((k.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(partitions)).astype(np.int32)
+    import zlib
+    enc = pc.dictionary_encode(col)
+    dic = [zlib.crc32(str(v).encode("utf-8")) for v in enc.dictionary.to_pylist()]
+    h = np.asarray(dic, dtype=np.uint64)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return (h[codes] % np.uint64(partitions)).astype(np.int32)
+
+
+def _block_runs(blocks: np.ndarray) -> np.ndarray:
+    """Run boundaries (len k+1) of a SORTED block-value array."""
+    if len(blocks) == 0:
+        return np.zeros(1, dtype=np.int64)
+    _, starts = np.unique(blocks, return_index=True)
+    return np.append(np.sort(starts), len(blocks))
+
+
 def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                           block_col: str, threshold: float,
                           max_block: int = 4096,
-                          ngram: int = 1) -> ray.data.Dataset:
+                          ngram: int = 1,
+                          partitions: int = 64) -> ray.data.Dataset:
     """Exact distinct word-set (``ngram=1``) or word-n-gram-set Jaccard
     pairs within blocks.
 
@@ -798,6 +828,11 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     matmul — vectorized exact Jaccard, no Python pair loop. SQL-equivalent
     (word explode + self-join within block) keeps it oracle-checkable.
     Output: id_a < id_b, jaccard (rounded to 6 dp for float parity).
+
+    Dispatch is hash-partitioned (``hash(block) % partitions`` →
+    ``groupby(_part)``): O(partitions) Ray tasks however many distinct
+    blocks exist; equal-block runs inside a partition are swept after ONE
+    sort + ONE Arrow split/dict-encode pass over the whole partition.
 
     ``max_block`` is the memory guard: a hot ``block_col`` value larger
     than it is processed as chunk×chunk sub-matmuls (each bounded at
@@ -833,8 +868,11 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
                              "jaccard": np.round(jac[ia[keep], ib[keep]], 6)})
 
-    def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE sort + ONE Arrow split/dict-encode pass for the whole
+        # partition; equal-block runs then slice the (sorted) distinct
+        # (row, gram) pair arrays via searchsorted.
+        g = g.sort_values([block_col, id_col], kind="mergesort")
         ids = g[id_col].to_numpy()
         n = len(g)
         lists = pc.split_pattern(pa.array(g[text_col], type=pa.string()), " ")
@@ -860,30 +898,45 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                 uc, codes = np.unique(comb, return_inverse=True)
                 vsize = len(uc)
         upairs = np.unique(row_of * vsize + codes)  # distinct (row, gram)
-        rows_u, codes_u = np.divmod(upairs, max(vsize, 1))
-        bounds = list(range(0, n, max_block)) + [n]
-        chunks = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            m = (rows_u >= s) & (rows_u < e)
-            chunks.append((ids[s:e], rows_u[m] - s, codes_u[m]))
-        out = [cross_pairs(*chunks[i], *chunks[j], same=(i == j))
-               for i in range(len(chunks)) for j in range(i, len(chunks))]
+        rows_u, codes_u = np.divmod(upairs, max(vsize, 1))  # rows_u sorted
+        out = []
+        run_bounds = _block_runs(g[block_col].to_numpy())
+        for s0, e0 in zip(run_bounds[:-1], run_bounds[1:]):
+            bounds = list(range(int(s0), int(e0), max_block)) + [int(e0)]
+            chunks = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                lo, hi = np.searchsorted(rows_u, [s, e])
+                chunks.append((ids[s:e], rows_u[lo:hi] - s, codes_u[lo:hi]))
+            out += [cross_pairs(*chunks[i], *chunks[j], same=(i == j))
+                    for i in range(len(chunks)) for j in range(i, len(chunks))]
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "jaccard": pd.Series([], dtype="float64")})
         return pd.concat(out, ignore_index=True)
-    return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_block_part_tags(b[block_col], partitions)))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
 
 
 # ------------------------------------------------- embedding-cosine near-dup
 
 def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
                             block_col: str, threshold: float,
-                            max_block: int = 16384) -> ray.data.Dataset:
+                            max_block: int = 16384,
+                            partitions: int = 64) -> ray.data.Dataset:
     """Cosine-similarity near-dup pairs within blocks (one matmul per
     block). float64 math so the SQL oracle (list_cosine_similarity)
     reproduces values; scores rounded to 6 dp.
+
+    Dispatch is hash-partitioned (``hash(block) % partitions``, same
+    shape as ``wordset_jaccard_pairs``): O(partitions) Ray tasks however
+    many distinct blocks exist; one stack+normalize pass per partition,
+    equal-block runs swept in numpy.
 
     ``max_block`` memory guard: an oversized block runs as chunk×chunk
     sub-matmuls (pair matrices bounded at max_block² floats) — exact, no
@@ -898,47 +951,65 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
         return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
                              "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
 
-    def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([block_col, id_col], kind="mergesort")
         ids = g[id_col].to_numpy()
         m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
         m = m / np.maximum(norms, 1e-30)[:, None]
-        chunks = [(ids[i:i + max_block], m[i:i + max_block])
-                  for i in range(0, len(g), max_block)]
-        out = [cross(ia_, ma, ib_, mb, same=(i == j))
-               for i, (ia_, ma) in enumerate(chunks)
-               for j, (ib_, mb) in enumerate(chunks) if j >= i]
+        out = []
+        run_bounds = _block_runs(g[block_col].to_numpy())
+        for s0, e0 in zip(run_bounds[:-1], run_bounds[1:]):
+            bounds = list(range(int(s0), int(e0), max_block)) + [int(e0)]
+            chunks = [(ids[s:e], m[s:e])
+                      for s, e in zip(bounds[:-1], bounds[1:])]
+            out += [cross(ia_, ma, ib_, mb, same=(i == j))
+                    for i, (ia_, ma) in enumerate(chunks)
+                    for j, (ib_, mb) in enumerate(chunks) if j >= i]
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "cosine": pd.Series([], dtype="float64")})
         return pd.concat(out, ignore_index=True)
-    return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_block_part_tags(b[block_col], partitions)))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
 
 
 # ------------------------------------------------------------ SemDeDup
 
 def semdedup(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
-             n_centroids: int = 16, threshold: float = 0.97,
+             n_centroids: int | str = "auto", threshold: float = 0.97,
              sample_size: int = 2048, seed: int = 13,
-             max_block: int = 16384) -> ray.data.Dataset:
+             max_block: int = 16384, partitions: int = 64,
+             max_driver_pairs: int = 2_000_000) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     semantic deduplication = k-means partition of the embedding space +
     within-cluster cosine near-dup detection + keep ONE representative
     (the min id of each connected dup group).
 
-    Composition of existing scale-correct pieces:
+    Scale contract (each stage bounded independently of corpus size):
 
     1. ``kmeans_assign`` — centroids trained once on a bounded driver
        sample, broadcast; assignment is a matmul-argmax per batch.
-    2. ``embedding_neardup_pairs`` with ``block_col="cell"`` — the corpus
-       shuffles ONCE (groupby cell); per-cell blocked matmul with the
-       ``max_block`` chunk guard.
-    3. ``cluster_pairs`` union-find — pairs are the rare case
-       (coordinator-sized, the documented contract); the removed-id set
-       (smaller still) broadcasts for the final flag pass, so the corpus
-       itself never materializes.
+       ``n_centroids="auto"`` scales k ~ √n (clamped to [16, 65536], the
+       paper's regime — ~10⁵ clusters at corpus scale) so per-cell
+       all-pairs work stays ~O(n) total instead of O(n²/k) blow-up; the
+       one ``ds.count()`` is metadata-only on file-backed datasets. The
+       training sample grows to ≥4k rows so Lloyd's has enough support.
+    2. ``embedding_neardup_pairs`` with ``block_col="cell"`` — dispatch is
+       hash-partitioned (O(partitions) Ray tasks, never per-cell), blocked
+       matmul with the ``max_block`` chunk guard.
+    3. Pair clustering — pairs materialize once (they are the rare case);
+       at ≤ ``max_driver_pairs`` the driver union-find runs, above it the
+       distributed min-label propagation (``cluster_pairs_distributed``)
+       takes over and the removed-id flag becomes ONE co-partitioned
+       mark join over the skinny (id, cell) stream instead of a driver
+       broadcast — the corpus itself never reaches one process.
 
     Output: (id, cell:int32, keep:bool) — ``keep`` is False for every
     member of a dup group except its min-id representative.
@@ -947,22 +1018,77 @@ def semdedup(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
 
     from .similarity import kmeans_assign
 
+    if n_centroids == "auto":
+        import math
+        n_centroids = max(16, min(65536, math.isqrt(max(int(ds.count()), 1))))
+    sample_size = max(sample_size, 4 * int(n_centroids))
+
     assigned = kmeans_assign(ds, vec_col, id_col, n_centroids=n_centroids,
                              sample_size=sample_size, seed=seed,
                              keep_vec=True)
     pairs = embedding_neardup_pairs(assigned, vec_col, "id",
                                     block_col="cell", threshold=threshold,
-                                    max_block=max_block)
-    comps = cluster_pairs(pairs)
-    removed = comps.loc[comps["id"] != comps["cluster"], "id"].to_numpy()
-    rref = _ray.put(np.sort(np.asarray(removed, dtype=np.int64)))
+                                    max_block=max_block,
+                                    partitions=partitions).materialize()
 
-    def flag(batch: pa.Table) -> pa.Table:
-        rem = _ray.get(rref)
-        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = assigned.map_batches(
+        lambda b: pa.table({"id": b["id"], "cell": b["cell"]}),
+        batch_format="pyarrow")
+
+    if pairs.count() <= max_driver_pairs:
+        comps = cluster_pairs(pairs)
+        removed = comps.loc[comps["id"] != comps["cluster"], "id"].to_numpy()
+        rref = _ray.put(np.sort(np.asarray(removed, dtype=np.int64)))
+
+        def flag(batch: pa.Table) -> pa.Table:
+            rem = _ray.get(rref)
+            ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(rem, ids)
+            pos = np.minimum(pos, max(len(rem) - 1, 0))
+            hit = (rem[pos] == ids) if len(rem) else np.zeros(len(ids), bool)
+            return pa.table({"id": batch["id"], "cell": batch["cell"],
+                             "keep": pa.array(~hit)})
+        return base.map_batches(flag, batch_format="pyarrow")
+
+    comps_ds = cluster_pairs_distributed(pairs)
+    removed_ds = comps_ds.map_batches(
+        lambda b: pa.table({"id": b["id"].filter(
+            pc.invert(pc.equal(b["id"], b["cluster"])))}),
+        batch_format="pyarrow")
+    return _mark_removed(base, removed_ds, partitions=partitions)
+
+
+def _mark_removed(base: ray.data.Dataset, removed: ray.data.Dataset,
+                  partitions: int = 64) -> ray.data.Dataset:
+    """(id, cell) × removed-id set → (id, cell, keep) via ONE co-partition
+    mark join (hash(id) % P both sides, per-bucket sorted membership
+    probe) — the 100 TB flag path when the removed set outgrows a
+    broadcast."""
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            part = ((k.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(partitions)).astype(np.int32)
+            cell = (b["cell"] if side == 0
+                    else pa.nulls(b.num_rows, pa.int32()))
+            return pa.table({"id": b["id"], "cell": cell,
+                             "_side": pa.array(np.full(b.num_rows, side,
+                                                       dtype=np.int8)),
+                             "_part": pa.array(part)})
+        return fn
+
+    def mark(g: pa.Table) -> pa.Table:
+        sides = g["_side"].to_numpy(zero_copy_only=False)
+        rows = g.filter(pa.array(sides == 0))
+        rem = np.unique(g.filter(pa.array(sides == 1))["id"]
+                        .to_numpy(zero_copy_only=False))
+        ids = rows["id"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(rem, ids)
         pos = np.minimum(pos, max(len(rem) - 1, 0))
         hit = (rem[pos] == ids) if len(rem) else np.zeros(len(ids), bool)
-        return pa.table({"id": batch["id"], "cell": batch["cell"],
+        return pa.table({"id": rows["id"], "cell": rows["cell"],
                          "keep": pa.array(~hit)})
-    return assigned.map_batches(flag, batch_format="pyarrow")
+
+    both = (base.map_batches(tag(0), batch_format="pyarrow")
+            .union(removed.map_batches(tag(1), batch_format="pyarrow")))
+    return both.groupby("_part").map_groups(mark, batch_format="pyarrow")

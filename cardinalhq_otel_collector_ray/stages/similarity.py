@@ -117,18 +117,31 @@ def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
-            seed: int = 13) -> np.ndarray:
-    """Tiny deterministic Lloyd's k-means on a driver-side sample (the
-    coarse quantizer an IVF index trains once and broadcasts)."""
+            seed: int = 13, chunk: int = 4096) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (the coarse
+    quantizer an IVF index trains once and broadcasts).
+
+    Memory-bounded for large k (SemDeDup auto-scales k ~ √n): distances
+    via the dot-product expansion in row chunks — scratch is O(chunk × k),
+    never the O(n × k × d) broadcast tensor — and cluster means via one
+    ``np.add.at``/``bincount`` pass instead of a Python loop over k."""
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    n, d = sample.shape
+    sq = (sample * sample).sum(axis=1)
+    assign = np.zeros(n, dtype=np.int64)
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                centroids[j] = sample[m].mean(axis=0)
+        csq = (centroids * centroids).sum(axis=1)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            dist = (sq[s:e, None]
+                    - 2.0 * (sample[s:e] @ centroids.T) + csq[None, :])
+            assign[s:e] = dist.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, sample)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centroids
 
 

@@ -8,7 +8,7 @@ upload enqueues ``{bucket, key, size}`` to a webhook
 already present are skipped (ls-what-exists resumability, SURVEY §4
 "Checkpoint / resume").
 
-Storage layout depends on the root filesystem (``sinks/fsio.py``):
+Storage layout depends on the root filesystem (``fsio.py``):
 
 - **local / file://** — one ``manifest.jsonl``, appended with single
   O_APPEND line writes (atomic on POSIX ≤ PIPE_BUF); last line wins.
@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 from dataclasses import asdict, dataclass
 
-from ..sinks import fsio
+from .. import fsio
 
 
 @dataclass(frozen=True)

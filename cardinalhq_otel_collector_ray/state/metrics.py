@@ -60,7 +60,7 @@ def stage_metrics(ds) -> list[dict]:
 
 
 def write_metrics(ds, root: str, filename: str = "metrics.json") -> str:
-    from ..sinks import fsio
+    from .. import fsio
     path = fsio.join(root, filename)
     fsio.write_bytes_atomic(path, json.dumps(stage_metrics(ds), indent=1).encode())
     return path

@@ -1,4 +1,4 @@
-"""Object-store filesystem layer (sinks/fsio.py) + URI-rooted sinks.
+"""Object-store filesystem layer (fsio.py) + URI-rooted sinks.
 
 The reference's sink is an S3 uploader (``exporter/awss3exporter/internal/
 upload/s3_writer.go:54-132``); these tests prove the whole
@@ -20,7 +20,7 @@ import json
 import pyarrow.parquet as pq
 import pytest
 
-from cardinalhq_otel_collector_ray.sinks import fsio
+from cardinalhq_otel_collector_ray import fsio
 
 RUN_TS = 1706078400.0
 

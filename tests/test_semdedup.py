@@ -69,3 +69,42 @@ def test_semdedup_cell_conservation_matches_flags():
     # per-cell totals conserve
     g = out.groupby("cell")["keep"].agg(["count", "sum"])
     assert (g["count"] >= g["sum"]).all()
+
+
+def test_semdedup_scaled_centroids_and_auto():
+    """VERDICT r02 item 6: planted dups survive the paper-regime settings —
+    n_centroids=64 (pair-stage hash partitions > cells) and the "auto"
+    √n default — because exact duplicates land in the same k-means cell
+    by construction (identical vectors ⇒ identical argmax)."""
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(400, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = np.concatenate([base, base[:50]])  # ids 400..449 dup ids 0..49
+    ids = np.concatenate([np.arange(400), np.arange(400, 450)])
+    ds = _mk_ds(vecs, ids)
+    for nc in (64, "auto"):
+        out = semdedup(ds, "embedding", "vec_id", n_centroids=nc,
+                       threshold=0.999).to_pandas().set_index("id")
+        assert len(out) == 450
+        assert not out.loc[400:449, "keep"].any()
+        assert out.loc[:399, "keep"].all()
+        if nc == 64:
+            assert out["cell"].nunique() <= 64
+
+
+def test_semdedup_distributed_flag_path_matches_broadcast():
+    """Forcing max_driver_pairs=0 routes clustering through
+    cluster_pairs_distributed + the co-partitioned mark join; the
+    (id, cell, keep) output must equal the broadcast path's."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(80, 6))
+    vecs[40:] = vecs[:40]
+    ds = _mk_ds(vecs, np.arange(80))
+    kw = dict(n_centroids=8, threshold=0.999, sample_size=80)
+    broad = semdedup(ds, "embedding", "vec_id", **kw).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    dist = semdedup(ds, "embedding", "vec_id", max_driver_pairs=0, **kw) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(broad, dist)
+    assert int(broad["keep"].sum()) == 40

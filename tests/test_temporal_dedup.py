@@ -402,3 +402,56 @@ def test_minhash_neardup_exact_planted():
     # identical twins must verify at exactly 1.0
     twin = out[(out.id_a % 2 == 0) & (out.id_b == out.id_a + 1)]
     assert (twin["jaccard"] == 1.0).all()
+
+
+def test_blocked_pairs_invariant_at_high_block_cardinality():
+    """Partition-dispatch invariance (VERDICT r02 item 5): with ≥1000
+    distinct block values the pair set must (a) be identical for any
+    ``partitions`` setting — including 1, the single-group path the old
+    per-block dispatch reduces to — and (b) never cross a block boundary,
+    even though many blocks now share one hash partition."""
+    from cardinalhq_otel_collector_ray.stages.dedup import (
+        embedding_neardup_pairs)
+    n_blocks = 1200
+    # wordset: every block holds one base doc + one near-dup (shared word
+    # set), plus the SAME text reused in a different block (must not pair
+    # across blocks).
+    texts, ids, blocks = [], [], []
+    for b in range(n_blocks):
+        w = [f"w{b}_{i}" for i in range(6)]
+        texts += [" ".join(w), " ".join(w[:5]) + f" x{b}"]
+        ids += [2 * b, 2 * b + 1]
+        blocks += [f"blk{b}", f"blk{b}"]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": ids, "lang": blocks, "text": texts}))
+    outs = {}
+    for p in (1, 7, 64):
+        outs[p] = wordset_jaccard_pairs(
+            ds, "text", "doc_id", "lang", threshold=0.5, partitions=p) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[1], outs[7])
+    pd.testing.assert_frame_equal(outs[1], outs[64])
+    got = outs[64]
+    assert len(got) == n_blocks  # exactly one pair per block
+    assert (got["id_b"] - got["id_a"] == 1).all()  # never cross-block
+    assert np.allclose(got["jaccard"], 5 / 7)
+
+    # embedding: int block col, one planted near-dup per block
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(n_blocks, 8))
+    vecs = np.repeat(base, 2, axis=0)
+    vecs[1::2] += 0.01 * rng.normal(size=(n_blocks, 8))
+    eds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(2 * n_blocks)),
+        "cell": np.repeat(np.arange(n_blocks, dtype=np.int64), 2),
+        "embedding": [list(map(float, v)) for v in vecs]}))
+    eouts = {}
+    for p in (1, 64):
+        eouts[p] = embedding_neardup_pairs(
+            eds, "embedding", "vec_id", "cell", threshold=0.99,
+            partitions=p).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(eouts[1], eouts[64])
+    got = eouts[64]
+    assert len(got) == n_blocks
+    assert (got["id_b"] - got["id_a"] == 1).all()
