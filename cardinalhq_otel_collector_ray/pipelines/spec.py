@@ -414,15 +414,34 @@ def compile_pipeline(spec: dict[str, Any], sf_dir: str) -> ray.data.Dataset:
     return ds
 
 
-def load_spec(path: str) -> dict:
-    """Load a pipeline spec from YAML or JSON (collector-YAML analog)."""
+def load_spec(path: str, resolve: bool = True) -> dict:
+    """Load a pipeline spec from YAML or JSON (collector-YAML analog).
+
+    With ``resolve=True`` (default) the spec goes through the config
+    provider chain (``providers.resolve_config`` — ``${env:…}``,
+    ``${file:…}``, ``${yaml:…}``, registered schemes; the confmap contract
+    of ``distribution/main.go:35-45``), and a top-level ``include: <path>``
+    key deep-merges that base spec file underneath this one (the file
+    provider's composition pattern) — includes resolve first, recursively,
+    relative to the including file's directory."""
     import json
+    import os.path
+
     with open(path) as f:
         text = f.read()
     if path.endswith((".yaml", ".yml")):
         import yaml
-        return yaml.safe_load(text)
-    return json.loads(text)
+        spec = yaml.safe_load(text)
+    else:
+        spec = json.loads(text)
+    if not resolve:
+        return spec
+    from .providers import deep_merge, resolve_config
+    inc = spec.pop("include", None)
+    if inc is not None:
+        base = load_spec(os.path.join(os.path.dirname(path) or ".", inc))
+        spec = deep_merge(base, spec)
+    return resolve_config(spec)
 
 
 def compile_topology(spec: dict[str, Any], sf_dir: str) -> dict[str, ray.data.Dataset]:
