@@ -335,6 +335,51 @@ def _q_multimodal(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_sink_write_files(sf_dir: str):
+    """C5 S3-partitioned sink, driver-checked END-TO-END: the flagship
+    routed stream is physically written through ``PartitionedSink``
+    (deterministic run_ts, 16 hash partitions, lineage manifest — the
+    partition/key scheme of ``exporter/awss3exporter/internal/upload/
+    partition.go:81-133``) into a scratch root, and the returned lineage
+    entries (one row per written file: sink, pid, rows, tokens) are the
+    query result. The oracle recomputes the sink's partition function in
+    SQL — ``(doc_id*2654435761+12345) % 16`` — so file-level row/token
+    lineage is value-checked against DuckDB."""
+    import shutil
+    import tempfile
+
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.sinks.partitioned import PartitionedSink
+    root = tempfile.mkdtemp(prefix="graft_sinkq_")
+    try:
+        sink = PartitionedSink(root, 1706078400.0, num_partitions=16)
+
+        def pid_fn(batch: pa.Table) -> np.ndarray:
+            # the sink's partition-override hook (UniqueKeyFunc-style):
+            # doc_id is a string in the routed stream, so the default
+            # key hash would be the (non-SQL) FNV path — cast to int64
+            # and use the oracle-safe mulhash instead
+            from cardinalhq_otel_collector_ray.functions.hashing import \
+                mulhash
+            ids = batch["doc_id"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return mulhash(ids, mod=16)
+
+        entries = sink.write(routed_documents(sf_dir), key_col="doc_id",
+                             route_col="route", tokens_len_col="n_tok",
+                             resume=False, pid_fn=pid_fn)
+        return pd.DataFrame({
+            "sink": [e.sink for e in entries],
+            "pid": np.array([int(e.partition_id.rsplit("/", 1)[1])
+                             for e in entries], dtype=np.int64),
+            "n_rows": np.array([e.rows for e in entries], dtype=np.int64),
+            "sum_tokens": np.array([e.tokens for e in entries],
+                                   dtype=np.int64),
+        }).sort_values(["sink", "pid"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     """q1-style two-phase grouped aggregate over the biggest table (exact
     BIGINT-cents sums so value-hash parity is exact)."""
@@ -2284,8 +2329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_by_type": _q_count_by_type,
         "sample_events": _q_sample,
         "multimodal_decode": _q_multimodal,
-        "knn_bruteforce": _q_knn,
+        "sink_write_files": _q_sink_write_files,
         # ---------------- end of the driver's 50-query sampling window
+        "knn_bruteforce": _q_knn,
         "m4_downsample": _q_m4_downsample,
         "hourly_active_users": _q_hourly_active_users,
         "period_over_period": _q_period_over_period,
@@ -2413,6 +2459,13 @@ FROM routed GROUP BY route
         "route_agg_by_source": _SQL_ROUTED + r"""
 SELECT route, source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route, source
+""",
+        "sink_write_files": _SQL_ROUTED + r"""
+SELECT route AS sink,
+       (doc_id * 2654435761 + 12345) % 16 AS pid,
+       count(*) AS n_rows,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM routed GROUP BY 1, 2
 """,
         "interval_agg_events": _SQL_EVENTS + r"""
 SELECT event_type, (ts_ms // 60000) * 60000 AS interval_ms,
