@@ -1082,11 +1082,13 @@ def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing (MOSS) fingerprint sets per document: per-doc distinct
     fingerprint counts. Shuffle-free — each doc's fingerprints are emitted
     complete within its block, so the count is a per-block C++ group_by.
-    Rows-only: the rolling-hash window-min is not SQL-expressible."""
+    Oracle-checked: with the injective byte-pack shingle code a
+    fingerprint IS its winning 5-byte substring, so DuckDB recomputes the
+    window minimum exactly (ascii-pack + min() OVER ... ROWS window)."""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.textstats import winnow_fingerprints
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    fps = winnow_fingerprints(ds, "text", "doc_id", k=5, w=8)
+    fps = winnow_fingerprints(ds, "text", "doc_id", k=5, w=8, code="pack")
 
     def cnt(batch: pa.Table) -> pa.Table:
         out = batch.group_by("id").aggregate([("fp", "count")])
@@ -2382,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_per_source": _q_distinct_tokens,
         "quantiles_per_type": _q_quantiles_per_type,
         "token_frequencies": _q_token_frequencies,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # -- rows-only by design (no SQL oracle; guarantee tests instead)
         "compression_ratio": _q_compression_ratio,
         "approx_heavy_hitters": _q_approx_heavy_hitters,
@@ -2389,7 +2392,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_hll": _q_approx_distinct_hll,
         "approx_quantiles_kll": _q_approx_quantiles_kll,
         "anomaly_iforest": _q_anomaly_iforest,
-        "winnow_fingerprints": _q_winnow_fingerprints,
         "semdedup": _q_semdedup,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -3163,6 +3165,30 @@ FROM inter
 JOIN sizes sa ON inter.id_a = sa.doc_id
 JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+""",
+        "winnow_fingerprints": r"""
+WITH docs AS (
+  SELECT doc_id, substr(text, 1, 4096) AS t FROM documents
+), coded AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, length(t) - 4 AS m,
+         ascii(substr(t, CAST(i AS INTEGER), 1)) * 4294967296
+       + ascii(substr(t, CAST(i + 1 AS INTEGER), 1)) * 16777216
+       + ascii(substr(t, CAST(i + 2 AS INTEGER), 1)) * 65536
+       + ascii(substr(t, CAST(i + 3 AS INTEGER), 1)) * 256
+       + ascii(substr(t, CAST(i + 4 AS INTEGER), 1)) AS code
+  FROM docs, unnest(range(1, greatest(length(t) - 3, 1))) AS g(i)
+  WHERE length(t) >= 5
+), wins AS (
+  SELECT doc_id, i, m,
+         min(code) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+  FROM coded
+), fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE m >= 8 AND i <= m - 7
+  UNION
+  SELECT doc_id, min(code) AS fp FROM coded WHERE m < 8 GROUP BY doc_id
+)
+SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
 """,
         "simhash_pairs": r"""
 WITH RECURSIVE vocab AS (

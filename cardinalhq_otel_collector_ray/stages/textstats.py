@@ -163,7 +163,7 @@ def sql_prefix_fingerprint(ds: ray.data.Dataset, tokens_col: str = "tokens",
 
 def winnow_fingerprints(ds: ray.data.Dataset, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        w: int = 8) -> ray.data.Dataset:
+                        w: int = 8, code: str = "poly") -> ray.data.Dataset:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm; public).
 
@@ -175,10 +175,16 @@ def winnow_fingerprints(ds: ray.data.Dataset, text_col: str = "text",
     sentinel padding; windows crossing doc boundaries masked) — no per-row
     Python. Output rows: (id, fp:int64) — the exploded fingerprint sets,
     ready for an inverted-index / LSH-style pair stage.
+
+    ``code="pack"`` (k ≤ 8) uses the INJECTIVE byte-pack shingle code, so
+    each fingerprint IS its winning k-byte substring — the window minimum
+    becomes lexicographic min over substrings, which a SQL oracle can
+    recompute exactly (window ``min() OVER ... ROWS`` + ``ascii`` pack).
+    Default ``"poly"`` keeps the cheaper rolling-hash codes.
     """
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
-        d, f = winnow_kernel(batch[text_col], k=k, w=w)
+        d, f = winnow_kernel(batch[text_col], k=k, w=w, code=code)
         if len(d) == 0:
             return pa.table({"id": ids.slice(0, 0),
                              "fp": pa.array([], type=pa.int64())})
@@ -187,7 +193,7 @@ def winnow_fingerprints(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def winnow_kernel(texts, k: int = 5, w: int = 8):
+def winnow_kernel(texts, k: int = 5, w: int = 8, code: str = "poly"):
     """Pure winnowing kernel over an Arrow string array (or list of str):
     returns (doc_index:int64[], fp:int64[]) — the deduped fingerprint sets
     in one vectorized pass. Separated from the Dataset stage so property
@@ -195,7 +201,7 @@ def winnow_kernel(texts, k: int = 5, w: int = 8):
     from ..functions.text import char_shingles_u64
 
     sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
-    starts, codes = char_shingles_u64(texts, k=k)
+    starts, codes = char_shingles_u64(texts, k=k, code=code)
     L = len(codes)
     if L == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)

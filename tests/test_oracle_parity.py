@@ -94,7 +94,7 @@ def test_contract_surface():
     assert set(ORACLES) <= set(QUERIES)
     assert rows_only == {"knn_lsh",
                          "aggregate_emit_shape", "drain_templates",
-                         "anomaly_iforest", "winnow_fingerprints",
+                         "anomaly_iforest",
                          "kmeans_cluster_sizes", "approx_distinct_hll",
                          "approx_quantiles_kll",
                          "compression_ratio",
