@@ -140,3 +140,14 @@ def combine_hash64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     """Order-dependent combine of two uint64 hash arrays (uint64 wrap)."""
     with np.errstate(over="ignore"):
         return h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + h2.astype(np.uint64)
+
+
+def part_tags(ids: np.ndarray, partitions: int) -> np.ndarray:
+    """int32 partition tag for an int64 id/key array: ``(id * Knuth) % P``
+    in uint64 (wrap-safe, sign-safe). The ONE partition-hash discipline for
+    every bounded-tag co-partition stage (pair dispatch, mark joins,
+    distributed verify) — internal tags only, never an oracle-checked
+    value."""
+    k = np.asarray(ids, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        return ((k * np.uint64(MUL)) % np.uint64(partitions)).astype(np.int32)

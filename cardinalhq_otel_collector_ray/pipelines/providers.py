@@ -67,8 +67,13 @@ def _parse_scalar(text: str) -> Any:
 def _resolve_ref(body: str) -> Any:
     """Resolve one ``${body}`` reference (no nesting inside)."""
     scheme, sep, selector = body.partition(":")
-    if not sep or not re.fullmatch(r"[A-Za-z][A-Za-z0-9+.-]*", scheme):
-        scheme, selector = "env", body  # bare ${NAME} → default env scheme
+    known = scheme in ("env", "file", "yaml") or scheme in _PROVIDERS
+    if (not sep or not re.fullmatch(r"[A-Za-z][A-Za-z0-9+.-]*", scheme)
+            # bare-with-default ${NAME:-fallback}: the part before ':' is a
+            # plain env var name, not a provider scheme
+            or (not known and selector.startswith("-")
+                and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", scheme))):
+        scheme, selector = "env", body  # default env scheme
     if scheme == "env":
         name, dsep, default = selector.partition(":-")
         val = os.environ.get(name)

@@ -424,24 +424,39 @@ def load_spec(path: str, resolve: bool = True) -> dict:
     key deep-merges that base spec file underneath this one (the file
     provider's composition pattern) — includes resolve first, recursively,
     relative to the including file's directory."""
-    import json
-    import os.path
+    spec = _load_raw(path, set()) if resolve else _parse_spec_file(path)
+    if not resolve:
+        return spec
+    from .providers import resolve_config
+    return resolve_config(spec)  # resolve ONCE, after all includes merged
 
+
+def _parse_spec_file(path: str) -> dict:
+    import json
     with open(path) as f:
         text = f.read()
     if path.endswith((".yaml", ".yml")):
         import yaml
-        spec = yaml.safe_load(text)
-    else:
-        spec = json.loads(text)
-    if not resolve:
-        return spec
-    from .providers import deep_merge, resolve_config
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def _load_raw(path: str, seen: set) -> dict:
+    """Parse + merge the include chain WITHOUT resolving references —
+    resolution must run exactly once on the merged tree, or escaped
+    ``$${…}`` literals in a base spec get double-expanded."""
+    import os.path
+    real = os.path.realpath(path)
+    if real in seen:
+        raise ValueError(f"circular spec include: {path}")
+    spec = _parse_spec_file(path)
     inc = spec.pop("include", None)
     if inc is not None:
-        base = load_spec(os.path.join(os.path.dirname(path) or ".", inc))
+        from .providers import deep_merge
+        base = _load_raw(os.path.join(os.path.dirname(path) or ".", inc),
+                         seen | {real})
         spec = deep_merge(base, spec)
-    return resolve_config(spec)
+    return spec
 
 
 def compile_topology(spec: dict[str, Any], sf_dir: str) -> dict[str, ray.data.Dataset]:

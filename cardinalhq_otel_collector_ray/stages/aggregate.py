@@ -46,6 +46,74 @@ from ray.data.aggregate import Max, Min, Sum
 MAX_DRIVER_ROWS = 20_000_000
 
 
+def driver_merge_stream(partials: ray.data.Dataset, group_cols: list[str],
+                        spec: list[tuple[str, str]], *,
+                        num_partitions: int = 64):
+    """Coordinator merge of skinny pre-combined partials WITHOUT the
+    re-execution hazard.
+
+    The stream is compacted with a C++ ``group_by`` every
+    ``~MAX_DRIVER_ROWS/4`` pulled rows, so driver memory is O(distinct
+    groups) — never O(partial rows). If the compacted cardinality itself
+    exceeds ``MAX_DRIVER_ROWS`` the already-pulled compacted chunks are
+    ``ray.put`` back to the object store and ONE partitioned C++ merge
+    finishes distributed — the lazy upstream pipeline never executes twice
+    (CLAUDE.md: ``iter_batches`` runs the plan; the old overflow fallback
+    re-ran the whole precombine chain).
+
+    ``spec`` ops must be mergeable (sum/min/max). Returns a ``pa.Table``
+    when everything fit on the driver, a (lazy) ``ray.data.Dataset`` with
+    the same columns when it spilled, or ``None`` for an empty stream —
+    in all cases columns keep the PARTIALS' names (group_cols + spec
+    cols); callers rename.
+    """
+    import ray as _ray
+    import ray.data as rd
+
+    cols = [c for c, _ in spec]
+
+    def compact(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables, promote_options="default")
+        out = t.group_by(group_cols).aggregate(spec)
+        return out.rename_columns(group_cols + cols)
+
+    limit = max(MAX_DRIVER_ROWS // 4, 1)
+    buf, rows, refs = [], 0, []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        buf.append(b.select(group_cols + cols))
+        rows += b.num_rows
+        if rows > limit:
+            acc = compact(buf)
+            if acc.num_rows > MAX_DRIVER_ROWS:
+                refs.append(_ray.put(acc))
+                buf, rows = [], 0
+            else:
+                buf, rows = [acc], acc.num_rows
+    if refs:
+        if buf:
+            refs.append(_ray.put(compact(buf)))
+        from ..functions.hashing import table_key_hash
+
+        def add_part(b: pa.Table) -> pa.Table:
+            tag = (table_key_hash(b, group_cols)
+                   % np.uint64(num_partitions)).astype(np.int32)
+            return b.append_column("_apart", pa.array(tag))
+
+        def per_part(t: pa.Table) -> pa.Table:
+            out = t.drop_columns(["_apart"]).group_by(group_cols).aggregate(spec)
+            return out.rename_columns(group_cols + cols)
+
+        return (rd.from_arrow_refs(refs)
+                .map_batches(add_part, batch_format="pyarrow")
+                .groupby("_apart").map_groups(per_part,
+                                              batch_format="pyarrow"))
+    if not buf:
+        return None
+    return compact(buf)
+
+
 def merge_partials(partials: ray.data.Dataset, group_cols: list[str],
                    spec: list[tuple[str, str]], *, mode: str = "driver",
                    num_partitions: int = 64):
@@ -56,10 +124,11 @@ def merge_partials(partials: ray.data.Dataset, group_cols: list[str],
     Every mergeable-partial aggregate here shares this last step; the
     scale contract lives in one place:
 
-    - ``mode='driver'`` — coordinator concat + one C++ ``group_by``, valid
-      only while the partials stay coordinator-sized: a ``MAX_DRIVER_ROWS``
-      guard streams the partials in and falls back to the distributed
-      shuffle on overflow (monkeypatch the cap in tests to force it).
+    - ``mode='driver'`` — the ``driver_merge_stream`` compact-as-you-pull
+      merge: driver memory is O(distinct groups), and a ``MAX_DRIVER_ROWS``
+      cardinality overflow spills the compacted chunks back to the object
+      store for a distributed finish without re-executing the upstream
+      (monkeypatch the cap in tests to force the spill path).
     - ``mode='partitioned'`` — bounded-tag hash partition + one C++ merge
       per partition: distributed, skips the Aggregate operator's fixed
       sort-shuffle overhead (see CLAUDE.md / BASELINE.md measurements).
@@ -83,20 +152,15 @@ def merge_partials(partials: ray.data.Dataset, group_cols: list[str],
     if mode != "driver":
         raise ValueError(f"unknown merge mode {mode!r}; "
                          "known: ['driver', 'partitioned']")
-    batches, total, overflow = [], 0, False
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        batches.append(b)
-        total += b.num_rows
-        if total > MAX_DRIVER_ROWS:
-            overflow = True
-            break
-    if overflow or not batches:
-        aggs = [{"sum": Sum, "min": Min, "max": Max}[op](c, alias_name=c)
-                for c, op in spec]
-        return partials.groupby(group_cols).aggregate(*aggs).to_pandas()
-    merged = pa.concat_tables(batches, promote_options="default")
-    out = merged.group_by(group_cols).aggregate(spec)
-    return out.rename_columns(group_cols + names).to_pandas()
+    out = driver_merge_stream(partials, group_cols, spec,
+                              num_partitions=num_partitions)
+    if out is None:  # empty stream: typed empty frame from plan metadata
+        schema = partials.schema()
+        return pa.table({c: pa.array([], type=schema.base_schema.field(c).type)
+                         for c in group_cols + names}).to_pandas()
+    # pa.Table (fit on driver) and spilled Dataset (already grouped-size)
+    # both land as the same pandas frame
+    return out.to_pandas()
 
 
 def with_interval(ts_ms: pa.Array, interval_ms: int) -> pa.Array:
@@ -174,32 +238,24 @@ def interval_aggregate(ds: ray.data.Dataset, *, ts_col: str, interval_ms: int,
         import ray.data as rd
         # Scale guard (same as grouped_aggregate): interval × key
         # cardinality grows with the corpus time span, so the driver merge
-        # is only valid while the partials stay coordinator-sized; overflow
-        # falls back to the distributed shuffle.
-        batches, total, overflow = [], 0, False
-        for b in partials.iter_batches(batch_format="pyarrow"):
-            batches.append(b)
-            total += b.num_rows
-            if total > MAX_DRIVER_ROWS:
-                overflow = True
-                break
-        if overflow:
-            combined = partials.groupby(group_cols).aggregate(
-                Sum("_psum", alias_name="agg_sum"),
-                Sum("_pcount", alias_name="agg_count"),
-                Min("_pmin", alias_name="agg_min"),
-                Max("_pmax", alias_name="agg_max"),
-            )
+        # compacts as it pulls and spills to a distributed finish on
+        # cardinality overflow (driver_merge_stream — never re-executes
+        # the upstream precombine).
+        out = driver_merge_stream(
+            partials, group_cols,
+            [("_psum", "sum"), ("_pcount", "sum"),
+             ("_pmin", "min"), ("_pmax", "max")])
+        agg_names = ["agg_sum", "agg_count", "agg_min", "agg_max"]
+        if out is None:
+            out = pa.table({c: pa.array([], pa.int64()) for c in
+                            group_cols + ["_psum", "_pcount", "_pmin", "_pmax"]})
+        if isinstance(out, pa.Table):
+            combined = rd.from_arrow(
+                out.rename_columns(group_cols + agg_names))
         else:
-            merged = pa.concat_tables(batches, promote_options="default") if batches \
-                else pa.table({c: pa.array([], pa.int64()) for c in
-                               group_cols + ["_psum", "_pcount", "_pmin", "_pmax"]})
-            out = merged.group_by(group_cols).aggregate(
-                [("_psum", "sum"), ("_pcount", "sum"),
-                 ("_pmin", "min"), ("_pmax", "max")])
-            out = out.rename_columns(group_cols + ["agg_sum", "agg_count",
-                                                   "agg_min", "agg_max"])
-            combined = rd.from_arrow(out)
+            combined = out.map_batches(
+                lambda t: t.rename_columns(group_cols + agg_names),
+                batch_format="pyarrow")
     else:
         combined = partials.groupby(group_cols).aggregate(
             Sum("_psum", alias_name="agg_sum"),
@@ -286,34 +342,23 @@ def grouped_aggregate(ds: ray.data.Dataset, keys: list[str], value_col: str,
 
     if mode == "driver":
         import ray.data as rd
-        # Scale guard: the driver merge is only valid while the partials
-        # stay coordinator-sized. Stream them in and bail out to the
-        # distributed shuffle if they exceed the cap (e.g. group
-        # cardinality turned out unbounded at 100 TB).
-        batches, total = [], 0
-        overflow = False
-        for b in partials.iter_batches(batch_format="pyarrow"):
-            batches.append(b)
-            total += b.num_rows
-            if total > MAX_DRIVER_ROWS:
-                overflow = True
-                break
-        if overflow:
-            # fall back to the fully distributed path (re-executes the
-            # lazy pipeline once; overflow is the misconfigured-rare case)
-            return partials.groupby(keys).aggregate(
-                Sum("_psum", alias_name="agg_sum"),
-                Sum("_pcount", alias_name="agg_count"))
-        if not batches:
+        # Scale guard: compact-as-you-pull driver merge; cardinality
+        # overflow spills to a distributed finish without re-executing the
+        # upstream (driver_merge_stream).
+        out = driver_merge_stream(partials, keys,
+                                  [("_psum", "sum"), ("_pcount", "sum")],
+                                  num_partitions=num_partitions)
+        if out is None:
             empty = pa.table({k: pa.array([], pa.string()) for k in keys})
             empty = empty.append_column("agg_sum", pa.array([], pa.int64()))
             return rd.from_arrow(empty.append_column(
                 "agg_count", pa.array([], pa.int64())))
-        merged = pa.concat_tables(batches, promote_options="default")
-        out = merged.group_by(keys).aggregate(
-            [("_psum", "sum"), ("_pcount", "sum")])
-        out = out.rename_columns(keys + ["agg_sum", "agg_count"])
-        return rd.from_arrow(out)
+        agg_names = ["agg_sum", "agg_count"]
+        if isinstance(out, pa.Table):
+            return rd.from_arrow(out.rename_columns(keys + agg_names))
+        return out.map_batches(
+            lambda t: t.rename_columns(keys + agg_names),
+            batch_format="pyarrow")
 
     return partials.groupby(keys).aggregate(
         Sum("_psum", alias_name="agg_sum"),
@@ -572,24 +617,15 @@ def grouped_argmax(ds, keys: list[str], value_col: str, arg_col: str,
                                                 batch_format="pyarrow")
                   .to_pandas())
     else:
-        # same scale guard as grouped_aggregate's driver mode: bail out to
-        # a distributed max if the partials outgrow the coordinator
-        batches, total, overflow = [], 0, False
-        for b in partials.iter_batches(batch_format="pandas"):
-            batches.append(b)
-            total += len(b)
-            if total > MAX_DRIVER_ROWS:
-                overflow = True
-                break
-        if overflow:
-            from ray.data.aggregate import Max
-            merged = (partials.groupby(keys)
-                      .aggregate(Max("_pack", alias_name="_pack"))
-                      .to_pandas())
-        else:
-            import pandas as _pd
-            merged = _pd.concat(batches, ignore_index=True).groupby(
-                keys, as_index=False, sort=False)["_pack"].max()
+        # same scale contract as grouped_aggregate's driver mode:
+        # compact-as-you-pull, spill to a distributed max on cardinality
+        # overflow (driver_merge_stream — no upstream re-execution)
+        out = driver_merge_stream(partials, keys, [("_pack", "max")],
+                                  num_partitions=num_partitions)
+        if out is None:
+            out = pa.table({**{k: pa.array([], pa.string()) for k in keys},
+                            "_pack": pa.array([], pa.int64())})
+        merged = out.to_pandas()
     pack = merged["_pack"].to_numpy().astype(np.int64)
     out = merged[keys].copy()
     out[f"max_{value_col}"] = pack // int(B)

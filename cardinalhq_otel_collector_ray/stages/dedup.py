@@ -120,18 +120,25 @@ class MinHasher:
     """
 
     def __init__(self, text_col: str, id_col: str, k_shingle: int = 4,
-                 num_perm: int = 64, bands: int = 16, seed: int = 7):
+                 num_perm: int = 64, bands: int = 16, seed: int = 7,
+                 max_bytes: int = 4096):
         assert num_perm % bands == 0
         self.text_col, self.id_col = text_col, id_col
         self.k, self.num_perm, self.bands, self.seed = k_shingle, num_perm, bands, seed
         self.r = num_perm // bands
+        # signature shingle cap: candidate-only callers keep the 4096-byte
+        # prefix default; EXACT callers must pass the same max_bytes their
+        # verify stage uses, or long docs diverging after the prefix are
+        # never candidates (recall hole vs the uncapped oracle)
+        self.max_bytes = max_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # shingling reads the Arrow UTF-8 buffers directly — no per-row
         # encode; signatures ship as one fixed-size-binary buffer with a
         # vectorized take for the per-band repeat (no per-doc tobytes)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        starts, codes = char_shingles_u64(batch[self.text_col], k=self.k)
+        starts, codes = char_shingles_u64(batch[self.text_col], k=self.k,
+                                          max_bytes=self.max_bytes)
         sig = _minhash_sigs(codes, starts, self.num_perm, seed=self.seed)
         n = len(ids)
         band_rows = sig.reshape(n, self.bands, self.r)
@@ -224,7 +231,9 @@ def _hot_bucket_filter(index: ray.data.Dataset, key: str) -> ray.data.Dataset:
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
                       k_shingle: int = 6, num_perm: int = 64, bands: int = 8,
                       threshold: float = 0.7, max_bucket: int = 2000,
-                      seed: int = 7, concurrency: int = 2) -> ray.data.Dataset:
+                      seed: int = 7, concurrency: int = 2,
+                      max_bytes: int = 4096,
+                      oversize: str = "drop") -> ray.data.Dataset:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
     shingle → minhash → band → hot-bucket prefilter (see
@@ -233,7 +242,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
     several bands collapses to one row).
     """
     hasher = MinHasher(text_col, id_col, k_shingle=k_shingle,
-                       num_perm=num_perm, bands=bands, seed=seed)
+                       num_perm=num_perm, bands=bands, seed=seed,
+                       max_bytes=max_bytes)
     index = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
     # The index is consumed twice (bucket counts, then the filtered pair
     # pass) and is tiny relative to the input (ids + band keys + sigs) —
@@ -260,7 +270,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
                             verify=est_jaccard,
                             verdict_col="est_jaccard",
                             keep=lambda v: v >= threshold,
-                            num_perm=num_perm)
+                            num_perm=num_perm, oversize=oversize)
     return _pair_dedup(pairs, "est_jaccard", "max")
 
 
@@ -287,15 +297,36 @@ def _pair_dedup(pairs: ray.data.Dataset, value_col: str, agg: str,
 def _bucketed_pairs(index: ray.data.Dataset, key: str, *, sig_col: str,
                     sig_kind: str, max_bucket: int, verify, verdict_col: str,
                     keep, num_perm: int = 0,
-                    partitions: int = 64) -> ray.data.Dataset:
+                    partitions: int = 64,
+                    oversize: str = "drop",
+                    slab_pairs: int = 4_000_000) -> ray.data.Dataset:
     """Vectorized within-bucket pair generation over hash partitions.
 
     ``index`` rows: (id, <key>, sig: binary). Partition = key % partitions;
     inside one partition, rows are sorted by key, equal-key runs found with
     one ``np.unique``, triu pair indices emitted per run (numpy), and
-    ``verify(sig_a, sig_b)`` evaluated on the stacked signature matrix in
-    ONE vectorized call per partition.
+    ``verify(sig_a, sig_b)`` evaluated on stacked signatures in slabs of
+    ≤ ``slab_pairs`` candidate pairs (bounded peak memory however hot the
+    buckets).
+
+    ``oversize`` decides what happens to a bucket larger than
+    ``max_bucket``:
+
+    - ``"drop"`` — skip it (a candidate-stage volume guard for the
+      APPROXIMATE APIs; a hot bucket is usually a degenerate template).
+    - ``"chunk"`` — process it EXACTLY as max_bucket-sized chunk×chunk
+      sub-blocks (the guard bounds memory, never recall — required by the
+      exact APIs, whose oracles enumerate all pairs). The O(m²) pair count
+      of a degenerate bucket is inherent to the contract, not to this
+      implementation.
+
+    Cross-slab duplicate pairs (a pair hit in several bands) are collapsed
+    by the callers' ``_pair_dedup`` stage; the in-slab unique is an
+    optimization, not the correctness boundary.
     """
+    if oversize not in ("drop", "chunk"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
+
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False)
         return batch.append_column("_part", pa.array(
@@ -311,38 +342,72 @@ def _bucketed_pairs(index: ray.data.Dataset, key: str, *, sig_col: str,
                 len(g), num_perm) if len(g) else np.empty((0, num_perm), np.uint64)
         else:  # int64 scalar signature
             sigs = g[sig_col].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
+        uids, first_pos = np.unique(ids, return_index=True)
+        frames: list[pd.DataFrame] = []
+        pend_a: list[np.ndarray] = []
+        pend_b: list[np.ndarray] = []
+        pend = 0
+
+        def flush():
+            nonlocal pend_a, pend_b, pend
+            if not pend_a:
+                return
+            ia = np.concatenate(pend_a); ib = np.concatenate(pend_b)
+            pend_a, pend_b, pend = [], [], 0
+            # A pair hit in k bands/chunks appears k times — verify each
+            # pair once per slab: map candidate positions to
+            # first-occurrence-per-id, then unique the (posA, posB) set.
+            pa_pos = first_pos[np.searchsorted(uids, ids[ia])]
+            pb_pos = first_pos[np.searchsorted(uids, ids[ib])]
+            lo = np.minimum(pa_pos, pb_pos); hi = np.maximum(pa_pos, pb_pos)
+            packed = np.unique(lo.astype(np.uint64) << np.uint64(32)
+                               | hi.astype(np.uint64))
+            pa_pos = (packed >> np.uint64(32)).astype(np.int64)
+            pb_pos = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            v = verify(sigs, pa_pos, pb_pos)
+            mask = keep(v)
+            a_ids, b_ids = ids[pa_pos[mask]], ids[pb_pos[mask]]
+            # canonical id order (position order ≠ id order after key sort)
+            frames.append(pd.DataFrame({
+                "id_a": np.minimum(a_ids, b_ids),
+                "id_b": np.maximum(a_ids, b_ids),
+                verdict_col: np.asarray(v, dtype=np.float64)[mask]}))
+
+        def emit(ia: np.ndarray, ib: np.ndarray):
+            nonlocal pend
+            pend_a.append(ia); pend_b.append(ib)
+            pend += len(ia)
+            if pend > slab_pairs:
+                flush()
+
         _, starts = np.unique(keys, return_index=True)
         bounds = np.append(starts, len(keys))
-        ia_all, ib_all = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             m = e - s
-            if m < 2 or m > max_bucket:
+            if m < 2:
                 continue
-            ia, ib = np.triu_indices(m, k=1)
-            ia_all.append(ia + s); ib_all.append(ib + s)
-        if not ia_all:
+            if m <= max_bucket:
+                ia, ib = np.triu_indices(m, k=1)
+                emit(ia + s, ib + s)
+                continue
+            if oversize == "drop":
+                continue
+            cb = list(range(int(s), int(e), max_bucket)) + [int(e)]
+            for ci in range(len(cb) - 1):
+                na = cb[ci + 1] - cb[ci]
+                ia, ib = np.triu_indices(na, k=1)
+                emit(ia + cb[ci], ib + cb[ci])
+                for cj in range(ci + 1, len(cb) - 1):
+                    nb = cb[cj + 1] - cb[cj]
+                    ia = np.repeat(np.arange(na, dtype=np.int64), nb) + cb[ci]
+                    ib = np.tile(np.arange(nb, dtype=np.int64), na) + cb[cj]
+                    emit(ia, ib)
+        flush()
+        if not frames:
             empty = pd.Series([], dtype=ids.dtype if len(ids) else "int64")
             return pd.DataFrame({"id_a": empty, "id_b": empty,
                                  verdict_col: pd.Series([], dtype="float64")})
-        ia = np.concatenate(ia_all); ib = np.concatenate(ib_all)
-        # A pair hit in k bands/chunks appears k times — verify each pair
-        # ONCE. Map candidate positions to first-occurrence-per-id, then
-        # unique the (posA, posB) pair set (templated corpora see ~bands×
-        # dedup factors here).
-        uids, first_pos = np.unique(ids, return_index=True)
-        pa_pos = first_pos[np.searchsorted(uids, ids[ia])]
-        pb_pos = first_pos[np.searchsorted(uids, ids[ib])]
-        lo = np.minimum(pa_pos, pb_pos); hi = np.maximum(pa_pos, pb_pos)
-        packed = np.unique(lo.astype(np.uint64) << np.uint64(32) | hi.astype(np.uint64))
-        pa_pos = (packed >> np.uint64(32)).astype(np.int64)
-        pb_pos = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        v = verify(sigs, pa_pos, pb_pos)
-        mask = keep(v)
-        a_ids, b_ids = ids[pa_pos[mask]], ids[pb_pos[mask]]
-        # canonical id order (position order ≠ id order after the key sort)
-        return pd.DataFrame({"id_a": np.minimum(a_ids, b_ids),
-                             "id_b": np.maximum(a_ids, b_ids),
-                             verdict_col: np.asarray(v, dtype=np.float64)[mask]})
+        return pd.concat(frames, ignore_index=True)
 
     return (index.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part").map_groups(partition_pairs, batch_format="pandas"))
@@ -384,6 +449,7 @@ def exact_shingle_jaccard_verify(
         pairs: ray.data.Dataset, ds: ray.data.Dataset, text_col: str,
         id_col: str, *, k_shingle: int = 6, threshold: float = 0.8,
         max_driver_docs: int = 200_000,
+        max_driver_bytes: int = 1 << 30,
         max_bytes: int = 1 << 30) -> ray.data.Dataset:
     """Re-verify candidate (id_a, id_b) pairs with EXACT char-k-shingle
     Jaccard; emit (id_a, id_b, jaccard) for pairs ≥ threshold.
@@ -396,11 +462,14 @@ def exact_shingle_jaccard_verify(
 
     Scale shape: candidate ids (≤ 2×|pairs|, rare by the near-dup
     contract — same boundedness argument as ``hot_bucket_keys``) are
-    broadcast; only candidate docs' shingle sets are built. Up to
-    ``max_driver_docs`` candidates the sets are broadcast as one dict and
-    pairs verify embarrassingly parallel; above it, verification runs as a
-    distributed co-partition join (pairs meet both sides' sets via two
-    bounded-tag shuffles of candidate-only rows — never the corpus).
+    broadcast; only candidate docs' shingle sets are built, and the set
+    table MATERIALIZES once (it is consumed again by the distributed
+    path). The broadcast path requires BOTH ≤ ``max_driver_docs``
+    candidates AND ≤ ``max_driver_bytes`` of shingle blobs (a count-only
+    guard would let 200k × 8 MB sets OOM the coordinator); above either
+    bound, verification runs as a distributed co-partition join (pairs
+    meet both sides' sets via two bounded-tag shuffles of candidate-only
+    rows — never the corpus).
     """
     import ray as _ray
 
@@ -419,9 +488,25 @@ def exact_shingle_jaccard_verify(
             else np.empty(0, dtype=np.int64))
     cand_ref = _ray.put(cand)
 
-    sets = _shingle_sets(ds, text_col, id_col, cand_ref, k_shingle, max_bytes)
+    # materialize: the corpus scan that builds candidate-only sets runs
+    # ONCE whichever verify path follows (the distributed path reads it
+    # twice; re-running _shingle_sets would re-scan the corpus)
+    sets = _shingle_sets(ds, text_col, id_col, cand_ref,
+                         k_shingle, max_bytes).materialize()
 
+    set_bytes = 0
     if len(cand) <= max_driver_docs:
+        # cheap length-only pass over the (materialized, skinny) set table
+        sizes = sets.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [pc.sum(pc.binary_length(t["codes"])).as_py() or 0],
+                type=pa.int64())}),
+            batch_format="pyarrow")
+        set_bytes = sum(int(b["n"][0].as_py())
+                        for b in sizes.iter_batches(batch_format="pyarrow")
+                        if b.num_rows)
+
+    if len(cand) <= max_driver_docs and set_bytes <= max_driver_bytes:
         # broadcast path: ONE dict of candidate sets in plasma, node-local
         # lazy ray.get inside every verify task
         table: dict[int, np.ndarray] = {}
@@ -465,13 +550,13 @@ def _verify_pairs_distributed(pairs: ray.data.Dataset,
     two bounded-tag co-partition shuffles (same shape as
     ``hot_bucket_keys``) — pair rows meet side-A sets partitioned on id_a,
     carry the blob, then meet side-B sets partitioned on id_b."""
-    P = np.int64(num_partitions)
+    from ..functions.hashing import part_tags
 
     def _tag(col):
         def fn(b: pa.Table) -> pa.Table:
-            k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
-            t = ((k * np.int64(2654435761)) % P).astype(np.int32)
-            return b.append_column("_part", pa.array(t))
+            k = b[col].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_part", pa.array(part_tags(k, num_partitions)))
         return fn
 
     def _union_schema(b: pa.Table, kind: int, id_key: str,
@@ -489,7 +574,7 @@ def _verify_pairs_distributed(pairs: ray.data.Dataset,
                        else pa.array([None] * n, type=pa.large_binary())),
         })
 
-    def _join(part: pa.Table, out_has_a: bool) -> pa.Table:
+    def _join(part: pa.Table) -> pa.Table:
         kinds = part["kind"].to_numpy(zero_copy_only=False)
         docs = part.filter(pa.array(kinds == 0))
         prs = part.filter(pa.array(kinds == 1))
@@ -517,7 +602,7 @@ def _verify_pairs_distributed(pairs: ray.data.Dataset,
     r1 = (docs0.union(pairs0)
           .map_batches(_tag("id"), batch_format="pyarrow")
           .groupby("_part")
-          .map_groups(lambda t: _join(t, False), batch_format="pyarrow"))
+          .map_groups(_join, batch_format="pyarrow"))
     # round 2: r1 pair rows are keyed on id_b (swapped into "id"), carry
     # blob_a; join against the doc sets again
     r2 = (docs0.union(r1)
@@ -575,10 +660,14 @@ def minhash_neardup_exact(ds: ray.data.Dataset, text_col: str, id_col: str, *,
     candidate volume, never rejects a true pair.
     """
     est_floor = max(threshold - 0.25, 0.0)
+    # exactness requires the candidate stage to see the SAME text the
+    # verify stage and the oracle see: full-length signatures
+    # (max_bytes passthrough) and chunked — never dropped — hot buckets
     cand = minhash_lsh_pairs(ds, text_col, id_col, k_shingle=k_shingle,
                              num_perm=num_perm, bands=bands,
                              threshold=est_floor, max_bucket=max_bucket,
-                             seed=seed)
+                             seed=seed, max_bytes=max_bytes,
+                             oversize="chunk")
     return exact_shingle_jaccard_verify(
         cand, ds, text_col, id_col, k_shingle=k_shingle,
         threshold=threshold, max_bytes=max_bytes)
@@ -652,10 +741,14 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
             x >>= np.uint64(1)
         return ham
 
+    # oversize="chunk": the recall-1.0 claim (any Hamming≤3 pair agrees on
+    # ≥1 chunk) must hold for hot buckets too — max_bucket bounds memory
+    # via chunked sub-blocks, never drops candidates
     pairs = _bucketed_pairs(index, "bkey", sig_col="simhash", sig_kind="int64",
                             max_bucket=max_bucket, verify=hamming,
                             verdict_col="hamming",
-                            keep=lambda v: v <= max_hamming)
+                            keep=lambda v: v <= max_hamming,
+                            oversize="chunk")
     return _pair_dedup(pairs, "hamming", "min")
 
 
@@ -793,12 +886,11 @@ def _block_part_tags(col, partitions: int) -> np.ndarray:
     ``_bucketed_pairs``), never one ``map_groups`` call per distinct block
     value. String keys hash via crc32 of UTF-8 over the per-batch
     dictionary (O(distinct-per-batch) Python, O(rows) numpy gather)."""
+    from ..functions.hashing import part_tags
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
-        return ((k.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(partitions)).astype(np.int32)
+        return part_tags(col.to_numpy(zero_copy_only=False), partitions)
     import zlib
     enc = pc.dictionary_encode(col)
     dic = [zlib.crc32(str(v).encode("utf-8")) for v in enc.dictionary.to_pylist()]
@@ -1064,11 +1156,12 @@ def _mark_removed(base: ray.data.Dataset, removed: ray.data.Dataset,
     mark join (hash(id) % P both sides, per-bucket sorted membership
     probe) — the 100 TB flag path when the removed set outgrows a
     broadcast."""
+    from ..functions.hashing import part_tags
+
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
-            k = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            part = ((k.astype(np.uint64) * np.uint64(2654435761))
-                    % np.uint64(partitions)).astype(np.int32)
+            part = part_tags(b["id"].to_numpy(zero_copy_only=False),
+                             partitions)
             cell = (b["cell"] if side == 0
                     else pa.nulls(b.num_rows, pa.int32()))
             return pa.table({"id": b["id"], "cell": cell,

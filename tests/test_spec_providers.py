@@ -65,6 +65,37 @@ def test_escape_literal():
     assert resolve_config("cost is $${env:PRICE}") == "cost is ${env:PRICE}"
 
 
+def test_bare_env_with_default(monkeypatch):
+    """${VAR:-default} without an explicit scheme is the env default form,
+    not an unknown provider scheme."""
+    monkeypatch.setenv("GRAFT_BARE", "set-value")
+    assert resolve_config("${GRAFT_BARE:-fb}") == "set-value"
+    monkeypatch.delenv("GRAFT_BARE")
+    assert resolve_config("${GRAFT_BARE:-fb}") == "fb"
+
+
+def test_include_does_not_double_resolve(tmp_path):
+    """Escaped $${…} literals in an included base spec must survive the
+    include merge: resolution runs exactly once on the merged tree."""
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps({"cmd": "echo $${env:FOO} literal",
+                                "keep": 1}))
+    top = tmp_path / "top.json"
+    top.write_text(json.dumps({"include": "base.json", "extra": 2}))
+    spec = load_spec(str(top))
+    assert spec["cmd"] == "echo ${env:FOO} literal"
+    assert spec["keep"] == 1 and spec["extra"] == 2
+
+
+def test_circular_include_rejected(tmp_path):
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"include": "b.json"}))
+    b.write_text(json.dumps({"include": "a.json"}))
+    with pytest.raises(ValueError, match="circular"):
+        load_spec(str(a))
+
+
 def test_resolve_walks_tree(monkeypatch):
     monkeypatch.setenv("PCT", "10")
     spec = {"stages": [{"kind": "sample", "percent": "${yaml:${env:PCT}}"}],

@@ -404,6 +404,52 @@ def test_minhash_neardup_exact_planted():
     assert (twin["jaccard"] == 1.0).all()
 
 
+def test_exact_pairs_survive_hot_buckets_and_long_docs():
+    """Exactness fixes (round-3 review): (a) a bucket larger than
+    max_bucket is processed as chunk×chunk sub-blocks for the EXACT APIs
+    — never silently dropped; (b) candidate minhash signatures cover the
+    full text, so long docs that agree only after the 4096-byte prefix
+    still pair."""
+    from cardinalhq_otel_collector_ray.stages.dedup import (
+        minhash_neardup_exact, simhash_pairs)
+    # (a) 12 identical docs with max_bucket=4: every band bucket holds all
+    # 12; all 66 pairs must come out at jaccard 1.0
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(12)),
+        "text": ["alpha beta gamma delta epsilon zeta"] * 12}))
+    out = minhash_neardup_exact(ds, "text", "doc_id", threshold=0.9,
+                                max_bucket=4).to_pandas()
+    assert len(out) == 66 and (out["jaccard"] == 1.0).all()
+    sp = simhash_pairs(ds, "text", "doc_id", max_hamming=3,
+                       max_bucket=4).to_pandas()
+    assert len(sp) == 66 and (sp["hamming"] == 0).all()
+    # (b) two 8 KB docs: identical first 4096 bytes would NOT pair under a
+    # prefix-capped signature regime after the prefix diverges — here they
+    # share everything except one tail word, so full-text J >= 0.9 and the
+    # pair must be found with its exact full-text jaccard
+    head = " ".join(f"w{i:04d}" for i in range(700))      # ~4.9 KB shared
+    t1 = head + " tail_one_xyz"
+    t2 = head + " tail_two_qrs"
+    ds2 = ray.data.from_arrow(pa.table({"doc_id": [0, 1],
+                                        "text": [t1, t2]}))
+    out2 = minhash_neardup_exact(ds2, "text", "doc_id",
+                                 threshold=0.8).to_pandas()
+    assert len(out2) == 1
+    assert 0.8 <= out2["jaccard"].iloc[0] < 1.0
+    # and the equal-prefix/different-suffix counterexample: two docs whose
+    # FIRST 4096 bytes match but which are <80% similar overall must NOT
+    # pair (the uncapped signature sees the divergence; a prefix-capped
+    # one would emit est_jaccard 1.0 candidates that exact-verify kills —
+    # either way output parity holds, this pins the verify)
+    t3 = head + " " + " ".join(f"x{i:04d}" for i in range(900))
+    t4 = head + " " + " ".join(f"y{i:04d}" for i in range(900))
+    ds3 = ray.data.from_arrow(pa.table({"doc_id": [0, 1],
+                                        "text": [t3, t4]}))
+    out3 = minhash_neardup_exact(ds3, "text", "doc_id",
+                                 threshold=0.8).to_pandas()
+    assert len(out3) == 0
+
+
 def test_blocked_pairs_invariant_at_high_block_cardinality():
     """Partition-dispatch invariance (VERDICT r02 item 5): with ≥1000
     distinct block values the pair set must (a) be identical for any
