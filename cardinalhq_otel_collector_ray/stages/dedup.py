@@ -907,11 +907,107 @@ def _block_runs(blocks: np.ndarray) -> np.ndarray:
     return np.append(np.sort(starts), len(blocks))
 
 
+def _chunk_bounds(s: int, e: int, step: int) -> list[tuple[int, int]]:
+    """[s, e) split into step-sized [lo, hi) spans."""
+    b = list(range(int(s), int(e), step)) + [int(e)]
+    return list(zip(b[:-1], b[1:]))
+
+
+def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
+                    chunk_rows: int) -> ray.data.Dataset:
+    """Theta-join grid replication for blocked all-pairs.
+
+    The hash-partition dispatch parallelizes across DISTINCT block values;
+    when block cardinality is low (a 10-language corpus), one task owns a
+    whole block's quadratic work. Grid mode sub-splits: each block's rows
+    are deterministically chunked (``hash(id) % C_b`` with
+    ``C_b = ceil(block_rows / chunk_rows)``) and every unordered chunk
+    pair (i ≤ j) becomes one independent task — parallelism scales with
+    CORPUS SIZE, not block cardinality. A row in chunk c replicates to
+    its C_b tasks (role A for tasks (c, j≥c), role B for (i<c, c)), so
+    data movement is O(n·C_b): the price of exact all-pairs, which is
+    O(n²/C_b) compute per task anyway. Pair (x, y) is generated exactly
+    once — in task (min(cx,cy), max(cx,cy)).
+
+    Adds columns: ``_task`` (globally unique int64), ``_role`` (int8,
+    0 = side A / diagonal, 1 = side B), ``_diag`` (bool).
+
+    Block sizes come from one per-block count merged on the driver —
+    bounded by block cardinality, which grid mode assumes is low (that is
+    the regime where it is needed; at high cardinality use the default
+    partition dispatch).
+    """
+    import ray as _ray
+
+    # per-block row counts (skinny partial -> driver merge)
+    def count_blocks(b: pa.Table) -> pa.Table:
+        out = b.select([block_col]).group_by([block_col]).aggregate(
+            [(block_col, "count")])
+        return out.rename_columns([block_col, "_n"])
+
+    parts = [t for t in ds.map_batches(count_blocks, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if t.num_rows]
+    if not parts:
+        sizes = {}
+    else:
+        t = pa.concat_tables(parts).group_by([block_col]).aggregate(
+            [("_n", "sum")])
+        sizes = dict(zip(t[block_col].to_pylist(), t["_n_sum"].to_pylist()))
+    # C_b per block + global task-id base offsets (base = running sum of
+    # C_b*(C_b+1)/2 per block, in sorted-key order for determinism)
+    plan: dict = {}
+    base = 0
+    for k in sorted(sizes, key=lambda v: str(v)):
+        cb = max(1, -(-int(sizes[k]) // chunk_rows))
+        plan[k] = (cb, base)
+        base += cb * (cb + 1) // 2
+    plan_ref = _ray.put(plan)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        p = _ray.get(plan_ref)
+        enc = b[block_col]
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        enc = pc.dictionary_encode(enc)
+        dic = enc.dictionary.to_pylist()
+        cb_arr = np.asarray([p[v][0] for v in dic], dtype=np.int64)
+        base_arr = np.asarray([p[v][1] for v in dic], dtype=np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.num_rows
+        C = cb_arr[codes]                      # per-row chunk count
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            c = ((ids.view(np.uint64) * np.uint64(2654435761))
+                 % C.view(np.uint64).astype(np.uint64)).astype(np.int64)
+        # one copy per (row, slot k in [0, C)): slots < C-c are role A
+        # (tasks (c, c+k)); the rest are role B (tasks (k-(C-c), c))
+        rep = np.repeat(np.arange(n, dtype=np.int64), C)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(C, out=offs[1:])
+        k = np.arange(offs[-1], dtype=np.int64) - offs[rep]
+        cr, Cr = c[rep], C[rep]
+        is_a = k < (Cr - cr)
+        i = np.where(is_a, cr, k - (Cr - cr))
+        j = np.where(is_a, cr + k, cr)
+        # task index within the block's (i<=j) triangle, then global base
+        tri = i * Cr - (i * (i - 1)) // 2 + (j - i)
+        task = base_arr[codes][rep] + tri
+        role = np.where(is_a, 0, 1).astype(np.int8)
+        diag = (i == j)
+        out = b.take(pa.array(rep))
+        out = out.append_column("_task", pa.array(task))
+        out = out.append_column("_role", pa.array(role))
+        return out.append_column("_diag", pa.array(diag))
+
+    return ds.map_batches(replicate, batch_format="pyarrow")
+
+
 def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                           block_col: str, threshold: float,
                           max_block: int = 4096,
                           ngram: int = 1,
-                          partitions: int = 64) -> ray.data.Dataset:
+                          partitions: int = 64,
+                          dispatch: str = "partition") -> ray.data.Dataset:
     """Exact distinct word-set (``ngram=1``) or word-n-gram-set Jaccard
     pairs within blocks.
 
@@ -921,10 +1017,20 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     (word explode + self-join within block) keeps it oracle-checkable.
     Output: id_a < id_b, jaccard (rounded to 6 dp for float parity).
 
-    Dispatch is hash-partitioned (``hash(block) % partitions`` →
-    ``groupby(_part)``): O(partitions) Ray tasks however many distinct
-    blocks exist; equal-block runs inside a partition are swept after ONE
-    sort + ONE Arrow split/dict-encode pass over the whole partition.
+    ``dispatch``:
+
+    - ``"partition"`` (default) — ``hash(block) % partitions`` →
+      ``groupby(_part)``: O(partitions) Ray tasks however many distinct
+      blocks exist; equal-block runs inside a partition are swept after
+      ONE sort + ONE Arrow split/dict-encode pass. Parallelism degenerates
+      to the distinct-block count when that count is small.
+    - ``"grid"`` — theta-join grid (``_grid_replicate``): each block is
+      sub-split into ``max_block``-row chunks and every chunk PAIR is an
+      independent task, so a 10-block corpus still fans out with corpus
+      size. Data replicates ~``block_rows/max_block``× — the inherent
+      price of exact all-pairs over big blocks (beyond ~10⁶-row blocks,
+      all-pairs is intractable in any engine; LSH-prefilter instead).
+      Output is identical to ``"partition"`` (equivalence-tested).
 
     ``max_block`` is the memory guard: a hot ``block_col`` value larger
     than it is processed as chunk×chunk sub-matmuls (each bounded at
@@ -960,11 +1066,9 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
                              "jaccard": np.round(jac[ia[keep], ib[keep]], 6)})
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        # ONE sort + ONE Arrow split/dict-encode pass for the whole
-        # partition; equal-block runs then slice the (sorted) distinct
-        # (row, gram) pair arrays via searchsorted.
-        g = g.sort_values([block_col, id_col], kind="mergesort")
+    def build(g: pd.DataFrame):
+        """ONE Arrow split/dict-encode pass over a sorted frame → (ids,
+        rows_u, codes_u): distinct (row, gram) code pairs, rows_u sorted."""
         ids = g[id_col].to_numpy()
         n = len(g)
         lists = pc.split_pattern(pa.array(g[text_col], type=pa.string()), " ")
@@ -990,22 +1094,58 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                 uc, codes = np.unique(comb, return_inverse=True)
                 vsize = len(uc)
         upairs = np.unique(row_of * vsize + codes)  # distinct (row, gram)
-        rows_u, codes_u = np.divmod(upairs, max(vsize, 1))  # rows_u sorted
+        rows_u, codes_u = np.divmod(upairs, max(vsize, 1))
+        return ids, rows_u, codes_u
+
+    def chunks_of(ids, rows_u, codes_u, s0: int, e0: int):
+        out = []
+        for s, e in _chunk_bounds(s0, e0, max_block):
+            lo, hi = np.searchsorted(rows_u, [s, e])
+            out.append((ids[s:e], rows_u[lo:hi] - s, codes_u[lo:hi]))
+        return out
+
+    def sweep(ids, rows_u, codes_u, sA, eA, sB, eB, same: bool):
+        ca = chunks_of(ids, rows_u, codes_u, sA, eA)
+        if same:
+            return [cross_pairs(*ca[i], *ca[j], same=(i == j))
+                    for i in range(len(ca)) for j in range(i, len(ca))]
+        cb = chunks_of(ids, rows_u, codes_u, sB, eB)
+        return [cross_pairs(*a, *b, same=False) for a in ca for b in cb]
+
+    _EMPTY = {"id_a": pd.Series([], dtype="int64"),
+              "id_b": pd.Series([], dtype="int64"),
+              "jaccard": pd.Series([], dtype="float64")}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # equal-block runs slice the (sorted) distinct (row, gram) arrays
+        g = g.sort_values([block_col, id_col], kind="mergesort")
+        ids, rows_u, codes_u = build(g)
         out = []
         run_bounds = _block_runs(g[block_col].to_numpy())
         for s0, e0 in zip(run_bounds[:-1], run_bounds[1:]):
-            bounds = list(range(int(s0), int(e0), max_block)) + [int(e0)]
-            chunks = []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                lo, hi = np.searchsorted(rows_u, [s, e])
-                chunks.append((ids[s:e], rows_u[lo:hi] - s, codes_u[lo:hi]))
-            out += [cross_pairs(*chunks[i], *chunks[j], same=(i == j))
-                    for i in range(len(chunks)) for j in range(i, len(chunks))]
-        if not out:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return pd.concat(out, ignore_index=True)
+            out += sweep(ids, rows_u, codes_u, s0, e0, s0, e0, same=True)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(_EMPTY)
+
+    def per_task(g: pd.DataFrame) -> pd.DataFrame:
+        # one grid task: side-A rows (role 0) × side-B rows (role 1), or a
+        # diagonal chunk's triangle
+        diag = bool(g["_diag"].iloc[0])
+        g = g.sort_values(["_role", id_col], kind="mergesort")
+        ids, rows_u, codes_u = build(g)
+        nA = int((g["_role"].to_numpy() == 0).sum())
+        if diag:
+            out = sweep(ids, rows_u, codes_u, 0, nA, 0, nA, same=True)
+        else:
+            out = sweep(ids, rows_u, codes_u, 0, nA, nA, len(g), same=False)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(_EMPTY)
+
+    if dispatch == "grid":
+        rep = _grid_replicate(ds.select_columns([id_col, text_col, block_col]),
+                              block_col, id_col, max_block)
+        return rep.groupby("_task").map_groups(per_task, batch_format="pandas")
+    if dispatch != "partition":
+        raise ValueError(f"unknown dispatch {dispatch!r}; "
+                         "known: ['partition', 'grid']")
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -1020,15 +1160,18 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
                             block_col: str, threshold: float,
                             max_block: int = 16384,
-                            partitions: int = 64) -> ray.data.Dataset:
+                            partitions: int = 64,
+                            dispatch: str = "partition") -> ray.data.Dataset:
     """Cosine-similarity near-dup pairs within blocks (one matmul per
     block). float64 math so the SQL oracle (list_cosine_similarity)
     reproduces values; scores rounded to 6 dp.
 
-    Dispatch is hash-partitioned (``hash(block) % partitions``, same
-    shape as ``wordset_jaccard_pairs``): O(partitions) Ray tasks however
-    many distinct blocks exist; one stack+normalize pass per partition,
-    equal-block runs swept in numpy.
+    ``dispatch="partition"`` (default) hash-partitions on block value
+    (same shape as ``wordset_jaccard_pairs``): O(partitions) Ray tasks,
+    parallelism bounded by distinct-block count. ``dispatch="grid"``
+    theta-join-replicates (``_grid_replicate``) so one huge block's
+    quadratic matmul work spreads over chunk-pair tasks — identical
+    output, equivalence-tested.
 
     ``max_block`` memory guard: an oversized block runs as chunk×chunk
     sub-matmuls (pair matrices bounded at max_block² floats) — exact, no
@@ -1043,26 +1186,52 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
         return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
                              "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
 
+    _EMPTY = {"id_a": pd.Series([], dtype="int64"),
+              "id_b": pd.Series([], dtype="int64"),
+              "cosine": pd.Series([], dtype="float64")}
+
+    def normalized(g: pd.DataFrame) -> np.ndarray:
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        return m / np.maximum(norms, 1e-30)[:, None]
+
+    def sweep(ids, m, sA, eA, sB, eB, same: bool):
+        ca = [(ids[s:e], m[s:e]) for s, e in _chunk_bounds(sA, eA, max_block)]
+        if same:
+            return [cross(ia_, ma, ib_, mb, same=(i == j))
+                    for i, (ia_, ma) in enumerate(ca)
+                    for j, (ib_, mb) in enumerate(ca) if j >= i]
+        cb = [(ids[s:e], m[s:e]) for s, e in _chunk_bounds(sB, eB, max_block)]
+        return [cross(ia_, ma, ib_, mb, same=False)
+                for (ia_, ma) in ca for (ib_, mb) in cb]
+
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([block_col, id_col], kind="mergesort")
         ids = g[id_col].to_numpy()
-        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        m = m / np.maximum(norms, 1e-30)[:, None]
+        m = normalized(g)
         out = []
         run_bounds = _block_runs(g[block_col].to_numpy())
         for s0, e0 in zip(run_bounds[:-1], run_bounds[1:]):
-            bounds = list(range(int(s0), int(e0), max_block)) + [int(e0)]
-            chunks = [(ids[s:e], m[s:e])
-                      for s, e in zip(bounds[:-1], bounds[1:])]
-            out += [cross(ia_, ma, ib_, mb, same=(i == j))
-                    for i, (ia_, ma) in enumerate(chunks)
-                    for j, (ib_, mb) in enumerate(chunks) if j >= i]
-        if not out:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        return pd.concat(out, ignore_index=True)
+            out += sweep(ids, m, s0, e0, s0, e0, same=True)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(_EMPTY)
+
+    def per_task(g: pd.DataFrame) -> pd.DataFrame:
+        diag = bool(g["_diag"].iloc[0])
+        g = g.sort_values(["_role", id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        m = normalized(g)
+        nA = int((g["_role"].to_numpy() == 0).sum())
+        out = (sweep(ids, m, 0, nA, 0, nA, same=True) if diag
+               else sweep(ids, m, 0, nA, nA, len(g), same=False))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(_EMPTY)
+
+    if dispatch == "grid":
+        rep = _grid_replicate(ds.select_columns([id_col, vec_col, block_col]),
+                              block_col, id_col, max_block)
+        return rep.groupby("_task").map_groups(per_task, batch_format="pandas")
+    if dispatch != "partition":
+        raise ValueError(f"unknown dispatch {dispatch!r}; "
+                         "known: ['partition', 'grid']")
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(

@@ -404,6 +404,52 @@ def test_minhash_neardup_exact_planted():
     assert (twin["jaccard"] == 1.0).all()
 
 
+def test_grid_dispatch_equals_partition_dispatch():
+    """dispatch="grid" (theta-join chunk-pair tasks — parallelism scales
+    with corpus size even at low block cardinality) must produce exactly
+    the partition-dispatch pair set, including across chunk boundaries
+    (max_block far below the block size forces multi-chunk grids)."""
+    from cardinalhq_otel_collector_ray.stages.dedup import (
+        embedding_neardup_pairs, wordset_jaccard_pairs)
+    rng = np.random.default_rng(23)
+    # TWO block values only, ~90 docs each, with planted near-dups
+    texts, ids, blocks = [], [], []
+    for i in range(180):
+        w = [f"w{rng.integers(0, 40)}" for _ in range(8)]
+        texts.append(" ".join(w))
+        ids.append(i)
+        blocks.append("en" if i % 2 == 0 else "de")
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": ids, "lang": blocks, "text": texts}))
+
+    def run(**kw):
+        return wordset_jaccard_pairs(ds, "text", "doc_id", "lang",
+                                     threshold=0.5, **kw).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    base = run()
+    grid = run(dispatch="grid", max_block=16)  # ~6 chunks per block
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, grid)
+
+    vecs = rng.normal(size=(120, 8))
+    vecs[60:] = vecs[:60] + 0.01 * rng.normal(size=(60, 8))
+    eds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(120)),
+        "cell": [i % 2 for i in range(120)],
+        "embedding": [list(map(float, v)) for v in vecs]}))
+
+    def erun(**kw):
+        return embedding_neardup_pairs(eds, "embedding", "vec_id", "cell",
+                                       threshold=0.98, **kw).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    ebase = erun()
+    egrid = erun(dispatch="grid", max_block=16)
+    assert len(ebase) > 0
+    pd.testing.assert_frame_equal(ebase, egrid)
+
+
 def test_exact_pairs_survive_hot_buckets_and_long_docs():
     """Exactness fixes (round-3 review): (a) a bucket larger than
     max_bucket is processed as chunk×chunk sub-blocks for the EXACT APIs
