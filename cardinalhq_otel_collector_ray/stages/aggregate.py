@@ -79,18 +79,23 @@ def driver_merge_stream(partials: ray.data.Dataset, group_cols: list[str],
 
     limit = max(MAX_DRIVER_ROWS // 4, 1)
     buf, rows, refs = [], 0, []
+    acc_rows = 0  # rows of the compacted head (buf[0] after a compaction)
     for b in partials.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0:
             continue
         buf.append(b.select(group_cols + cols))
         rows += b.num_rows
-        if rows > limit:
+        # geometric trigger: compact when the UNCOMPACTED tail outgrows
+        # max(limit, compacted head) — re-compacting the whole accumulator
+        # per pulled batch would be O(batches × groups) driver work when
+        # cardinality sits just under the cap; doubling keeps it O(total)
+        if rows - acc_rows > max(limit, acc_rows):
             acc = compact(buf)
             if acc.num_rows > MAX_DRIVER_ROWS:
                 refs.append(_ray.put(acc))
-                buf, rows = [], 0
+                buf, rows, acc_rows = [], 0, 0
             else:
-                buf, rows = [acc], acc.num_rows
+                buf, rows, acc_rows = [acc], acc.num_rows, acc.num_rows
     if refs:
         if buf:
             refs.append(_ray.put(compact(buf)))

@@ -282,9 +282,10 @@ def _pair_dedup(pairs: ray.data.Dataset, value_col: str, agg: str,
     ``group_by`` per partition — Ray's Aggregate operator has seconds of
     fixed overhead the (rare) verified-pair set never justifies."""
     def add_part(b: pa.Table) -> pa.Table:
-        k = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tag = ((k * np.int64(2654435761)) % np.int64(num_partitions)).astype(np.int32)
-        return b.append_column("_part", pa.array(tag))
+        from ..functions.hashing import part_tags
+        k = b["id_a"].to_numpy(zero_copy_only=False)
+        return b.append_column("_part",
+                               pa.array(part_tags(k, num_partitions)))
 
     def per_part(t: pa.Table) -> pa.Table:
         out = t.group_by(["id_a", "id_b"]).aggregate([(value_col, agg)])
@@ -946,6 +947,10 @@ def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
     """
     import ray as _ray
 
+    # the input is consumed twice (count pass + replicate pass) —
+    # materialize so a derived upstream pipeline runs ONCE
+    ds = ds.materialize()
+
     # per-block row counts (skinny partial -> driver merge)
     def count_blocks(b: pa.Table) -> pa.Table:
         out = b.select([block_col]).group_by([block_col]).aggregate(
@@ -1070,7 +1075,11 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         else:
             ia, ib = np.divmod(np.arange(len(ids_a) * len(ids_b)), len(ids_b))
         keep = jac[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
+        a, b = ids_a[ia[keep]], ids_b[ib[keep]]
+        # canonical id_a < id_b: grid-mode sides are HASH chunks, not
+        # id-ordered, so cross pairs can arrive reversed
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b),
                              "jaccard": np.round(jac[ia[keep], ib[keep]], 6)})
 
     def build(g: pd.DataFrame):
@@ -1190,7 +1199,10 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
         else:
             ia, ib = np.divmod(np.arange(len(ids_a) * len(ids_b)), len(ids_b))
         keep = sim[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids_a[ia[keep]], "id_b": ids_b[ib[keep]],
+        a, b = ids_a[ia[keep]], ids_b[ib[keep]]
+        # canonical id_a < id_b (grid-mode sides are hash chunks)
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b),
                              "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
 
     _EMPTY = {"id_a": pd.Series([], dtype="int64"),

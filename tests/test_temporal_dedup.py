@@ -431,6 +431,26 @@ def test_grid_dispatch_equals_partition_dispatch():
     grid = run(dispatch="grid", max_block=16)  # ~6 chunks per block
     assert len(base) > 0
     pd.testing.assert_frame_equal(base, grid)
+    assert (grid["id_a"] < grid["id_b"]).all()
+
+    # cross-chunk canonical-order regression: 12 IDENTICAL docs with
+    # max_block=4 (3 hash chunks) force pairs whose larger id lands in a
+    # LOWER chunk — every one of the 66 pairs must still come out
+    # id_a < id_b and equal to the partition dispatch
+    twelve = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(12)), "lang": ["x"] * 12,
+        "text": ["alpha beta gamma delta"] * 12}))
+
+    def run12(**kw):
+        return wordset_jaccard_pairs(twelve, "text", "doc_id", "lang",
+                                     threshold=0.9, **kw).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    b12 = run12()
+    g12 = run12(dispatch="grid", max_block=4)
+    assert len(b12) == 66
+    assert (g12["id_a"] < g12["id_b"]).all()
+    pd.testing.assert_frame_equal(b12, g12)
 
     vecs = rng.normal(size=(120, 8))
     vecs[60:] = vecs[:60] + 0.01 * rng.normal(size=(60, 8))
@@ -447,7 +467,19 @@ def test_grid_dispatch_equals_partition_dispatch():
     ebase = erun()
     egrid = erun(dispatch="grid", max_block=16)
     assert len(ebase) > 0
+    assert (egrid["id_a"] < egrid["id_b"]).all()
     pd.testing.assert_frame_equal(ebase, egrid)
+
+    # cross-chunk canonical order for the embedding kernel too: identical
+    # vectors, one block, several hash chunks
+    same = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(12)), "cell": [0] * 12,
+        "embedding": [[1.0, 0.5, -0.25, 2.0]] * 12}))
+    gs = embedding_neardup_pairs(same, "embedding", "vec_id", "cell",
+                                 threshold=0.99, dispatch="grid",
+                                 max_block=4).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(gs) == 66 and (gs["id_a"] < gs["id_b"]).all()
 
 
 def test_exact_pairs_survive_hot_buckets_and_long_docs():
