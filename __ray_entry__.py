@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cardinalhq_otel_collector_ray.functions.hashing import round6
+
 
 # --------------------------------------------------------------------------
 # query implementations (Ray Data)
@@ -516,7 +518,7 @@ def _q_delta_to_rate(sf_dir: str):
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["rate"] = df["rate"].round(6)
+        df["rate"] = round6(df["rate"].to_numpy())
         return df[["event_id", "rate"]]
     return out.map_batches(project, batch_format="pandas")
 
@@ -853,7 +855,7 @@ def _q_unigram_logprob(sf_dir: str):
         sums[n == 0] = 0.0
         avg = sums / np.maximum(n, 1)
         return pa.table({"doc_id": batch["doc_id"],
-                         "avg_logprob": pa.array(np.round(avg, 6))})
+                         "avg_logprob": pa.array(round6(avg))})
     return ds.map_batches(score, batch_format="pyarrow")
 
 
@@ -1020,7 +1022,7 @@ def _q_bigram_logprob(sf_dir: str):
         lp = batch["logprob"].to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": batch["doc_id"],
                          "n_pairs": batch["n_pairs"],
-                         "logprob": pa.array(np.round(lp, 6))})
+                         "logprob": pa.array(round6(lp))})
     return out.map_batches(project, batch_format="pyarrow")
 
 
@@ -1042,7 +1044,7 @@ def _q_dsir_weights(sf_dir: str):
         lw = batch["log_w"].to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": batch["doc_id"],
                          "n_pairs": batch["n_pairs"],
-                         "log_w": pa.array(np.round(lw, 6))})
+                         "log_w": pa.array(round6(lw))})
     return out.map_batches(project, batch_format="pyarrow")
 
 
@@ -1063,7 +1065,7 @@ def _q_quality_logistic(sf_dir: str):
     def project(batch: pa.Table) -> pa.Table:
         q = batch["q_score"].to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": batch["doc_id"],
-                         "q_score": pa.array(np.round(q, 6))})
+                         "q_score": pa.array(round6(q))})
     return scored.map_batches(project, batch_format="pyarrow")
 
 
@@ -1189,7 +1191,7 @@ def _q_bm25_topdocs(sf_dir: str):
     top = distributed_top_k(scored, 20, by=["score", "doc_id"],
                             ascending=[False, True])
     return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
-                         "score": np.round(top["score"].to_numpy(), 6)})
+                         "score": round6(top["score"].to_numpy())})
 
 
 def _q_topk_users(sf_dir: str):
@@ -1342,7 +1344,7 @@ def _q_anomaly_zscore(sf_dir: str):
         z = (v - mean) / sd
         out = pa.table({"event_id": batch["event_id"],
                         "event_type": batch["event_type"],
-                        "z": pa.array(np.round(z, 6))})
+                        "z": pa.array(round6(z))})
         return out.filter(pa.array(np.abs(z) > 2.0))
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -1378,7 +1380,7 @@ def _q_anomaly_iforest(sf_dir: str):
     return pd.DataFrame({
         "event_id": top["event_id"].astype("int64").to_numpy(),
         "event_type": top["event_type"].to_numpy(),
-        "score": np.round(top["iforest_score"].to_numpy(), 6),
+        "score": round6(top["iforest_score"].to_numpy()),
     })
 
 

@@ -142,6 +142,22 @@ def combine_hash64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         return h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + h2.astype(np.uint64)
 
 
+def round6(x):
+    """``round(x, 6)`` with SQL semantics: half AWAY from zero.
+
+    numpy and Python round half-to-even, which diverges from DuckDB's
+    ``round()`` exactly on .5-ulp ties at the 6th decimal — observed in
+    the wild at sf0.1: jaccard 125/128 = 0.9765625 → numpy 0.976562,
+    DuckDB 0.976563. Both engines see bit-identical float64 inputs
+    (exact-int divisions), so matching the rounding rule restores
+    bit-identical rounded output. Every similarity/ratio score that an
+    oracle re-rounds MUST go through this, not ``np.round``/``round``.
+    """
+    a = np.asarray(x, dtype=np.float64)
+    out = np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    return float(out) if out.ndim == 0 else out
+
+
 def part_tags(ids: np.ndarray, partitions: int) -> np.ndarray:
     """int32 partition tag for an int64 id/key array: ``(id * Knuth) % P``
     in uint64 (wrap-safe, sign-safe). The ONE partition-hash discipline for

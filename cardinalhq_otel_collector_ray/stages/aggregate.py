@@ -38,6 +38,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from ..functions.hashing import round6
 from ray.data.aggregate import Max, Min, Sum
 
 # Driver-mode merge cap: above this many partial rows the coordinator merge
@@ -578,7 +580,7 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
                                   * np.sqrt(n * syy - sy * sy))
     out = g[keys].copy()
     out["n"] = g["_n"].astype("int64")
-    out["corr"] = np.round(corr, 6)
+    out["corr"] = round6(corr)
     return _pd.DataFrame(out)
 
 

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import stable_str_hash64
+from ..functions.hashing import round6, stable_str_hash64
 from ..functions.text import char_shingles_u64, list_offsets_values, split_words
 
 # ---------------------------------------------------------------- exact dedup
@@ -534,7 +534,7 @@ def exact_shingle_jaccard_verify(
                 union = len(sa) + len(sb) - inter
                 j = inter / union if union else 0.0
                 if j >= threshold:
-                    oa.append(int(x)); ob.append(int(y)); ja.append(round(j, 6))
+                    oa.append(int(x)); ob.append(int(y)); ja.append(round6(j))
             return pa.table({"id_a": pa.array(oa, type=pa.int64()),
                              "id_b": pa.array(ob, type=pa.int64()),
                              "jaccard": pa.array(ja, type=pa.float64())})
@@ -634,7 +634,7 @@ def _verify_pairs_distributed(pairs: ray.data.Dataset,
             j = inter / union if union else 0.0
             if j >= threshold:
                 lo, hi = (ida, idb) if ida < idb else (idb, ida)
-                oa.append(lo); ob.append(hi); ja.append(round(j, 6))
+                oa.append(lo); ob.append(hi); ja.append(round6(j))
         return pa.table({"id_a": pa.array(oa, type=pa.int64()),
                          "id_b": pa.array(ob, type=pa.int64()),
                          "jaccard": pa.array(ja, type=pa.float64())})
@@ -1080,7 +1080,7 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         # id-ordered, so cross pairs can arrive reversed
         return pd.DataFrame({"id_a": np.minimum(a, b),
                              "id_b": np.maximum(a, b),
-                             "jaccard": np.round(jac[ia[keep], ib[keep]], 6)})
+                             "jaccard": round6(jac[ia[keep], ib[keep]])})
 
     def build(g: pd.DataFrame):
         """ONE Arrow split/dict-encode pass over a sorted frame → (ids,
@@ -1203,7 +1203,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
         # canonical id_a < id_b (grid-mode sides are hash chunks)
         return pd.DataFrame({"id_a": np.minimum(a, b),
                              "id_b": np.maximum(a, b),
-                             "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
+                             "cosine": round6(sim[ia[keep], ib[keep]])})
 
     _EMPTY = {"id_a": pd.Series([], dtype="int64"),
               "id_b": pd.Series([], dtype="int64"),

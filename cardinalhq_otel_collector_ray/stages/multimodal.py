@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..functions.hashing import round6
+
 
 def attach_binary_payload(ds: ray.data.Dataset, text_col: str = "text",
                           out: str = "payload") -> ray.data.Dataset:
@@ -344,5 +346,5 @@ def chunk_dedup_ratio(ds: ray.data.Dataset, payload_col: str = "payload",
     return pd.DataFrame({
         "total_chunks": [total], "distinct_chunks": [distinct],
         "total_bytes": [tbytes], "distinct_bytes": [dbytes],
-        "byte_dedup_ratio": [round(dbytes / max(tbytes, 1), 6)],
+        "byte_dedup_ratio": [round6(dbytes / max(tbytes, 1))],
     })

@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.hashing import round6
+
 _LOW32 = np.int64(0xFFFFFFFF)
 
 
@@ -109,7 +111,7 @@ def tfidf_top_terms(ds: ray.data.Dataset, idf: np.ndarray, k: int = 3,
             "doc_id": doc_ids,
             "token": pa.array(tok[keep].astype(np.int32)),
             "tf": pa.array(tf[keep].astype(np.int64)),
-            "score": pa.array(np.round(score[keep], 6)),
+            "score": pa.array(round6(score[keep])),
         })
     return ds.map_batches(block_topk, batch_format="pyarrow")
 
@@ -436,7 +438,7 @@ def cross_source_overlap(ds: ray.data.Dataset, source_ids: dict,
                 continue
             union = int(sizes[a] + sizes[b] - inter)
             rows.append((inv[a], inv[b], inter,
-                         round(inter / union, 6)))
+                         round6(inter / union)))
     return _pd.DataFrame(rows, columns=["src_a", "src_b", "inter", "jaccard"])
 
 

@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import SALT, hashmod_keep, mulhash
+from ..functions.hashing import SALT, hashmod_keep, mulhash, round6
 
 
 def probabilistic_sample(ds: ray.data.Dataset, id_column: str, percent: int,
@@ -122,5 +122,5 @@ def weighted_priority_sample(ds: ray.data.Dataset, id_col: str,
     top = distributed_top_k(ds.map_batches(add_pri, batch_format="pandas"),
                             k, by=["pri", id_col], ascending=[False, True])
     top = top.reset_index(drop=True)
-    top["pri"] = np.round(top["pri"].to_numpy(), 6)
+    top["pri"] = round6(top["pri"].to_numpy())
     return top

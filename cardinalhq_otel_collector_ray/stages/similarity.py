@@ -14,6 +14,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.hashing import round6
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1)
@@ -110,7 +112,7 @@ def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
         g = g.sort_values(["score", "id"], ascending=[False, True],
                           kind="mergesort").head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
-                     score=np.round(g["score"].to_numpy(), 6))
+                     score=round6(g["score"].to_numpy()))
         return g
 
     return scored.groupby("qid").map_groups(topk, batch_format="pandas")
@@ -212,7 +214,7 @@ def knn_ivf(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
         g = g.sort_values(["score", "id"], ascending=[False, True],
                           kind="mergesort").head(k)
         return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
-                        score=np.round(g["score"].to_numpy(), 6))
+                        score=round6(g["score"].to_numpy()))
 
     return scored.groupby("qid").map_groups(topk, batch_format="pandas")
 
@@ -315,7 +317,7 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
         g = g.sort_values(["score", "id"], ascending=[False, True],
                           kind="mergesort").head(k)
         return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
-                        score=np.round(g["score"].to_numpy(), 6))
+                        score=round6(g["score"].to_numpy()))
 
     return scored.groupby("qid").map_groups(topk, batch_format="pandas")
 

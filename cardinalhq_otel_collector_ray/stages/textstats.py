@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import poly_hash64
+from ..functions.hashing import poly_hash64, round6
 from ..functions.text import list_offsets_values, split_words
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
@@ -284,7 +284,7 @@ def token_entropy(ds: ray.data.Dataset, tokens_col: str = "tokens",
         out = pa.table({
             id_col: batch[id_col].take(pa.array(present)),
             "n_distinct": pa.array(n_distinct.astype(np.int64)),
-            "entropy": pa.array(np.round(ent, 6)),
+            "entropy": pa.array(round6(ent)),
         })
         return out
     return ds.map_batches(kernel, batch_format="pyarrow")
@@ -317,7 +317,7 @@ def compression_ratio(ds: ray.data.Dataset, text_col: str = "text",
         return pa.table({id_col: batch[id_col],
                          "n_bytes": pa.array(orig),
                          "compressed_bytes": pa.array(comp),
-                         "compression_ratio": pa.array(np.round(ratio, 6))})
+                         "compression_ratio": pa.array(round6(ratio))})
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
@@ -371,7 +371,7 @@ def intradoc_repetition(ds: ray.data.Dataset, n: int = 3,
             id_col: batch[id_col].take(pa.array(present)),
             "n_grams": pa.array(n_grams),
             "n_dup": pa.array(n_dup),
-            "dup_ratio": pa.array(np.round(n_dup / n_grams, 6)
+            "dup_ratio": pa.array(round6(n_dup / n_grams)
                                   if len(n_grams) else
                                   np.empty(0, np.float64)),
         })

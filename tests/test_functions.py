@@ -127,3 +127,24 @@ def test_redact_pii_masks_and_order():
     assert out[4] == "clean text stays clean"
     # ip masked as IP (not eaten by the digit mask), email first
     assert out[5] == "combo <EMAIL> from <IP> ref <NUM>"
+
+
+def test_round6_matches_duckdb_half_away():
+    """round6 = SQL round(x, 6): half AWAY from zero. numpy/python round
+    are half-to-even and diverge on .5-ulp ties — the observed case is
+    jaccard 125/128 = 0.9765625 (sf0.1 parity failure before the fix)."""
+    import duckdb
+    import numpy as np
+
+    from cardinalhq_otel_collector_ray.functions.hashing import round6
+
+    assert round6(125 / 128) == 0.976563          # numpy gives 0.976562
+    assert round6(-125 / 128) == -0.976563
+    assert round6(0.0) == 0.0
+    vals = [125/128, -125/128, 0.1234565, 1/3, 2/3, 0.9999995, 1e-7,
+            123456.1234575, -0.0000005]
+    got = round6(np.asarray(vals))
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        sql = con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
+        assert g == sql, (v, g, sql)
