@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from cardinalhq_otel_collector_ray.functions.hashing import round6
+from cardinalhq_otel_collector_ray.functions.hashing import round6, to_cents
 
 
 # --------------------------------------------------------------------------
@@ -59,8 +59,7 @@ def _events_ms(sf_dir: str, extra: tuple[str, ...] = ()):
         us = batch["ts"].cast(pa.int64())
         ms = pc.divide(us, 1000)  # int64 floor-division for non-negative us
         batch = batch.append_column("ts_ms", ms)
-        cents = pa.array(np.round(batch["value"].to_numpy(zero_copy_only=False) * 100.0)
-                         .astype(np.int64))
+        cents = pa.array(to_cents(batch["value"].to_numpy(zero_copy_only=False)))
         return batch.append_column("value_cents", cents)
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -392,8 +391,7 @@ def _q_lineitem_pricing(sf_dir: str):
 
     def precombine(batch: pa.Table) -> pa.Table:
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                           * 100.0).astype(np.int64)
+        price_c = to_cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
         t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
@@ -559,7 +557,7 @@ def _q_join_broadcast(sf_dir: str):
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["total_cents"] = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["total_cents"] = to_cents(df["o_totalprice"].to_numpy())
         return df[["o_orderkey", "o_custkey", "c_mktsegment", "total_cents"]]
     return joined.map_batches(project, batch_format="pandas")
 
@@ -750,7 +748,7 @@ def _q_streaming_interval_agg(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/events.parquet",
                       columns=["event_type", "ts", "value"])
     ts_ms = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
-    cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    cents = to_cents(t["value"].to_numpy(zero_copy_only=False))
     full = pa.table({"event_type": t["event_type"],
                      "ts_ms": pa.array(ts_ms), "v": pa.array(cents)})
     order = np.argsort(ts_ms, kind="stable")
@@ -808,12 +806,12 @@ def _q_supplier_by_region(sf_dir: str):
     j = broadcast_join(sup, nation, on="s_nationkey")
     j = broadcast_join(j, region, on="n_regionkey")
 
-    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+    def bal_to_cents(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["bal_cents"] = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        df["bal_cents"] = to_cents(df["s_acctbal"].to_numpy())
         return df[["r_name", "bal_cents"]]
     from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
-    agg = grouped_aggregate(j.map_batches(to_cents, batch_format="pandas"),
+    agg = grouped_aggregate(j.map_batches(bal_to_cents, batch_format="pandas"),
                             keys=["r_name"], value_col="bal_cents",
                             mode="driver")
 
@@ -1582,10 +1580,8 @@ def _q_orders_revenue_topk(sf_dir: str):
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def l_prep(batch: pa.Table) -> pa.Table:
-        p = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                     * 100.0).astype(np.int64)
-        d = np.round(batch["l_discount"].to_numpy(zero_copy_only=False)
-                     * 100.0).astype(np.int64)
+        p = to_cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = to_cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         return pa.table({"l_orderkey": batch["l_orderkey"],
                          "rev_units": pa.array(p * (100 - d))})
 
@@ -1613,8 +1609,7 @@ def _q_corr_qty_price(sf_dir: str):
         q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
                      ).astype(np.int64)
         usd = np.floor_divide(
-            np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                     * 100.0).astype(np.int64), 100)
+            to_cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)), 100)
         return pa.table({"l_returnflag": batch["l_returnflag"],
                          "x": pa.array(q), "y": pa.array(usd)})
 
@@ -1681,10 +1676,8 @@ def _q_regional_revenue(sf_dir: str):
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def l_prep(batch: pa.Table) -> pa.Table:
-        p = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                     * 100.0).astype(np.int64)
-        d = np.round(batch["l_discount"].to_numpy(zero_copy_only=False)
-                     * 100.0).astype(np.int64)
+        p = to_cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = to_cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         return pa.table({"l_orderkey": batch["l_orderkey"],
                          "rev_units": pa.array(p * (100 - d))})
 
@@ -2138,8 +2131,8 @@ def _q_weighted_avg_price(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
                      ).astype(np.int64)
-        cents = np.round(batch["l_extendedprice"].to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
+        cents = to_cents(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False))
         return pa.table({"l_returnflag": batch["l_returnflag"],
                          "qty": pa.array(q), "cents": pa.array(cents)})
 

@@ -158,6 +158,15 @@ def round6(x):
     return float(out) if out.ndim == 0 else out
 
 
+def to_cents(values: np.ndarray) -> np.ndarray:
+    """Exact BIGINT cents: ``CAST(round(v * 100) AS BIGINT)`` with SQL
+    half-away-from-zero semantics (sign-aware ``floor(|v·100| + 0.5)``).
+    ``np.round`` is half-to-even — current testdata has no v·100 .5-ties
+    (scanned), but the rule must not depend on generator luck."""
+    a = np.asarray(values, dtype=np.float64) * 100.0
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
 def part_tags(ids: np.ndarray, partitions: int) -> np.ndarray:
     """int32 partition tag for an int64 id/key array: ``(id * Knuth) % P``
     in uint64 (wrap-safe, sign-safe). The ONE partition-hash discipline for
