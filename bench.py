@@ -141,7 +141,10 @@ def run_headline(sf_dir: str, num_cpus: int, replication: int) -> dict:
     # host_canary note in BASELINE.md), so a single sample conflates code
     # speed with co-tenant load; the BEST repeat is the least-contended
     # estimate and all walls are reported for transparency.
-    repeats = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "2"))
+    # 3 repeats by default (round 3): the host's DRAM canary now swings
+    # minute-to-minute, not just between boots — a third sample costs ~4 s
+    # and materially improves the best-of draw across oscillations.
+    repeats = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3"))
     walls = []
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
