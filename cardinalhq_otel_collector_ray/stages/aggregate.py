@@ -73,6 +73,12 @@ def driver_merge_stream(partials: ray.data.Dataset, group_cols: list[str],
     import ray.data as rd
 
     cols = [c for c, _ in spec]
+    if len(set(cols)) != len(cols):
+        # compaction must be CLOSED: output columns feed back through the
+        # same spec, so two ops on one source column would collide —
+        # pre-name the partials (one column per op) like every caller does
+        raise ValueError("driver_merge_stream spec columns must be unique; "
+                         "pre-name partial columns, one per aggregate op")
 
     def compact(tables: list[pa.Table]) -> pa.Table:
         t = pa.concat_tables(tables, promote_options="default")

@@ -288,3 +288,97 @@ def test_moving_agg_kernel_matches_pandas_rolling(rows, w):
     assert out["mov_sum"].tolist() == exp_sum.astype(int).tolist()
     assert out["mov_n"].tolist() == exp_n.astype(int).tolist()
     assert out["lag_delta"].tolist() == exp_lag.astype(int).tolist()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-1e7, max_value=1e7,
+                 allow_nan=False, allow_infinity=False))
+def test_round6_matches_duckdb_everywhere(x):
+    """round6 == DuckDB round(x, 6) for arbitrary float64 (half-away)."""
+    import duckdb
+
+    from cardinalhq_otel_collector_ray.functions.hashing import round6
+    con = duckdb.connect()
+    sql = con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [x]).fetchone()[0]
+    assert round6(x) == sql
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),                 # group key
+                          st.integers(-1000, 1000)),         # value
+                min_size=0, max_size=60),
+       st.integers(1, 4),                                    # batch split
+       st.sampled_from([1, 3, 10**9]))                       # driver cap
+def test_driver_merge_stream_equals_one_group_by(ray_session, rows, nsplit, cap):
+    """driver_merge_stream (compacted, possibly spilled) == a single
+    group_by over the concatenated partials, at every cap regime."""
+    import ray.data
+
+    import cardinalhq_otel_collector_ray.stages.aggregate as agg_mod
+    from cardinalhq_otel_collector_ray.stages.aggregate import \
+        driver_merge_stream
+    # pre-named partials, one column per op (the helper's contract)
+    t = pa.table({"k": pa.array([k for k, _ in rows], type=pa.int64()),
+                  "s": pa.array([v for _, v in rows], type=pa.int64()),
+                  "m": pa.array([v for _, v in rows], type=pa.int64())})
+    ds = ray.data.from_arrow(t)
+    if t.num_rows:
+        ds = ds.repartition(min(nsplit, t.num_rows))
+    old = agg_mod.MAX_DRIVER_ROWS
+    agg_mod.MAX_DRIVER_ROWS = cap
+    try:
+        out = driver_merge_stream(ds, ["k"], [("s", "sum"), ("m", "min")])
+    finally:
+        agg_mod.MAX_DRIVER_ROWS = old
+    if out is None:
+        assert t.num_rows == 0
+        return
+    if not isinstance(out, pa.Table):
+        out = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")
+             if b.num_rows])
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    want = t.group_by(["k"]).aggregate([("s", "sum"), ("m", "min")]) \
+        .to_pandas()
+    want.columns = ["k", "s", "m"]
+    want = want.sort_values("k").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[["k", "s", "m"]].astype("int64"),
+                                  want.astype("int64"))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(2, 5),          # distinct blocks
+       st.integers(2, 30),         # docs per block
+       st.integers(2, 7),          # max_block (grid chunk size)
+       st.integers(0, 2**31))      # corpus seed
+def test_grid_dispatch_equivalence_randomized(ray_session, nblocks,
+                                              per_block, max_block, seed):
+    """dispatch="grid" ≡ dispatch="partition" for random corpora, any
+    chunk size — pair set, values, and canonical id order."""
+    import pandas as pd
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.stages.dedup import \
+        wordset_jaccard_pairs
+    rng = np.random.default_rng(seed)
+    ids, blocks, texts = [], [], []
+    i = 0
+    for b in range(nblocks):
+        for _ in range(per_block):
+            texts.append(" ".join(
+                f"w{rng.integers(0, 12)}" for _ in range(5)))
+            ids.append(i); blocks.append(f"b{b}")
+            i += 1
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": ids, "blk": blocks, "text": texts}))
+
+    def run(**kw):
+        return wordset_jaccard_pairs(ds, "text", "doc_id", "blk",
+                                     threshold=0.4, **kw).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    base = run()
+    grid = run(dispatch="grid", max_block=max_block)
+    assert (grid["id_a"] < grid["id_b"]).all() if len(grid) else True
+    pd.testing.assert_frame_equal(base, grid)
