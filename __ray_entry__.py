@@ -24,7 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from cardinalhq_otel_collector_ray.functions.hashing import round6, to_cents
+from cardinalhq_otel_collector_ray.functions.hashing import (round6,
+    round_units, to_cents)
 
 
 # --------------------------------------------------------------------------
@@ -1606,8 +1607,7 @@ def _q_corr_qty_price(sf_dir: str):
                     columns=["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
-                     ).astype(np.int64)
+        q = round_units(batch["l_quantity"].to_numpy(zero_copy_only=False))
         usd = np.floor_divide(
             to_cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)), 100)
         return pa.table({"l_returnflag": batch["l_returnflag"],
@@ -1994,8 +1994,7 @@ def _q_join_salted(sf_dir: str):
                     columns=["l_suppkey", "l_quantity", "l_linenumber"])
 
     def l_prep(batch: pa.Table) -> pa.Table:
-        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
-                     ).astype(np.int64)
+        q = round_units(batch["l_quantity"].to_numpy(zero_copy_only=False))
         return pa.table({"l_suppkey": batch["l_suppkey"],
                          "lid": batch["l_linenumber"].cast(pa.int64()),
                          "qty": pa.array(q)})
@@ -2129,8 +2128,7 @@ def _q_weighted_avg_price(sf_dir: str):
                     columns=["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)
-                     ).astype(np.int64)
+        q = round_units(batch["l_quantity"].to_numpy(zero_copy_only=False))
         cents = to_cents(batch["l_extendedprice"].to_numpy(
             zero_copy_only=False))
         return pa.table({"l_returnflag": batch["l_returnflag"],

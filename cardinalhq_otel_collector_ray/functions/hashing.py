@@ -142,6 +142,21 @@ def combine_hash64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         return h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + h2.astype(np.uint64)
 
 
+def _round_half_away(a: np.ndarray) -> np.ndarray:
+    """``std::round`` semantics (half AWAY from zero), vectorized and
+    EXACT: ``floor(|a|) + (|a| - floor(|a|) >= 0.5)``, sign restored.
+
+    NOT ``floor(|a| + 0.5)`` — that addition can round UP across a
+    representable boundary when ``|a|`` sits just below ``k + 0.5``
+    (confirmed: ``0.49999999999999994 + 0.5 == 1.0`` in float64, so the
+    naive form returns 1 where DuckDB's std::round returns 0). The
+    ``|a| - floor(|a|)`` subtraction is exact for ``|a| < 2^52``
+    (Sterbenz), so the comparison sees the true fractional part."""
+    x = np.abs(a)
+    f = np.floor(x)
+    return np.sign(a) * (f + (x - f >= 0.5))
+
+
 def round6(x):
     """``round(x, 6)`` with SQL semantics: half AWAY from zero.
 
@@ -149,22 +164,32 @@ def round6(x):
     ``round()`` exactly on .5-ulp ties at the 6th decimal — observed in
     the wild at sf0.1: jaccard 125/128 = 0.9765625 → numpy 0.976562,
     DuckDB 0.976563. Both engines see bit-identical float64 inputs
-    (exact-int divisions), so matching the rounding rule restores
-    bit-identical rounded output. Every similarity/ratio score that an
-    oracle re-rounds MUST go through this, not ``np.round``/``round``.
+    (exact-int divisions) and apply the same ×1e6 product, so matching
+    the rounding rule (``_round_half_away``, std::round-faithful)
+    restores bit-identical rounded output. Every similarity/ratio score
+    that an oracle re-rounds MUST go through this, not
+    ``np.round``/``round``.
     """
     a = np.asarray(x, dtype=np.float64)
-    out = np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    out = _round_half_away(a * 1e6) / 1e6
     return float(out) if out.ndim == 0 else out
 
 
 def to_cents(values: np.ndarray) -> np.ndarray:
     """Exact BIGINT cents: ``CAST(round(v * 100) AS BIGINT)`` with SQL
-    half-away-from-zero semantics (sign-aware ``floor(|v·100| + 0.5)``).
+    half-away-from-zero (std::round) semantics via ``_round_half_away``.
     ``np.round`` is half-to-even — current testdata has no v·100 .5-ties
     (scanned), but the rule must not depend on generator luck."""
     a = np.asarray(values, dtype=np.float64) * 100.0
-    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+    return _round_half_away(a).astype(np.int64)
+
+
+def round_units(values: np.ndarray) -> np.ndarray:
+    """``CAST(round(v) AS BIGINT)`` with SQL std::round semantics — the
+    integer-quantity twin of ``to_cents`` (quantities are integral in the
+    current testdata, but the oracle's round() is half-away)."""
+    a = np.asarray(values, dtype=np.float64)
+    return _round_half_away(a).astype(np.int64)
 
 
 def part_tags(ids: np.ndarray, partitions: int) -> np.ndarray:

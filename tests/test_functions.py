@@ -148,3 +148,30 @@ def test_round6_matches_duckdb_half_away():
     for v, g in zip(vals, got):
         sql = con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
         assert g == sql, (v, g, sql)
+
+
+def test_to_cents_round_units_match_duckdb():
+    """to_cents/round_units == DuckDB CAST(round(...) AS BIGINT), including
+    the confirmed floor(+0.5) counterexample: v*100 = 0.49999999999999994
+    (naive |a|+0.5 rounds UP to 1.0 in float64; std::round gives 0)."""
+    import duckdb
+    import numpy as np
+
+    from cardinalhq_otel_collector_ray.functions.hashing import (
+        round_units, to_cents)
+    con = duckdb.connect()
+    vals = [0.004999999999999999, -0.004999999999999999, 0.005, -0.005,
+            0.125, -0.125, 1234.565, -1234.565, 0.0, 19.999999999999996,
+            7.105, 42.0, -0.004999999999999999 * 3]
+    got = to_cents(np.asarray(vals))
+    for v, g in zip(vals, got):
+        sql = con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE) * 100) AS BIGINT)",
+            [v]).fetchone()[0]
+        assert g == sql, ("cents", v, g, sql)
+    qvals = [0.49999999999999994, 0.5, -0.5, 2.5, -2.5, 3.0, 49.5]
+    gq = round_units(np.asarray(qvals))
+    for v, g in zip(qvals, gq):
+        sql = con.execute("SELECT CAST(round(CAST(? AS DOUBLE)) AS BIGINT)",
+                          [v]).fetchone()[0]
+        assert g == sql, ("units", v, g, sql)
