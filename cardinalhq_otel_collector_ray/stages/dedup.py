@@ -964,6 +964,15 @@ def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
     else:
         t = pa.concat_tables(parts).group_by([block_col]).aggregate(
             [("_n", "sum")])
+        if t.num_rows > 1_000_000:
+            # grid mode exists FOR low block cardinality; a million+
+            # distinct blocks means the per-block plan (driver dict,
+            # broadcast) is the wrong tool — and the partition dispatch
+            # already parallelizes that regime perfectly
+            raise ValueError(
+                f"dispatch='grid' saw {t.num_rows} distinct {block_col!r} "
+                f"values; grid targets LOW block cardinality — use the "
+                f"default partition dispatch")
         sizes = dict(zip(t[block_col].to_pylist(), t["_n_sum"].to_pylist()))
     # C_b per block + global task-id base offsets (base = running sum of
     # C_b*(C_b+1)/2 per block, in sorted-key order for determinism)
