@@ -1619,6 +1619,31 @@ def _q_corr_qty_price(sf_dir: str):
     return out
 
 
+def _q_trend_per_type(sf_dir: str):
+    """Per-event-type OLS trend (cents per minute of event time) from
+    exact integer partial sums (``grouped_linreg``): x = minutes since the
+    global min event ts (integer floor, both engines), y = exact BIGINT
+    cents. The float64 slope/intercept expressions share a fixed operation
+    order with the oracle, so values are bit-identical even where the
+    cross products exceed 2^53 (both engines round the same IEEE ops)."""
+    from ray.data.aggregate import Min
+
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_linreg
+    ds = _events_ms(sf_dir)
+    x0 = int(ds.aggregate(Min("ts_ms"))["min(ts_ms)"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        xm = pc.divide(pc.subtract(batch["ts_ms"], x0), 60000)
+        return pa.table({"event_type": batch["event_type"],
+                         "xm": xm, "cents": batch["value_cents"]})
+
+    out = grouped_linreg(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["event_type"], "xm", "cents")
+    out = out.rename(columns={"slope": "slope_cents_per_min",
+                              "intercept": "intercept_cents"})
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
 def _q_token_entropy(sf_dir: str):
     """Per-doc Shannon entropy of the token distribution (repetitiveness
     quality signal): shuffle-free lexsort + run-length + reduceat kernel;
@@ -2357,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "orders_revenue_topk": _q_orders_revenue_topk,
         "corr_qty_price": _q_corr_qty_price,
+        "trend_per_type": _q_trend_per_type,
         "weighted_avg_price": _q_weighted_avg_price,
         "token_entropy": _q_token_entropy,
         "knn_lsh": _q_knn_lsh,
@@ -2805,6 +2831,30 @@ SELECT l_returnflag, n,
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
              6) AS corr
 FROM s
+""",
+        "trend_per_type": _SQL_EVENTS + r"""
+, x0 AS (SELECT min(ts_ms) AS m FROM ev),
+p AS (
+  SELECT event_type, (ts_ms - (SELECT m FROM x0)) // 60000 AS xm,
+         value_cents AS cents
+  FROM ev
+), s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(xm * xm) AS BIGINT) AS sxx,
+         CAST(sum(xm * cents) AS BIGINT) AS sxy
+  FROM p GROUP BY event_type
+), r AS (
+  SELECT event_type, n, sx, sy,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(slope, 6) AS slope_cents_per_min,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_cents
+FROM r
 """,
         "user_journeys": _SQL_EVENTS + r"""
 SELECT user_id,

@@ -590,6 +590,60 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
     return _pd.DataFrame(out)
 
 
+def grouped_linreg(ds, keys: list[str], x_col: str, y_col: str,
+                   mode: str = "driver"):
+    """Per-key ordinary-least-squares trend (slope + intercept) from EXACT
+    integer partial sums — the telemetry trend-detection aggregate
+    (per-metric rate-of-change over event time).
+
+    Same mergeable shape as ``grouped_corr``: one C++ ``group_by`` per
+    block accumulates (n, Σx, Σy, Σxy, Σx²) as int64, ``merge_partials``
+    finishes (driver mode guarded by ``MAX_DRIVER_ROWS`` with the
+    spill-don't-re-execute fallback; ``mode='partitioned'`` for unbounded
+    key cardinality). The final math runs in float64 with a FIXED
+    operation order — ``slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²)``,
+    ``intercept = (Σy − slope·Σx)/n`` — each int sum cast to double
+    before multiplying, so a SQL oracle spelling the same expression is
+    bit-identical even where the cross products exceed 2⁵³ (both engines
+    round the same IEEE ops the same way); ``round6`` last.
+
+    Callers pass integer x/y scaled so the per-block int64 SUMS cannot
+    overflow (minutes-since-epoch-min × value-cents at the corpus scales
+    here). Output: keys + n + slope + intercept.
+    """
+    import pandas as _pd
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({**{k: batch[k] for k in keys},
+                      "_x": pa.array(x), "_y": pa.array(y),
+                      "_xx": pa.array(x * x), "_xy": pa.array(x * y)})
+        part = t.group_by(keys).aggregate(
+            [("_x", "sum"), ("_y", "sum"), ("_xx", "sum"),
+             ("_xy", "sum"), ("_x", "count")])
+        return part.rename_columns(keys + ["_sx", "_sy", "_sxx",
+                                           "_sxy", "_n"])
+
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    g = merge_partials(partials, keys,
+                       [("_sx", "sum"), ("_sy", "sum"), ("_sxx", "sum"),
+                        ("_sxy", "sum"), ("_n", "sum")], mode=mode)
+    n = g["_n"].to_numpy().astype(np.float64)
+    sx = g["_sx"].to_numpy().astype(np.float64)
+    sy = g["_sy"].to_numpy().astype(np.float64)
+    sxx = g["_sxx"].to_numpy().astype(np.float64)
+    sxy = g["_sxy"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+    out = g[keys].copy()
+    out["n"] = g["_n"].astype("int64")
+    out["slope"] = round6(slope)
+    out["intercept"] = round6(intercept)
+    return _pd.DataFrame(out)
+
+
 def grouped_argmax(ds, keys: list[str], value_col: str, arg_col: str,
                    mode: str = "driver", num_partitions: int = 64):
     """arg-max per key (the row identifier holding the key's maximum

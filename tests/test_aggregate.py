@@ -162,7 +162,7 @@ def test_merge_partials_three_modes_equivalent(monkeypatch):
     must all produce identical frames (the VERDICT-r02 guard unification)."""
     import cardinalhq_otel_collector_ray.stages.aggregate as agg_mod
     from cardinalhq_otel_collector_ray.stages.aggregate import (
-        grouped_corr, grouped_weighted_avg, m4_downsample)
+        grouped_corr, grouped_linreg, grouped_weighted_avg, m4_downsample)
     rng = np.random.default_rng(7)
     n = 400
     t = pa.table({
@@ -185,6 +185,7 @@ def test_merge_partials_three_modes_equivalent(monkeypatch):
         lambda d, mode: m4_downsample(d, ["k"], "ts", "v", 10_000, mode=mode),
         lambda d, mode: grouped_weighted_avg(d, ["k"], "v", "w", mode=mode),
         lambda d, mode: grouped_corr(d, ["k"], "v", "w", mode=mode),
+        lambda d, mode: grouped_linreg(d, ["k"], "ts", "v", mode=mode),
     ):
         base, fallback, part = runs(fn)
         key_cols = [c for c in ("k", "bucket_ms") if c in base.columns]
@@ -202,3 +203,21 @@ def test_merge_partials_rejects_unknown_mode():
     ds = ray.data.from_arrow(pa.table({"k": [1], "v": [1], "w": [1]}))
     with pytest.raises(ValueError, match="unknown merge mode"):
         grouped_weighted_avg(ds, ["k"], "v", "w", mode="coordinator")
+
+
+def test_grouped_linreg_matches_numpy_polyfit():
+    """OLS slope/intercept per key == numpy lstsq on the same points."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_linreg
+    rng = np.random.default_rng(3)
+    n = 300
+    k = rng.integers(0, 3, n).astype("int64")
+    x = rng.integers(0, 1000, n).astype("int64")
+    y = (5 * x + 100 * k + rng.integers(-50, 50, n)).astype("int64")
+    ds = ray.data.from_arrow(pa.table({"k": k, "x": x, "y": y})).repartition(4)
+    out = grouped_linreg(ds, ["k"], "x", "y").set_index("k")
+    for kk in (0, 1, 2):
+        m = k == kk
+        slope, intercept = np.polyfit(x[m].astype(float), y[m].astype(float), 1)
+        assert abs(out.loc[kk, "slope"] - slope) < 1e-4
+        assert abs(out.loc[kk, "intercept"] - intercept) < 1e-2
+        assert out.loc[kk, "n"] == int(m.sum())
