@@ -1628,9 +1628,16 @@ def _q_trend_per_type(sf_dir: str):
     cross products exceed 2^53 (both engines round the same IEEE ops)."""
     from ray.data.aggregate import Min
 
+    from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.aggregate import grouped_linreg
+    # x0 from a dedicated ts-only read (prune at the read) — the full
+    # 5-column _events_ms pipeline must not execute twice for one scalar
+    ts_only = read_table(sf_dir, "events", columns=["ts"]).map_batches(
+        lambda b: pa.table({"ts_ms": pc.divide(b["ts"].cast(pa.int64()),
+                                               1000)}),
+        batch_format="pyarrow")
+    x0 = int(ts_only.aggregate(Min("ts_ms"))["min(ts_ms)"])
     ds = _events_ms(sf_dir)
-    x0 = int(ds.aggregate(Min("ts_ms"))["min(ts_ms)"])
 
     def prep(batch: pa.Table) -> pa.Table:
         xm = pc.divide(pc.subtract(batch["ts_ms"], x0), 60000)

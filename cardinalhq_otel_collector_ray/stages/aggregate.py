@@ -634,9 +634,12 @@ def grouped_linreg(ds, keys: list[str], x_col: str, y_col: str,
     sy = g["_sy"].to_numpy().astype(np.float64)
     sxx = g["_sxx"].to_numpy().astype(np.float64)
     sxy = g["_sxy"].to_numpy().astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        intercept = (sy - slope * sx) / n
+    denom = n * sxx - sx * sx
+    # zero x-variance group: slope undefined — emit NaN, which lands as
+    # NULL/NaN on BOTH sides (DuckDB float x/0 is NULL; fetchdf gives NaN)
+    denom[denom == 0.0] = np.nan
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
     out = g[keys].copy()
     out["n"] = g["_n"].astype("int64")
     out["slope"] = round6(slope)

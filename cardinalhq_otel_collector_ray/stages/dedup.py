@@ -27,6 +27,11 @@ import ray.data
 from ..functions.hashing import round6, stable_str_hash64
 from ..functions.text import char_shingles_u64, list_offsets_values, split_words
 
+# dispatch="grid" builds a driver-side per-block plan; above this many
+# distinct block values the partition dispatch is the right tool instead.
+# Module-level so tests can monkeypatch it to exercise the guard.
+GRID_MAX_BLOCKS = 1_000_000
+
 # ---------------------------------------------------------------- exact dedup
 
 def exact_dedup(ds: ray.data.Dataset, content_col: str, id_col: str,
@@ -957,22 +962,31 @@ def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
             [(block_col, "count")])
         return out.rename_columns([block_col, "_n"])
 
-    parts = [t for t in ds.map_batches(count_blocks, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow") if t.num_rows]
+    # grid mode exists FOR low block cardinality; a million+ distinct
+    # blocks means the per-block plan (driver dict, broadcast) is the
+    # wrong tool — and the partition dispatch already parallelizes that
+    # regime perfectly. The bound is checked WHILE streaming the count
+    # partials (distinct ≤ total partial rows), so the driver never
+    # accumulates an unbounded partial table before noticing.
+    _overflow = ValueError(
+        f"dispatch='grid' saw over {GRID_MAX_BLOCKS} distinct "
+        f"{block_col!r} values; grid targets LOW block cardinality — use "
+        f"the default partition dispatch")
+    parts, total = [], 0
+    for t in ds.map_batches(count_blocks, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            parts.append(t)
+            total += t.num_rows
+            if total > 4 * GRID_MAX_BLOCKS:  # partial rows bound distinct
+                raise _overflow
     if not parts:
         sizes = {}
     else:
         t = pa.concat_tables(parts).group_by([block_col]).aggregate(
             [("_n", "sum")])
-        if t.num_rows > 1_000_000:
-            # grid mode exists FOR low block cardinality; a million+
-            # distinct blocks means the per-block plan (driver dict,
-            # broadcast) is the wrong tool — and the partition dispatch
-            # already parallelizes that regime perfectly
-            raise ValueError(
-                f"dispatch='grid' saw {t.num_rows} distinct {block_col!r} "
-                f"values; grid targets LOW block cardinality — use the "
-                f"default partition dispatch")
+        if t.num_rows > GRID_MAX_BLOCKS:
+            raise _overflow
         sizes = dict(zip(t[block_col].to_pylist(), t["_n_sum"].to_pylist()))
     # C_b per block + global task-id base offsets (base = running sum of
     # C_b*(C_b+1)/2 per block, in sorted-key order for determinism)

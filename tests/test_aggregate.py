@@ -221,3 +221,16 @@ def test_grouped_linreg_matches_numpy_polyfit():
         assert abs(out.loc[kk, "slope"] - slope) < 1e-4
         assert abs(out.loc[kk, "intercept"] - intercept) < 1e-2
         assert out.loc[kk, "n"] == int(m.sum())
+
+
+def test_grouped_linreg_zero_variance_is_null_like():
+    """A zero-x-variance group yields NaN slope/intercept — matching
+    DuckDB, where float division by zero is NULL (NaN in fetchdf)."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_linreg
+    t = pa.table({"k": pa.array([0, 0, 1, 1], type=pa.int64()),
+                  "x": pa.array([5, 5, 1, 2], type=pa.int64()),
+                  "y": pa.array([10, 20, 1, 2], type=pa.int64())})
+    out = grouped_linreg(ray.data.from_arrow(t), ["k"], "x", "y") \
+        .set_index("k")
+    assert np.isnan(out.loc[0, "slope"]) and np.isnan(out.loc[0, "intercept"])
+    assert out.loc[1, "slope"] == 1.0

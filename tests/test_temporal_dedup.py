@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -480,6 +481,21 @@ def test_grid_dispatch_equals_partition_dispatch():
                                  max_block=4).to_pandas() \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(gs) == 66 and (gs["id_a"] < gs["id_b"]).all()
+
+
+def test_grid_cardinality_guard_raises(monkeypatch):
+    """dispatch="grid" must refuse high block cardinality with a clear
+    error pointing at the partition dispatch (threshold monkeypatched
+    low to exercise both the streaming and post-merge checks)."""
+    import cardinalhq_otel_collector_ray.stages.dedup as dedup_mod
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(40)),
+        "lang": [f"b{i}" for i in range(40)],  # 40 distinct blocks
+        "text": ["alpha beta gamma"] * 40}))
+    monkeypatch.setattr(dedup_mod, "GRID_MAX_BLOCKS", 8)
+    with pytest.raises(ValueError, match="partition dispatch"):
+        wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5,
+                              dispatch="grid").to_pandas()
 
 
 def test_exact_pairs_survive_hot_buckets_and_long_docs():
