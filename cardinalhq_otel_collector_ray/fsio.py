@@ -95,7 +95,11 @@ def atomic_output(path: str):
     a partial file; a retried deterministic partition overwrites in
     place). Object stores: write the key directly — PUT-on-close is
     already atomic, and the stream upload is the multipart analog of the
-    reference's transfermanager (``s3_writer.go:54-132``)."""
+    reference's transfermanager (``s3_writer.go:54-132``). If the writer
+    raises mid-stream, the close() that the ``with`` triggers would still
+    COMPLETE the multipart upload and commit a truncated object, so the
+    error path closes and then deletes the partially-committed key before
+    re-raising — readers listing the sink root never keep a partial."""
     fs, p = resolve_fs(path)
     # parent create is a no-op on real object stores (keys, not dirs) but
     # required by dir-ful filesystems reached through fsspec
@@ -106,8 +110,21 @@ def atomic_output(path: str):
             yield f
         fs.move(tmp, p)
     else:
-        with fs.open_output_stream(p) as f:
+        f = fs.open_output_stream(p)
+        try:
             yield f
+        except BaseException:
+            try:
+                f.close()  # commits a truncated object …
+            except Exception:
+                pass
+            try:
+                fs.delete_file(p)  # … which we immediately remove
+            except Exception:
+                pass
+            raise
+        else:
+            f.close()
 
 
 def write_bytes_atomic(path: str, data: bytes) -> None:

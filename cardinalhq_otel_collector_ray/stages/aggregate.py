@@ -129,10 +129,19 @@ def driver_merge_stream(partials: ray.data.Dataset, group_cols: list[str],
 
 def merge_partials(partials: ray.data.Dataset, group_cols: list[str],
                    spec: list[tuple[str, str]], *, mode: str = "driver",
-                   num_partitions: int = 64):
+                   num_partitions: int = 64, as_dataset: bool = False):
     """Finish a two-phase aggregate over skinny per-block partials: merge
     by ``group_cols`` with ``spec = [(col, 'sum'|'min'|'max'), ...]``,
     returning a pandas DataFrame with the SAME column names.
+
+    RETURN CONTRACT: the default return is a DRIVER-side DataFrame, so the
+    grouped result must fit on the driver — callers own that cardinality
+    bound. ``mode='driver'``'s spill keeps the MERGE memory O(groups), but
+    an over-``MAX_DRIVER_ROWS`` grouped result still lands in the driver
+    process at the final ``to_pandas``. Callers whose group cardinality
+    can exceed the cap (unbounded keys at 100 TB) must pass
+    ``as_dataset=True``: the merged result comes back as a (distributed)
+    ``ray.data.Dataset`` with identical columns and never concentrates.
 
     Every mergeable-partial aggregate here shares this last step; the
     scale contract lives in one place:
@@ -159,12 +168,17 @@ def merge_partials(partials: ray.data.Dataset, group_cols: list[str],
             out = t.group_by(group_cols).aggregate(spec)
             return out.rename_columns(group_cols + names)
 
-        return (partials.map_batches(add_part, batch_format="pyarrow")
-                .groupby("_apart").map_groups(per_part, batch_format="pyarrow")
-                .to_pandas())
+        merged = (partials.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("_apart").map_groups(per_part,
+                                                batch_format="pyarrow"))
+        return merged if as_dataset else merged.to_pandas()
     if mode != "driver":
         raise ValueError(f"unknown merge mode {mode!r}; "
                          "known: ['driver', 'partitioned']")
+    if as_dataset:
+        # distributed end-to-end: never pull partials through the driver
+        return merge_partials(partials, group_cols, spec, mode="partitioned",
+                              num_partitions=num_partitions, as_dataset=True)
     out = driver_merge_stream(partials, group_cols, spec,
                               num_partitions=num_partitions)
     if out is None:  # empty stream: typed empty frame from plan metadata

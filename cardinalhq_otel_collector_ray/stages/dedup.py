@@ -892,16 +892,33 @@ def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
 
 # ------------------------------------------------- word-set Jaccard (exact)
 
+def _drop_null_blocks(b: pa.Table, block_col: str) -> pa.Table:
+    """Drop rows whose block key is null BEFORE pair dispatch.
+
+    A null block value would otherwise turn into garbage indices after
+    ``dictionary_encode`` → ``to_numpy().astype(int64)`` (silently wrong
+    task/partition assignment). SQL pair semantics agree: a self-join
+    ``ON a.block = b.block`` never matches NULL, so null-block rows can
+    produce no pairs — dropping them is the oracle-consistent behavior."""
+    col = b[block_col]
+    if col.null_count:
+        b = b.filter(pc.is_valid(col))
+    return b
+
+
 def _block_part_tags(col, partitions: int) -> np.ndarray:
     """Deterministic int32 partition tag for a block-key column (int or
     string). Dispatch for blocked pair generation is ``hash(block) % P`` —
     O(P) Ray tasks regardless of block cardinality (the same shape as
     ``_bucketed_pairs``), never one ``map_groups`` call per distinct block
     value. String keys hash via crc32 of UTF-8 over the per-batch
-    dictionary (O(distinct-per-batch) Python, O(rows) numpy gather)."""
+    dictionary (O(distinct-per-batch) Python, O(rows) numpy gather).
+    Callers must have dropped null block values (``_drop_null_blocks``)."""
     from ..functions.hashing import part_tags
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("null block values must be dropped before dispatch")
     if pa.types.is_integer(col.type):
         return part_tags(col.to_numpy(zero_copy_only=False), partitions)
     import zlib
@@ -958,6 +975,7 @@ def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
 
     # per-block row counts (skinny partial -> driver merge)
     def count_blocks(b: pa.Table) -> pa.Table:
+        b = _drop_null_blocks(b, block_col)
         out = b.select([block_col]).group_by([block_col]).aggregate(
             [(block_col, "count")])
         return out.rename_columns([block_col, "_n"])
@@ -965,29 +983,39 @@ def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
     # grid mode exists FOR low block cardinality; a million+ distinct
     # blocks means the per-block plan (driver dict, broadcast) is the
     # wrong tool — and the partition dispatch already parallelizes that
-    # regime perfectly. The bound is checked WHILE streaming the count
-    # partials (distinct ≤ total partial rows), so the driver never
-    # accumulates an unbounded partial table before noticing.
+    # regime perfectly. The bound is checked on COMPACTED cardinality:
+    # partials are group_by-merged whenever the streamed buffer outgrows
+    # 4×GRID_MAX_BLOCKS rows (the driver_merge_stream shape), so B blocks
+    # × D-distinct-per-block never trips a spurious overflow and the
+    # driver never holds an unbounded partial table.
     _overflow = ValueError(
         f"dispatch='grid' saw over {GRID_MAX_BLOCKS} distinct "
         f"{block_col!r} values; grid targets LOW block cardinality — use "
         f"the default partition dispatch")
-    parts, total = [], 0
+
+    def _compact(tables: list) -> pa.Table:
+        t = pa.concat_tables(tables).group_by([block_col]).aggregate(
+            [("_n", "sum")])
+        return t.rename_columns([block_col, "_n"])
+
+    parts, buffered = [], 0
     for t in ds.map_batches(count_blocks, batch_format="pyarrow") \
                .iter_batches(batch_format="pyarrow"):
         if t.num_rows:
             parts.append(t)
-            total += t.num_rows
-            if total > 4 * GRID_MAX_BLOCKS:  # partial rows bound distinct
-                raise _overflow
+            buffered += t.num_rows
+            if buffered > 4 * GRID_MAX_BLOCKS:
+                parts = [_compact(parts)]
+                buffered = parts[0].num_rows
+                if buffered > GRID_MAX_BLOCKS:  # true distinct count
+                    raise _overflow
     if not parts:
         sizes = {}
     else:
-        t = pa.concat_tables(parts).group_by([block_col]).aggregate(
-            [("_n", "sum")])
+        t = _compact(parts)
         if t.num_rows > GRID_MAX_BLOCKS:
             raise _overflow
-        sizes = dict(zip(t[block_col].to_pylist(), t["_n_sum"].to_pylist()))
+        sizes = dict(zip(t[block_col].to_pylist(), t["_n"].to_pylist()))
     # C_b per block + global task-id base offsets (base = running sum of
     # C_b*(C_b+1)/2 per block, in sorted-key order for determinism)
     plan: dict = {}
@@ -1000,6 +1028,7 @@ def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
 
     def replicate(b: pa.Table) -> pa.Table:
         p = _ray.get(plan_ref)
+        b = _drop_null_blocks(b, block_col)
         enc = b[block_col]
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
@@ -1187,6 +1216,7 @@ def wordset_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                          "known: ['partition', 'grid']")
 
     def add_part(b: pa.Table) -> pa.Table:
+        b = _drop_null_blocks(b, block_col)
         return b.append_column(
             "_part", pa.array(_block_part_tags(b[block_col], partitions)))
 
@@ -1276,6 +1306,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str, id_col: str,
                          "known: ['partition', 'grid']")
 
     def add_part(b: pa.Table) -> pa.Table:
+        b = _drop_null_blocks(b, block_col)
         return b.append_column(
             "_part", pa.array(_block_part_tags(b[block_col], partitions)))
 

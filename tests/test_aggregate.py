@@ -234,3 +234,26 @@ def test_grouped_linreg_zero_variance_is_null_like():
         .set_index("k")
     assert np.isnan(out.loc[0, "slope"]) and np.isnan(out.loc[0, "intercept"])
     assert out.loc[1, "slope"] == 1.0
+
+
+def test_merge_partials_as_dataset_stays_distributed():
+    """as_dataset=True returns a Dataset with identical content and never
+    pulls the merged result through the driver (the ADVICE-r3 contract for
+    overflow-prone callers) — both modes."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import merge_partials
+    rng = np.random.default_rng(3)
+    n = 300
+    partials = ray.data.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 7, n).astype("int64")),
+        "s": pa.array(rng.integers(0, 100, n).astype("int64")),
+        "mx": pa.array(rng.integers(0, 100, n).astype("int64")),
+    })).repartition(5)
+    spec = [("s", "sum"), ("mx", "max")]
+    want = merge_partials(partials, ["k"], spec, mode="driver") \
+        .sort_values("k").reset_index(drop=True)
+    for mode in ("driver", "partitioned"):
+        got = merge_partials(partials, ["k"], spec, mode=mode,
+                             as_dataset=True)
+        assert isinstance(got, ray.data.Dataset)
+        gdf = got.to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(gdf[want.columns], want)

@@ -193,3 +193,20 @@ def test_compaction_over_fsspec_root(sf_dir, uri_roots):
                                     key_col="doc_id", route_col="route",
                                     tokens_len_col="n_tok", resume=True))
     assert entries2 == []
+
+
+def test_atomic_output_error_deletes_partial_object():
+    """Object-store branch: if the writer raises mid-stream, close() would
+    commit a truncated object — the error path must delete it so readers
+    listing the root never observe a partial (ADVICE r3)."""
+    root = "memory://fsio-unit/partial"
+    p = fsio.join(root, "part-000.bin")
+    with pytest.raises(RuntimeError, match="boom"):
+        with fsio.atomic_output(p) as f:
+            f.write(b"half a payl")
+            raise RuntimeError("boom")
+    assert not fsio.exists(p)
+    assert fsio.list_files(root) == []
+    # a successful write afterwards still lands normally
+    fsio.write_bytes_atomic(p, b"full")
+    assert fsio.read_bytes(p) == b"full"

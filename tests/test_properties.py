@@ -374,9 +374,15 @@ def test_grid_dispatch_equivalence_randomized(ray_session, nblocks,
         {"doc_id": ids, "blk": blocks, "text": texts}))
 
     def run(**kw):
-        return wordset_jaccard_pairs(ds, "text", "doc_id", "blk",
-                                     threshold=0.4, **kw).to_pandas() \
-            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        df = wordset_jaccard_pairs(ds, "text", "doc_id", "blk",
+                                   threshold=0.4, **kw).to_pandas()
+        if df.empty:
+            # zero pairs: Ray drops all-empty blocks, losing the schema —
+            # normalize so both dispatches compare equal
+            df = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                               "id_b": pd.Series([], dtype="int64"),
+                               "jaccard": pd.Series([], dtype="float64")})
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     base = run()
     grid = run(dispatch="grid", max_block=max_block)

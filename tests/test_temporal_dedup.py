@@ -595,3 +595,58 @@ def test_blocked_pairs_invariant_at_high_block_cardinality():
     got = eouts[64]
     assert len(got) == n_blocks
     assert (got["id_b"] - got["id_a"] == 1).all()
+
+
+def test_null_block_rows_are_dropped_both_dispatches():
+    """Null block values produce no pairs (SQL: a self-join ON block never
+    matches NULL) and must not corrupt task assignment — previously a null
+    dictionary index turned into a garbage chunk index after astype(int64).
+    Both dispatches must agree with the null-free corpus."""
+    from cardinalhq_otel_collector_ray.stages.dedup import wordset_jaccard_pairs
+    ids = list(range(9))
+    texts = ["alpha beta gamma delta epsilon"] * 9
+    blocks = ["en", "en", None, "en", None, "en", "de", "de", None]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": ids, "lang": blocks, "text": texts}))
+    clean = ray.data.from_arrow(pa.table({
+        "doc_id": [i for i, b in zip(ids, blocks) if b is not None],
+        "lang": [b for b in blocks if b is not None],
+        "text": ["alpha beta gamma delta epsilon"] * 6}))
+
+    def run(d, **kw):
+        return wordset_jaccard_pairs(d, "text", "doc_id", "lang",
+                                     threshold=0.5, **kw).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    want = run(clean)
+    assert len(want) == 6 + 1  # C(4,2) en pairs + C(2,2) de pair
+    pd.testing.assert_frame_equal(run(ds), want)
+    pd.testing.assert_frame_equal(run(ds, dispatch="grid", max_block=2), want)
+
+
+def test_grid_guard_compacts_repeated_blocks(monkeypatch):
+    """B input blocks × D distinct-per-batch must NOT trip the grid
+    cardinality guard when the true distinct count is far below the cap:
+    the streamed count partials are group_by-compacted, not raw-counted."""
+    import cardinalhq_otel_collector_ray.stages.dedup as dd
+    monkeypatch.setattr(dd, "GRID_MAX_BLOCKS", 8)
+    # 64 single-row input blocks over only 4 distinct block values:
+    # cumulative partial rows (64) >> 4*cap (32), distinct (4) << cap (8)
+    n = 64
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(n)),
+        "lang": [f"b{i % 4}" for i in range(n)],
+        "text": ["alpha beta gamma delta"] * n})).repartition(n)
+    out = dd.wordset_jaccard_pairs(ds, "text", "doc_id", "lang",
+                                   threshold=0.9, dispatch="grid",
+                                   max_block=8).to_pandas()
+    assert len(out) == 4 * (16 * 15 // 2)  # all-pairs within each block
+    # and the guard still fires on TRUE high cardinality
+    hot = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(40)),
+        "lang": [f"u{i}" for i in range(40)],
+        "text": ["alpha beta"] * 40}))
+    with pytest.raises(ValueError, match="distinct"):
+        dd.wordset_jaccard_pairs(hot, "text", "doc_id", "lang",
+                                 threshold=0.9, dispatch="grid",
+                                 max_block=8).to_pandas()
