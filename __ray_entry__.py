@@ -988,7 +988,7 @@ def _q_semdedup(sf_dir: str):
 
     parts = flags.map_batches(pre, batch_format="pyarrow")
     merged = pa.concat_tables(
-        list(parts.iter_batches(batch_format="pyarrow")),
+        list(parts.iter_batches(batch_format="pyarrow", batch_size=None)),
         promote_options="default")
     out = (merged.group_by("cell")
            .aggregate([("_n", "sum"), ("_k", "sum")]).to_pandas()
@@ -1230,7 +1230,7 @@ def _q_distinct_tokens(sf_dir: str):
         return t.group_by(["source", "token"]).aggregate([])
 
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
-    merged = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow")),
+    merged = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow", batch_size=None)),
                               promote_options="default")
     dedup = merged.group_by(["source", "token"]).aggregate([])
     out = dedup.group_by(["source"]).aggregate([("token", "count")])
@@ -1272,7 +1272,7 @@ def _q_token_frequencies(sf_dir: str):
         return part.rename_columns(["token", "_n"])
 
     partials = ds.map_batches(counts, batch_format="pyarrow")
-    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")),
+    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow", batch_size=None)),
                               promote_options="default")
     out = merged.group_by(["token"]).aggregate([("_n", "sum")])
     return pa.table({"token": out["token"].cast(pa.int32()),
@@ -1397,7 +1397,7 @@ def _q_tail_sampling(sf_dir: str):
         return t.select(["user_id"])
     users = set()
     for b in err.map_batches(error_users, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         users.update(b["user_id"].to_pylist())
     return semi_join(ds, users, on="user_id")
 

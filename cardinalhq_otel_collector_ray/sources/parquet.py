@@ -29,9 +29,13 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
         # non-tiny files so downstream groupby/map_groups stages keep
         # shuffle parallelism. Large inputs: size ≫ TARGET_BLOCK_BYTES, so
         # the byte-based count dominates and matches Ray's own splitting.
+        # The floor kicks in at 256 KiB COMPRESSED: parquet text compresses
+        # ~4-5×, and per-doc kernels (minhash, shingling) carry seconds of
+        # CPU per decompressed MB — a sub-MiB file can still be the
+        # pipeline's dominant compute and must not collapse to one task.
         size = fsio.file_size(path)
         by_bytes = max(1, -(-size // TARGET_BLOCK_BYTES))
-        kwargs["override_num_blocks"] = max(by_bytes, 8) if size >= (1 << 20) else by_bytes
+        kwargs["override_num_blocks"] = max(by_bytes, 8) if size >= (256 << 10) else by_bytes
     if "://" in path and not fsio.is_local(path):
         fs, internal = fsio.resolve_fs(path)
         return ray.data.read_parquet(internal, filesystem=fs, columns=columns,

@@ -38,7 +38,7 @@ def build_vocab(sf_dir: str) -> dict[str, int]:
 
     parts = ds.map_batches(batch_distinct, batch_format="pyarrow")
     vocab_words = set()
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         vocab_words.update(b["word"].to_pylist())
     vocab_words.discard("")
     return {w: i for i, w in enumerate(sorted(vocab_words))}

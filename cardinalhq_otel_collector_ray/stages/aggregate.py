@@ -88,7 +88,7 @@ def driver_merge_stream(partials: ray.data.Dataset, group_cols: list[str],
     limit = max(MAX_DRIVER_ROWS // 4, 1)
     buf, rows, refs = [], 0, []
     acc_rows = 0  # rows of the compacted head (buf[0] after a compaction)
-    for b in partials.iter_batches(batch_format="pyarrow"):
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
         if b.num_rows == 0:
             continue
         buf.append(b.select(group_cols + cols))

@@ -142,7 +142,7 @@ def deterministic_sample_matrix(ds: ray.data.Dataset, feature_cols: list[str],
 
     small = (ds.select_columns([id_col] + feature_cols)
                .map_batches(keep, batch_format="pyarrow"))
-    tbl = pa.concat_tables(list(small.iter_batches(batch_format="pyarrow")),
+    tbl = pa.concat_tables(list(small.iter_batches(batch_format="pyarrow", batch_size=None)),
                            promote_options="default")
     tbl = tbl.sort_by(id_col)  # order-independent of block arrival
     return np.column_stack([

@@ -64,7 +64,7 @@ def word_frequencies(ds: ray.data.Dataset, text_col: str = "text",
 
     merged = list(partials.groupby("_part")
                   .map_groups(merge, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow"))
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
     if not merged:
         return pa.table({"word": pa.array([], pa.string()),
                          "freq": pa.array([], pa.int64())})

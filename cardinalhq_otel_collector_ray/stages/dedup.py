@@ -202,7 +202,7 @@ def hot_bucket_keys(index: ray.data.Dataset, key: str,
     hot = partials.groupby("_part").map_groups(per_part,
                                                batch_format="pyarrow")
     arrs = [b[key].to_numpy(zero_copy_only=False)
-            for b in hot.iter_batches(batch_format="pyarrow") if b.num_rows]
+            for b in hot.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
     return np.sort(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.int64)
 
 
@@ -249,7 +249,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str, *,
     hasher = MinHasher(text_col, id_col, k_shingle=k_shingle,
                        num_perm=num_perm, bands=bands, seed=seed,
                        max_bytes=max_bytes)
-    index = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    # batch_size=None: one task per upstream block — a row-count batch
+    # size would BUNDLE blocks into one task (CLAUDE.md gotcha) and
+    # serialize the heaviest compute in the pipeline (num_perm universal-
+    # hash passes over every shingle)
+    index = ds.map_batches(hasher, batch_format="pyarrow", batch_size=None)
     # The index is consumed twice (bucket counts, then the filtered pair
     # pass) and is tiny relative to the input (ids + band keys + sigs) —
     # materialize so the shingle/minhash work runs ONCE.
@@ -489,7 +493,7 @@ def exact_shingle_jaccard_verify(
 
     id_blocks = [b["id"].to_numpy(zero_copy_only=False)
                  for b in pairs.map_batches(pair_ids, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow") if b.num_rows]
+                 .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
     cand = (np.unique(np.concatenate(id_blocks)) if id_blocks
             else np.empty(0, dtype=np.int64))
     cand_ref = _ray.put(cand)
@@ -509,14 +513,14 @@ def exact_shingle_jaccard_verify(
                 type=pa.int64())}),
             batch_format="pyarrow")
         set_bytes = sum(int(b["n"][0].as_py())
-                        for b in sizes.iter_batches(batch_format="pyarrow")
+                        for b in sizes.iter_batches(batch_format="pyarrow", batch_size=None)
                         if b.num_rows)
 
     if len(cand) <= max_driver_docs and set_bytes <= max_driver_bytes:
         # broadcast path: ONE dict of candidate sets in plasma, node-local
         # lazy ray.get inside every verify task
         table: dict[int, np.ndarray] = {}
-        for b in sets.iter_batches(batch_format="pyarrow"):
+        for b in sets.iter_batches(batch_format="pyarrow", batch_size=None):
             ids = b["id"].to_pylist()
             for i, blob in enumerate(b["codes"]):
                 table[ids[i]] = np.frombuffer(blob.as_py(), dtype=np.uint64)
@@ -864,7 +868,7 @@ def cluster_pairs(pairs_ds: ray.data.Dataset, id_a: str = "id_a",
     min-id-root output.
     """
     ia_parts, ib_parts = [], []
-    for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
+    for batch in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         if batch.num_rows:
             ia_parts.append(batch[id_a].to_numpy(zero_copy_only=False))
             ib_parts.append(batch[id_b].to_numpy(zero_copy_only=False))
@@ -1000,7 +1004,7 @@ def _grid_replicate(ds: ray.data.Dataset, block_col: str, id_col: str,
 
     parts, buffered = [], 0
     for t in ds.map_batches(count_blocks, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         if t.num_rows:
             parts.append(t)
             buffered += t.num_rows

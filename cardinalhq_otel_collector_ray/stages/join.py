@@ -174,7 +174,7 @@ def build_bloom_filter(ds: ray.data.Dataset, on: str,
     merged = partials.map_batches(or_merge, batch_format="pyarrow",
                                   batch_size=32)
     acc = np.zeros(n_words, dtype=np.uint64)
-    for b in merged.iter_batches(batch_format="pyarrow"):
+    for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
         for buf in b["bm"]:
             acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
     return acc

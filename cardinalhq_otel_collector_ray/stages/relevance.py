@@ -58,7 +58,7 @@ def corpus_stats(ds: ray.data.Dataset,
                          "_freq": pa.array(c_fr.astype(np.int64))})
 
     partials = ds.map_batches(block_stats, batch_format="pyarrow")
-    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")),
+    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow", batch_size=None)),
                               promote_options="default")
     out = merged.group_by("token").aggregate([("_df", "sum"), ("_freq", "sum")])
     return pa.table({"token": out["token"].cast(pa.int32()),
@@ -183,7 +183,7 @@ def bigram_counts(ds: ray.data.Dataset,
             "_c": pa.array(c.astype(np.int64))})
 
     partials = ds.map_batches(block, batch_format="pyarrow")
-    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")),
+    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow", batch_size=None)),
                               promote_options="default")
     out = merged.group_by(["prev", "cur"]).aggregate([("_c", "sum")])
     return pa.table({"prev": out["prev"], "cur": out["cur"],
@@ -270,7 +270,7 @@ def frequent_ngrams(ds: ray.data.Dataset, n: int, min_count: int,
     hot = partials.groupby("_part").map_groups(merge, batch_format="pyarrow")
     keys = np.sort(np.concatenate(
         [b["key"].to_numpy(zero_copy_only=False)
-         for b in hot.iter_batches(batch_format="pyarrow")] or
+         for b in hot.iter_batches(batch_format="pyarrow", batch_size=None)] or
         [np.empty(0, np.int64)]))
     return keys
 
@@ -514,7 +514,7 @@ def dsir_weights(ds: ray.data.Dataset, vocab_size: int,
 
     merged = list(partials.groupby("_part")
                   .map_groups(merge, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow"))
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
     counts = (pa.concat_tables(merged, promote_options="default") if merged
               else pa.table({"bucket": pa.array([], pa.int32()),
                              "flag": pa.array([], pa.int32()),

@@ -206,7 +206,7 @@ def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
 
     merged = HyperLogLog(p)
     for b in ds.map_batches(sketch, batch_format="pandas") \
-               .iter_batches(batch_format="pandas"):
+               .iter_batches(batch_format="pandas", batch_size=None):
         for s in b["sketch"]:
             merged = merged.merge(HyperLogLog.from_bytes(s, p))
     return merged.estimate()
@@ -351,7 +351,7 @@ def approx_heavy_hitters(ds: ray.data.Dataset, column: str, k: int,
 
     merged = SpaceSaving(sketch_k)
     for b in ds.map_batches(block, batch_format="pandas") \
-               .iter_batches(batch_format="pandas"):
+               .iter_batches(batch_format="pandas", batch_size=None):
         for val_b, cnt_b, err_b in zip(b["val"], b["cnt"], b["err"]):
             items = {int(v): [int(c), int(e)] for v, c, e in zip(
                 np.frombuffer(val_b, dtype=np.int64),
