@@ -195,7 +195,8 @@ def run_queries(sf_dir: str) -> dict:
              "join_composite", "followed_by_pairs", "neardup_cluster_sizes",
              "period_over_period", "dsir_weights", "semdedup", "bpe_merges",
              "bpe_encode", "dup_ngram_fraction", "gopher_rules", "global_rank",
-             "exact_quantiles", "global_percentile"]
+             "exact_quantiles", "global_percentile",
+             "multimodal_decode", "audio_decode", "drain_templates"]
     qs = entrymod.queries()
     out = {}
     import ray.data

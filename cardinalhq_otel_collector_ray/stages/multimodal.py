@@ -2,11 +2,15 @@
 
 Image/audio/video payloads are treated as opaque Arrow ``binary`` columns
 flowing zero-copy through the pipeline; decode / feature-extract stages are
-actor pools (decoder state loaded once per actor in ``__init__``). The
-actual codec libraries (PIL / torchaudio / av) are NOT in this container,
-so the decode kernel is gated behind an import-try with a clearly-marked
-deterministic fallback — the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is real and tested.
+actor pools (decoder state loaded once per actor in ``__init__``).
+
+Codecs: **BMP (24-bpp uncompressed) and WAV (PCM) decode for REAL with
+stdlib only** — a BMP header/pixel parse over the flat Arrow binary buffer
+and the ``wave`` module respectively; BMP resize is a real numpy
+nearest-neighbor kernel. Formats that need third-party libraries
+(JPEG/PNG/MP3/MP4 via PIL / av, absent in this container) fall back to the
+import-try gate with a clearly-marked deterministic fake; ``strict=True``
+raises on any payload the stage cannot REALLY decode.
 
 Batch sizing: large payloads need SMALL batches so
 ``batch_size × payload × concurrency`` fits the worker heap — pass
@@ -15,11 +19,69 @@ Batch sizing: large payloads need SMALL batches so
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import round6
+
+
+# --- deterministic payload synthesis (tests + driver-checked queries) ------
+
+def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A valid 24-bpp bottom-up BMP whose pixel bytes are a deterministic
+    function of (x, y, seed) — REAL, decodable by any image library."""
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    pix_size = row_bytes * height
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + pix_size, 0, 0, 54,        # file header
+        40, width, height, 1, 24, 0, pix_size,  # BITMAPINFOHEADER
+        2835, 2835, 0, 0)
+    x = np.arange(row_bytes, dtype=np.uint64)[None, :]
+    y = np.arange(height, dtype=np.uint64)[:, None]
+    pix = ((x * np.uint64(31) + y * np.uint64(97) + np.uint64(seed))
+           % np.uint64(256)).astype(np.uint8)
+    return header + pix.tobytes()
+
+
+def synth_wav(n_frames: int, rate: int = 8000, channels: int = 1,
+              seed: int = 0) -> bytes:
+    """A valid PCM WAV (16-bit) with deterministic sample values, written
+    through the stdlib ``wave`` codec itself."""
+    import io
+    import wave
+    samples = ((np.arange(n_frames * channels, dtype=np.int64) * 73 + seed)
+               % 2003 - 1001).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _flat_binary(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) views over a binary column's flat buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.large_binary())
+    n = len(col)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset: col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return offsets, data
+
+
+def _gather_le(data: np.ndarray, pos: np.ndarray, nbytes: int) -> np.ndarray:
+    """Vectorized little-endian integer gather at byte positions ``pos``."""
+    out = np.zeros(len(pos), dtype=np.int64)
+    for j in range(nbytes):
+        out |= data[pos + j].astype(np.int64) << (8 * j)
+    return out
 
 
 def attach_binary_payload(ds: ray.data.Dataset, text_col: str = "text",
@@ -35,10 +97,15 @@ def attach_binary_payload(ds: ray.data.Dataset, text_col: str = "text",
 
 
 class ImageDecoder:
-    """Actor-pool decode stage. Real codec if available, else a
-    deterministic fake: 'width' = byte length, 'height' = first byte,
-    'mode' = 'FAKE'. Raises NotImplementedError in strict mode when no
-    codec library exists."""
+    """Actor-pool decode stage.
+
+    BMP payloads decode for REAL (vectorized header parse over the flat
+    Arrow binary buffer — width/height/bpp from BITMAPINFOHEADER, no
+    third-party codec, no per-row Python). Other formats go to PIL when
+    available, else the deterministic fake ('width' = byte length,
+    'height' = first byte, 'mode' = 'FAKE'). ``strict=True`` raises
+    NotImplementedError on any payload that cannot be REALLY decoded
+    (non-BMP without PIL)."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -47,40 +114,109 @@ class ImageDecoder:
             self._pil = Image
         except ImportError:
             self._pil = None
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL, which is not installed; "
-                    "run with strict=False for the deterministic fake")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
-        if self._pil is not None:
-            import io
-            widths, heights, modes = [], [], []
-            for b in payload.to_pylist():
-                img = self._pil.open(io.BytesIO(b))
-                widths.append(img.width); heights.append(img.height); modes.append(img.mode)
-            w = np.asarray(widths, dtype=np.int64); h = np.asarray(heights, dtype=np.int64)
-            m = np.asarray(modes, dtype=object)
-        else:
-            # deterministic fake decode — byte length + first byte,
-            # read straight from the binary buffers (no Python bytes)
-            lb = payload.cast(pa.large_binary())
-            n = len(lb)
-            offs = np.frombuffer(lb.buffers()[1], dtype=np.int64)[
-                lb.offset: lb.offset + n + 1]
-            data = np.frombuffer(lb.buffers()[2], dtype=np.uint8)
-            lens = np.diff(offs)
-            firsts = np.zeros(n, dtype=np.int64)
-            nz = lens > 0
-            firsts[nz] = data[offs[:-1][nz]]
-            w, h = lens.astype(np.int64), firsts
-            m = np.full(n, "FAKE", dtype=object)
+        offs, data = _flat_binary(payload)
+        n = len(offs) - 1
+        lens = np.diff(offs)
+        # format sniff: 'BM' magic + full 54-byte header present
+        is_bmp = lens >= 54
+        if is_bmp.any():
+            p = offs[:-1][is_bmp]
+            is_bmp[is_bmp] = (data[p] == 0x42) & (data[p + 1] == 0x4D)
+        w = np.zeros(n, dtype=np.int64)
+        h = np.zeros(n, dtype=np.int64)
+        m = np.full(n, "FAKE", dtype=object)
+        if is_bmp.any():
+            p = offs[:-1][is_bmp]
+            bw = _gather_le(data, p + 18, 4)
+            bh = _gather_le(data, p + 22, 4)
+            bpp = _gather_le(data, p + 28, 2)
+            # int32 sign (top-down BMPs store negative height)
+            bw = (bw.astype(np.uint32)).astype(np.int32).astype(np.int64)
+            bh = np.abs((bh.astype(np.uint32)).astype(np.int32)).astype(np.int64)
+            w[is_bmp], h[is_bmp] = bw, bh
+            m[is_bmp] = [f"BMP{b}" for b in bpp]
+        rest = ~is_bmp
+        if rest.any():
+            if self._pil is not None:  # pragma: no cover - no PIL here
+                import io
+                for i in np.flatnonzero(rest):
+                    img = self._pil.open(io.BytesIO(
+                        data[offs[i]:offs[i + 1]].tobytes()))
+                    w[i], h[i], m[i] = img.width, img.height, img.mode
+            elif self.strict:
+                raise NotImplementedError(
+                    f"{int(rest.sum())} payload(s) are not BMP and PIL is "
+                    "not installed; run with strict=False for the "
+                    "deterministic fake")
+            else:
+                # deterministic fake — byte length + first byte, straight
+                # from the flat buffer (no Python bytes)
+                firsts = np.zeros(n, dtype=np.int64)
+                nz = rest & (lens > 0)
+                firsts[nz] = data[offs[:-1][nz]]
+                w[rest] = lens[rest]
+                h[rest] = firsts[rest]
         batch = batch.append_column("width", pa.array(w))
         batch = batch.append_column("height", pa.array(h))
         return batch.append_column("mode", pa.array(m, type=pa.string()))
+
+
+class AudioDecoder:
+    """Actor-pool WAV decode stage — the REAL stdlib ``wave`` codec.
+    Output per row: sample_rate, n_channels, n_frames, duration_us
+    (= n_frames * 1_000_000 // rate, exact integer so the SQL oracle can
+    reproduce it). Non-WAV payloads: zeros + codec='FAKE' (``strict=True``
+    raises)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(payload)
+        rate = np.zeros(n, dtype=np.int64)
+        chans = np.zeros(n, dtype=np.int64)
+        frames = np.zeros(n, dtype=np.int64)
+        codec = np.full(n, "FAKE", dtype=object)
+        for i in range(n):
+            b = payload[i].as_py()
+            if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                with wave.open(io.BytesIO(b)) as w:
+                    rate[i] = w.getframerate()
+                    chans[i] = w.getnchannels()
+                    frames[i] = w.getnframes()
+                codec[i] = "PCM"
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload is not a RIFF/WAVE container; run with "
+                    "strict=False for the zero-stamped fake")
+        dur = np.where(rate > 0, frames * 1_000_000 // np.maximum(rate, 1), 0)
+        batch = batch.append_column("sample_rate", pa.array(rate))
+        batch = batch.append_column("n_channels", pa.array(chans))
+        batch = batch.append_column("n_frames", pa.array(frames))
+        batch = batch.append_column("duration_us", pa.array(dur))
+        return batch.append_column("codec", pa.array(codec, type=pa.string()))
+
+
+def audio_decode_stage(ds: ray.data.Dataset, concurrency: int | None = None,
+                       batch_size: int = 256, strict: bool = False
+                       ) -> ray.data.Dataset:
+    """WAV decode over a binary ``payload`` column (see ``AudioDecoder``)."""
+    if concurrency is None:
+        return ds.map_batches(AudioDecoder(strict=strict),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(AudioDecoder, fn_constructor_kwargs={"strict": strict},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
 
 
 def decode_stage(ds: ray.data.Dataset, concurrency: int | None = None,
@@ -132,34 +268,74 @@ def byte_histogram_features(ds: ray.data.Dataset, payload_col: str = "payload",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _bmp_resize_nn(b: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bpp uncompressed BMP — numpy
+    index-map over the pixel array, re-encoded as a fresh 24-bpp BMP."""
+    (w,) = struct.unpack_from("<i", b, 18)
+    (h_signed,) = struct.unpack_from("<i", b, 22)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    if bpp != 24:
+        raise NotImplementedError(f"BMP resize supports 24-bpp only, got {bpp}")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    pix = np.frombuffer(b, dtype=np.uint8,
+                        count=row_bytes * h, offset=data_off)
+    pix = pix.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    out = pix[ys][:, xs]                       # (th, tw, 3) gather
+    out_row = (tw * 3 + 3) & ~3
+    padded = np.zeros((th, out_row), dtype=np.uint8)
+    padded[:, : tw * 3] = out.reshape(th, tw * 3)
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + padded.size, 0, 0, 54,
+        40, tw, th if h_signed >= 0 else -th, 1, 24, 0, padded.size,
+        2835, 2835, 0, 0)
+    return header + padded.tobytes()
+
+
 class ImageResizer:
-    """Actor-pool resize stage — plumbing real (schema, batch sizing, actor
-    signature), pixel math gated behind the codec import like the decoder:
-    without PIL it stamps the TARGET dims and passes the payload through
-    untouched (strict=True raises)."""
+    """Actor-pool resize stage. 24-bpp BMP payloads resize for REAL
+    (numpy nearest-neighbor, stdlib-only re-encode); other formats go to
+    PIL when available, else pass through untouched with the TARGET dims
+    stamped (``strict=True`` raises on payloads that cannot be REALLY
+    resized)."""
 
     def __init__(self, width: int, height: int, strict: bool = False):
         self.width, self.height = width, height
+        self.strict = strict
         try:
             from PIL import Image  # noqa: F401
             self._pil = Image
         except ImportError:
             self._pil = None
-            if strict:
-                raise NotImplementedError(
-                    "image resize requires PIL, which is not installed; "
-                    "run with strict=False for the passthrough stub")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._pil is not None:  # pragma: no cover - no PIL here
-            import io
-            out = []
-            for b in batch["payload"].to_pylist():
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        out, changed = [], False
+        for b in payload.to_pylist():
+            if len(b) >= 54 and b[:2] == b"BM":
+                out.append(_bmp_resize_nn(b, self.width, self.height))
+                changed = True
+            elif self._pil is not None:  # pragma: no cover - no PIL here
+                import io
                 img = self._pil.open(io.BytesIO(b)).resize(
                     (self.width, self.height))
                 buf = io.BytesIO()
                 img.save(buf, format="PNG")
                 out.append(buf.getvalue())
+                changed = True
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload is not a 24-bpp BMP and PIL is not installed; "
+                    "run with strict=False for the passthrough stub")
+            else:
+                out.append(b)  # passthrough stub
+        if changed:
             batch = batch.set_column(batch.column_names.index("payload"),
                                      "payload", pa.array(out, type=pa.binary()))
         n = batch.num_rows

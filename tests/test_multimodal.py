@@ -55,9 +55,72 @@ def test_decode_fake_deterministic(ray_session):
     assert out.iloc[0]["height"] == ord("a")
 
 
-def test_decode_strict_raises_without_codec():
+def test_decode_strict_raises_on_undecodable_payload():
+    # strict mode now raises per-payload (non-BMP without PIL), not at
+    # construction — BMP decode is always REALLY available (stdlib)
+    dec = ImageDecoder(strict=True)
     with pytest.raises(NotImplementedError):
-        ImageDecoder(strict=True)
+        dec(pa.table({"payload": pa.array([b"not an image"], pa.binary())}))
+
+
+def test_bmp_decode_real_roundtrip(ray_session):
+    """REAL codec path: synthesized 24-bpp BMPs decode to their true
+    pixel dimensions (not byte lengths) — strict mode, no fake."""
+    from cardinalhq_otel_collector_ray.stages.multimodal import synth_bmp
+    dims = [(1, 1), (7, 3), (64, 48), (33, 2)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(dims))),
+        "payload": pa.array([synth_bmp(w, h, seed=i)
+                             for i, (w, h) in enumerate(dims)], pa.binary())}))
+    out = decode_stage(ds, concurrency=1, strict=True).to_pandas() \
+        .sort_values("doc_id")
+    assert list(zip(out["width"], out["height"])) == dims
+    assert list(out["mode"].unique()) == ["BMP24"]
+
+
+def test_wav_decode_real_roundtrip(ray_session):
+    from cardinalhq_otel_collector_ray.stages.multimodal import (
+        AudioDecoder, audio_decode_stage, synth_wav)
+    specs = [(800, 8000, 1), (1, 44100, 2), (12345, 16000, 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(specs))),
+        "payload": pa.array([synth_wav(f, r, c) for f, r, c in specs],
+                            pa.binary())}))
+    out = audio_decode_stage(ds, concurrency=1, strict=True).to_pandas() \
+        .sort_values("doc_id")
+    assert list(zip(out["n_frames"], out["sample_rate"],
+                    out["n_channels"])) == specs
+    assert list(out["duration_us"]) == [f * 1_000_000 // r
+                                        for f, r, _ in specs]
+    assert list(out["codec"].unique()) == ["PCM"]
+    with pytest.raises(NotImplementedError):
+        AudioDecoder(strict=True)(
+            pa.table({"payload": pa.array([b"mp3???"], pa.binary())}))
+
+
+def test_bmp_resize_real_nearest_neighbor(ray_session):
+    """REAL resize: the output payload is a valid BMP at the target dims
+    whose pixels are the nearest-neighbor gather of the source."""
+    from cardinalhq_otel_collector_ray.stages.multimodal import synth_bmp
+    src = synth_bmp(8, 4, seed=3)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [0], "payload": pa.array([src], pa.binary())}))
+    out = resize_stage(ds, 4, 2, concurrency=1, strict=True).to_pandas()
+    resized = bytes(out.iloc[0]["payload"])
+    # decodes as a real 4x2 BMP
+    dec = ImageDecoder(strict=True)(
+        pa.table({"payload": pa.array([resized], pa.binary())})).to_pandas()
+    assert (dec.iloc[0]["width"], dec.iloc[0]["height"]) == (4, 2)
+    # nearest-neighbor pixel check against a numpy reference
+    import struct as _s
+    def pixels(b, w, h):
+        (off,) = _s.unpack_from("<I", b, 10)
+        rb = (w * 3 + 3) & ~3
+        return np.frombuffer(b, np.uint8, rb * h, off).reshape(h, rb)[:, :w*3]
+    srcpix = pixels(src, 8, 4).reshape(4, 8, 3)
+    want = srcpix[(np.arange(2) * 4) // 2][:, (np.arange(4) * 8) // 4]
+    np.testing.assert_array_equal(
+        pixels(resized, 4, 2).reshape(2, 4, 3), want)
 
 
 def test_resize_stub_passthrough_and_dims(ray_session):
@@ -68,7 +131,8 @@ def test_resize_stub_passthrough_and_dims(ray_session):
     # payload untouched in stub mode (token/byte passthrough invariant)
     assert bytes(out.iloc[3]["payload"]) == b"hello world"
     with pytest.raises(NotImplementedError):
-        ImageResizer(8, 8, strict=True)
+        ImageResizer(8, 8, strict=True)(
+            pa.table({"payload": pa.array([b"not bmp"], pa.binary())}))
 
 
 def test_frame_sample_deterministic(ray_session):
