@@ -87,8 +87,71 @@ def delete(path: str) -> None:
     fs.delete_file(p)
 
 
+# S3 upload-options surface (reference: exporter/awss3exporter/internal/
+# upload/writer.go:92-155, s3_writer.go:54-132 expose storage-class / ACL /
+# object-metadata knobs; config validated at build like config_test.go).
+_STORAGE_CLASSES = frozenset({
+    "STANDARD", "STANDARD_IA", "ONEZONE_IA", "INTELLIGENT_TIERING",
+    "GLACIER", "GLACIER_IR", "DEEP_ARCHIVE", "REDUCED_REDUNDANCY"})
+_ACLS = frozenset({
+    "private", "public-read", "public-read-write", "authenticated-read",
+    "aws-exec-read", "bucket-owner-read", "bucket-owner-full-control"})
+
+
+def upload_headers(upload_options: dict | None) -> dict[str, str] | None:
+    """Validate sink upload options and map them to the object-store
+    header/metadata dict passed to ``open_output_stream(metadata=…)``.
+
+    Accepted keys: ``storage_class`` (S3 storage-class enum), ``acl``
+    (canned ACL), ``content_type``, ``metadata`` (free-form str→str,
+    sent as ``x-amz-meta-*``). Unknown keys and out-of-table values
+    raise ``ValueError`` — config validation happens at sink BUILD time,
+    not first write (factory.go:115-117 pattern)."""
+    if not upload_options:
+        return None
+    known = {"storage_class", "acl", "content_type", "metadata"}
+    unknown = set(upload_options) - known
+    if unknown:
+        raise ValueError(f"unknown upload option(s) {sorted(unknown)}; "
+                         f"known: {sorted(known)}")
+    headers: dict[str, str] = {}
+    sc = upload_options.get("storage_class")
+    if sc is not None:
+        if sc not in _STORAGE_CLASSES:
+            raise ValueError(f"unknown storage_class {sc!r}; "
+                             f"known: {sorted(_STORAGE_CLASSES)}")
+        headers["x-amz-storage-class"] = sc
+    acl = upload_options.get("acl")
+    if acl is not None:
+        if acl not in _ACLS:
+            raise ValueError(f"unknown acl {acl!r}; known: {sorted(_ACLS)}")
+        headers["x-amz-acl"] = acl
+    ct = upload_options.get("content_type")
+    if ct is not None:
+        headers["Content-Type"] = str(ct)
+    meta = upload_options.get("metadata")
+    if meta is not None:
+        if not isinstance(meta, dict) or not all(
+                isinstance(k, str) and isinstance(v, str)
+                for k, v in meta.items()):
+            raise ValueError("upload option 'metadata' must be a "
+                             "str -> str mapping")
+        for k, v in meta.items():
+            headers[f"x-amz-meta-{k}"] = v
+    return headers or None
+
+
+def _open_output(fs: pafs.FileSystem, p: str,
+                 headers: dict[str, str] | None):
+    """Single seam through which every non-local sink byte flows — tests
+    intercept it to assert upload headers reach the writer."""
+    if headers:
+        return fs.open_output_stream(p, metadata=headers)
+    return fs.open_output_stream(p)
+
+
 @contextmanager
-def atomic_output(path: str):
+def atomic_output(path: str, upload_options: dict | None = None):
     """Binary output stream whose result lands atomically at ``path``.
 
     Local FS: write ``<path>.tmp`` then atomic rename (readers never see
@@ -100,17 +163,19 @@ def atomic_output(path: str):
     COMPLETE the multipart upload and commit a truncated object, so the
     error path closes and then deletes the partially-committed key before
     re-raising — readers listing the sink root never keep a partial."""
+    headers = upload_headers(upload_options)
     fs, p = resolve_fs(path)
     # parent create is a no-op on real object stores (keys, not dirs) but
     # required by dir-ful filesystems reached through fsspec
     fs.create_dir(posixpath.dirname(p), recursive=True)
     if is_local(path):
+        # upload options are object-store semantics; ignored on local FS
         tmp = p + ".tmp"
         with fs.open_output_stream(tmp) as f:
             yield f
         fs.move(tmp, p)
     else:
-        f = fs.open_output_stream(p)
+        f = _open_output(fs, p, headers)
         try:
             yield f
         except BaseException:
@@ -127,8 +192,9 @@ def atomic_output(path: str):
             f.close()
 
 
-def write_bytes_atomic(path: str, data: bytes) -> None:
-    with atomic_output(path) as f:
+def write_bytes_atomic(path: str, data: bytes,
+                       upload_options: dict | None = None) -> None:
+    with atomic_output(path, upload_options) as f:
         f.write(data)
 
 

@@ -12,11 +12,15 @@ public contract over plain dict specs:
   reference is the WHOLE string (so it can yield a map/list/number),
   spliced in verbatim when embedded inside a larger string.
 - ``${yaml:...}`` — inline YAML literal (``${yaml:[1,2,3]}`` → list).
-- Anything else (``http:``, ``https:``, ``s3:``, ``secretsmanager:``, …)
-  dispatches through :func:`register_provider` hooks so deployments wire
-  real fetchers; unregistered schemes raise at resolve time (config
-  validation, not silent passthrough — there is no network in this
-  sandbox, so none are pre-registered).
+- ``${http://…}`` / ``${https://…}`` — REAL fetchers via urllib
+  (pre-registered, matching the reference chain
+  ``distribution/main.go:35-45``), parsed like the file provider.
+- ``${s3://bucket/key}`` — fetched through the :mod:`..fsio` object-store
+  layer (same pyarrow/fsspec resolution the sinks use).
+- Anything else (``secretsmanager:``, ``aes:``, …) dispatches through
+  :func:`register_provider` hooks so deployments wire real fetchers;
+  unregistered schemes raise at resolve time (config validation, not
+  silent passthrough).
 
 Resolution is innermost-first and recursive (a provider's output is
 re-resolved, depth-capped), matching confmap's expansion order, and a
@@ -134,6 +138,39 @@ def resolve_config(node: Any) -> Any:
     if isinstance(node, list):
         return [resolve_config(v) for v in node]
     return node
+
+
+def http_provider(selector: str, *, scheme: str = "http",
+                  timeout: float = 10.0) -> Any:
+    """Fetch ``${http://host/path}`` / ``${https://…}`` config fragments —
+    the urllib analog of the reference chain's httpprovider
+    (``distribution/main.go:35-45``). The selector is everything after the
+    first ``:`` (``//host/path``), so the URL is rebuilt scheme-first;
+    the body parses like the file provider (YAML/JSON superset)."""
+    import urllib.request
+    url = f"{scheme}:{selector}"
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return _parse_scalar(r.read().decode("utf-8"))
+
+
+def fsio_provider(scheme: str) -> ProviderFn:
+    """Provider that reads ``${scheme://root/key}`` through the
+    :mod:`..fsio` object-store layer (pyarrow native FS or fsspec
+    fallback) — the s3provider analog, reusing the exact filesystem
+    resolution the sinks use."""
+    def fetch(selector: str) -> Any:
+        from .. import fsio
+        return _parse_scalar(
+            fsio.read_bytes(f"{scheme}:{selector}").decode("utf-8"))
+    return fetch
+
+
+# Reference parity: the collector binary ships http/https/s3 in its default
+# provider chain (distribution/main.go:35-45) — register the real fetchers
+# up front; deployments can still override via register_provider.
+register_provider("http", lambda sel: http_provider(sel, scheme="http"))
+register_provider("https", lambda sel: http_provider(sel, scheme="https"))
+register_provider("s3", fsio_provider("s3"))
 
 
 def deep_merge(base: Any, overlay: Any) -> Any:

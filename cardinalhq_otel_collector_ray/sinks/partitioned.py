@@ -80,7 +80,8 @@ class PartitionedSink:
                  file_prefix: str = "", partition_format: str = DEFAULT_PARTITION_FORMAT,
                  tz=timezone.utc, route_dests: dict[str, str] | None = None,
                  fmt: str = "parquet", compression: str | None = None,
-                 notifier=None, unique_key: str = "seq"):
+                 notifier=None, unique_key: str = "seq",
+                 upload_options: dict | None = None):
         from .serializers import EXTENSIONS, MARSHALERS
         # config-validation at BUILD time, not first write (the reference
         # factory rejects bad marshaler configs at exporter build,
@@ -95,6 +96,11 @@ class PartitionedSink:
         if unique_key not in ("seq", "uuid7"):
             raise ValueError(f"unknown unique_key {unique_key!r}; "
                              "known: ['seq', 'uuid7']")
+        # S3 upload options (storage-class / ACL / content-type / metadata,
+        # writer.go:92-155): validated HERE at build time — fsio raises on
+        # out-of-table values — and passed to every object write below
+        fsio.upload_headers(upload_options)
+        self.upload_options = upload_options
         self.unique_key = unique_key
         self.root = root
         self.run_ts = run_ts
@@ -202,7 +208,7 @@ class PartitionedSink:
             g = g.sort_values(file_sort_col or key_col,
                               kind="mergesort").drop(columns=["_pid"])
             table = pa.Table.from_pandas(g, preserve_index=False)
-            with fsio.atomic_output(path) as f:
+            with fsio.atomic_output(path, sink_self.upload_options) as f:
                 if sink_self.fmt == "parquet" and sink_self.compression is None:
                     pq.write_table(table, f)
                 else:
@@ -312,7 +318,7 @@ def compact_sink(sink: "PartitionedSink", min_rows: int
         merged = pa.concat_tables(tables, promote_options="default")
         path = sink.object_path(route, 0).replace(
             f"{sink.signal}_", f"{sink.signal}_compact_")
-        with fsio.atomic_output(path) as f:
+        with fsio.atomic_output(path, sink.upload_options) as f:
             pq.write_table(merged, f)
         return (route, entries, path, merged.num_rows,
                 fsio.file_size(path))

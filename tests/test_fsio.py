@@ -210,3 +210,72 @@ def test_atomic_output_error_deletes_partial_object():
     # a successful write afterwards still lands normally
     fsio.write_bytes_atomic(p, b"full")
     assert fsio.read_bytes(p) == b"full"
+
+
+def test_upload_headers_validation_table():
+    """Config-surface parity with the reference's upload options
+    (writer.go:92-155, validated like config_test.go): accepted values map
+    to the S3 header form; out-of-table values and unknown keys raise at
+    BUILD time."""
+    assert fsio.upload_headers(None) is None
+    assert fsio.upload_headers({}) is None
+    h = fsio.upload_headers({
+        "storage_class": "STANDARD_IA",
+        "acl": "bucket-owner-full-control",
+        "content_type": "application/x-protobuf",
+        "metadata": {"team": "o11y", "run": "r4"}})
+    assert h == {"x-amz-storage-class": "STANDARD_IA",
+                 "x-amz-acl": "bucket-owner-full-control",
+                 "Content-Type": "application/x-protobuf",
+                 "x-amz-meta-team": "o11y", "x-amz-meta-run": "r4"}
+    for bad in ({"storage_class": "GLACIER_DEEP"},   # not in the enum
+                {"acl": "everyone"},
+                {"bucket_owner": True},              # unknown key
+                {"metadata": {"k": 7}}):             # non-str value
+        with pytest.raises(ValueError):
+            fsio.upload_headers(bad)
+    # sink constructor validates at build, not first write
+    from cardinalhq_otel_collector_ray.sinks.partitioned import PartitionedSink
+    with pytest.raises(ValueError, match="storage_class"):
+        PartitionedSink("memory://uo-bad/x", RUN_TS,
+                        upload_options={"storage_class": "nope"})
+
+
+def test_upload_options_reach_object_store_writer(monkeypatch):
+    """Mock-fs integration: every non-local byte flows through
+    fsio._open_output — assert the sink's upload options arrive there as
+    headers. Uses compact_sink, whose object write runs DRIVER-side
+    through the same ``atomic_output(path, sink.upload_options)`` plumbing
+    as the task-side write_group (a worker-process write can't be
+    observed by a driver monkeypatch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sinks.partitioned import (
+        PartitionedSink, compact_sink)
+    from cardinalhq_otel_collector_ray.state.manifest import ManifestEntry
+    seen = []
+    real = fsio._open_output
+
+    def spy(fs, p, headers):
+        seen.append((p, headers))
+        return real(fs, p, headers)
+
+    monkeypatch.setattr(fsio, "_open_output", spy)
+    opts = {"storage_class": "STANDARD_IA", "acl": "private"}
+    sink = PartitionedSink("memory://uo-test/root", RUN_TS, num_partitions=2,
+                           upload_options=opts)
+    # two tiny per-partition files, written + recorded driver-side
+    for pid in (0, 1):
+        path = sink.object_path("main", pid)
+        with fsio.atomic_output(path, sink.upload_options) as f:
+            pq.write_table(pa.table({"doc_id": [pid]}), f)
+        sink.manifest.record(ManifestEntry(
+            partition_id=f"main/{pid}", sink="main", path=path,
+            rows=1, bytes=fsio.file_size(path), tokens=0))
+    out = compact_sink(sink, min_rows=100)
+    assert out, "compaction should have merged the two small files"
+    want = {"x-amz-storage-class": "STANDARD_IA", "x-amz-acl": "private"}
+    data_writes = [(p, h) for p, h in seen if "sink=" in p]
+    assert data_writes and all(h == want for _, h in data_writes)
+    compact_writes = [p for p, _ in data_writes if "compact" in p]
+    assert compact_writes, "compact_sink write must carry the headers too"

@@ -51,14 +51,19 @@ def test_file_provider_whole_and_embedded(tmp_path):
 
 
 def test_unknown_scheme_and_hook():
+    # s3/http/https are now pre-registered real fetchers (reference chain
+    # parity) — aes stands in as the unregistered scheme
     with pytest.raises(ValueError, match="no provider registered"):
-        resolve_config("${s3:bucket/key.yaml}")
+        resolve_config("${aes:bucket/key.yaml}")
+    # register_provider OVERRIDES a built-in; restore it afterwards
+    from cardinalhq_otel_collector_ray.pipelines import providers as pmod
+    builtin = pmod._PROVIDERS["s3"]
     register_provider("s3", lambda sel: {"from": sel})
     try:
         assert resolve_config("${s3:bucket/key.yaml}") == {
             "from": "bucket/key.yaml"}
     finally:
-        unregister_provider("s3")
+        register_provider("s3", builtin)
 
 
 def test_escape_literal():
@@ -146,3 +151,65 @@ def test_load_spec_env_include_end_to_end(tmp_path, monkeypatch, sf_dir):
 
     raw = load_spec(str(top), resolve=False)
     assert raw["stages"][1]["columns"][1] == "${COL}"
+
+
+def test_http_provider_fetches_real_fragment():
+    """REAL http fetcher (urllib) against a local httptest-style server —
+    the httpprovider analog from the reference chain
+    (distribution/main.go:35-45)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    body = b"levels: [debug, info]\nlimit: 7\n"
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/frag.yaml":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/yaml")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        spec = resolve_config({
+            "filters": "${http://127.0.0.1:%d/frag.yaml}" % port,
+            "limit": "${http://127.0.0.1:%d/frag.yaml}" % port,
+        })
+        assert spec["filters"] == {"levels": ["debug", "info"], "limit": 7}
+        # a plain scalar splice inside a larger string still raises (maps
+        # cannot embed) — the contract matches the file provider
+        with pytest.raises(ValueError, match="embedded in a string"):
+            resolve_config({"x": "pre ${http://127.0.0.1:%d/frag.yaml}" % port})
+    finally:
+        srv.shutdown()
+
+
+def test_fsio_provider_over_object_store_root():
+    """The s3-style provider path, exercised over fsio's ``memory://``
+    object store (same resolution layer as ``${s3://…}``)."""
+    from cardinalhq_otel_collector_ray import fsio
+    from cardinalhq_otel_collector_ray.pipelines.providers import (
+        fsio_provider, register_provider, unregister_provider)
+    fsio.write_bytes_atomic("memory://provider-test/cfg/frag.yaml",
+                            b"routes:\n  - main\n  - errors\n")
+    register_provider("memory", fsio_provider("memory"))
+    try:
+        out = resolve_config({"r": "${memory://provider-test/cfg/frag.yaml}"})
+        assert out["r"] == {"routes": ["main", "errors"]}
+    finally:
+        unregister_provider("memory")
+
+
+def test_unregistered_scheme_still_raises():
+    with pytest.raises(ValueError, match="no provider registered"):
+        resolve_config({"x": "${secretsmanager:arn:aws:foo}"})
