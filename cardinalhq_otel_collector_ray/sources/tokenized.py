@@ -53,12 +53,23 @@ class Tokenizer:
     (``map_batches(Tokenizer, fn_constructor_args=...)`` — resolve once per
     actor). Stateless is the default: the vocab is small and elastic tasks
     scale with the cluster instead of a fixed pool.
+
+    The kernel processes the block in ``chunk_rows``-row slices whose
+    split/encode/gather working set stays LLC-resident, concatenating the
+    slice outputs zero-copy (a chunked Table, no re-copy). Block-sized
+    batches (~30k rows here) stream ~1 KB/row of intermediates through
+    DRAM; with every core running one such task, the headline pipeline is
+    DRAM-bound and the 8→32 scaling point pays for it (BASELINE.md).
+    Measured single-thread: 30k rows 0.15 s whole-block vs 0.088 s at
+    2048-row slices — cache residency pays even uncontended.
     """
 
-    def __init__(self, vocab_ref, keep_text: bool = False):
+    def __init__(self, vocab_ref, keep_text: bool = False,
+                 chunk_rows: int = 2048):
         self._ref = vocab_ref
         self._vocab = None
         self.keep_text = keep_text
+        self.chunk_rows = chunk_rows
 
     @property
     def vocab(self):
@@ -67,7 +78,7 @@ class Tokenizer:
                            if isinstance(self._ref, ray.ObjectRef) else self._ref)
         return self._vocab
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _one(self, batch: pa.Table) -> pa.Table:
         words = split_words(batch["text"])
         tokens = map_words_to_ids(words, self.vocab)
         n_tok = pa.array(np.diff(tokens.offsets.to_numpy(zero_copy_only=False)).astype(np.int32))
@@ -77,6 +88,13 @@ class Tokenizer:
         if self.keep_text:
             cols["text"] = batch["text"]
         return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= self.chunk_rows:
+            return self._one(batch)
+        outs = [self._one(batch.slice(s, self.chunk_rows))
+                for s in range(0, batch.num_rows, self.chunk_rows)]
+        return pa.concat_tables(outs)  # zero-copy chunked columns
 
 
 def tokenized_documents(sf_dir: str, vocab: dict[str, int] | None = None,
