@@ -34,6 +34,25 @@ GRID_MAX_BLOCKS = 1_000_000
 
 # ---------------------------------------------------------------- exact dedup
 
+def _content_part_tags(col, num_partitions: int) -> np.ndarray:
+    """Deterministic int32 partition tag for a content column. Short
+    contents (mean ≤ 64 B) hash zero-copy from the Arrow buffers
+    (``bytes_hash64`` — no per-row Python string); long document bodies
+    go through SipHash's per-string C loop, which amortizes better than
+    byte-position passes. The tag is internal (never in output), so the
+    two hashes need not agree."""
+    from ..functions.hashing import bytes_hash64
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = max(len(col), 1)
+    total = col.nbytes - 4 * n  # value bytes ≈ nbytes minus int32 offsets
+    if total <= 64 * n:
+        h = bytes_hash64(col)
+    else:
+        h = stable_str_hash64(col.to_pylist())
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def exact_dedup(ds: ray.data.Dataset, content_col: str, id_col: str,
                 num_partitions: int = 64) -> ray.data.Dataset:
     """Keep the min-id row per distinct content value (full rows).
@@ -43,10 +62,15 @@ def exact_dedup(ds: ray.data.Dataset, content_col: str, id_col: str,
     content); exact equality is re-checked within the partition, so hash
     collisions cannot merge distinct contents.
     SQL-equivalent: ``SELECT content, min(id) FROM t GROUP BY content``.
+
+    SCALE NOTE (100 TB): this keep-the-row API shuffles FULL rows by
+    ``_cpart`` — right when the deduped output is itself the product. When
+    only the decision is needed, use ``exact_dedup_stats`` (shuffles only
+    (content, min, count) partials) and finish with a semi-join of
+    ``keep_id`` against the source — the corpus then never re-shuffles.
     """
     def add_part(batch: pa.Table) -> pa.Table:
-        h = stable_str_hash64(batch[content_col].to_pylist())
-        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        part = _content_part_tags(batch[content_col], num_partitions)
         return batch.append_column("_cpart", pa.array(part))
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -75,8 +99,7 @@ def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str,
         part = batch.select([content_col, id_col]).group_by([content_col]) \
             .aggregate([(id_col, "min"), (id_col, "count")])
         part = part.rename_columns([content_col, "_pmin", "_pn"])
-        h = stable_str_hash64(part[content_col].to_pylist())
-        tag = (h % np.uint64(num_partitions)).astype(np.int32)
+        tag = _content_part_tags(part[content_col], num_partitions)
         return part.append_column("_cpart", pa.array(tag))
 
     def per_part(t: pa.Table) -> pa.Table:

@@ -83,6 +83,42 @@ class BruteForceScorer:
                          "score": pa.array(sim[qi, ri])})
 
 
+
+def _final_topk(scored: ray.data.Dataset, k: int,
+                num_partitions: int = 8) -> ray.data.Dataset:
+    """Global per-qid top-k finish: ONE bounded hash co-partition on qid,
+    then a single SEGMENTED numpy kernel per partition (lexsort + run
+    ranks) — no per-qid ``map_groups`` dispatch (the shape eliminated
+    everywhere else; a driver-supplied query dict is dozens of qids, but
+    uniformity keeps the stage safe if a caller feeds thousands).
+    Deterministic ranking: (score desc, id asc); scores rounded to 6 dp
+    AFTER ranking (functions.hashing.round6 — SQL half-away parity)."""
+    from .temporal import partitioned_apply
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        qid = df["qid"].to_numpy()
+        ids = df["id"].to_numpy()
+        score = df["score"].to_numpy()
+        order = np.lexsort((ids, -score, qid))
+        qs = qid[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(qs))))
+        rank = np.arange(len(qs), dtype=np.int64) - starts[seg] + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pd.DataFrame({"qid": qid[sel], "id": ids[sel],
+                             "score": round6(score[sel]),
+                             "rank": rank[keep]})
+
+    return partitioned_apply(scored, ["qid"], kernel, num_partitions)
+
+
 def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
                     id_col: str, k: int, concurrency: int | None = None,
                     exclude_self: bool = True) -> ray.data.Dataset:
@@ -107,15 +143,7 @@ def knn_brute_force(ds: ray.data.Dataset, queries: dict, vec_col: str,
                                 batch_format="pyarrow", concurrency=concurrency)
     scored = scored.map_batches(_per_block_topk(k, exclude_self),
                                 batch_format="pyarrow")
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
-                     score=round6(g["score"].to_numpy()))
-        return g
-
-    return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+    return _final_topk(scored, k)
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
@@ -209,14 +237,7 @@ def knn_ivf(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
     scored = ds.map_batches(scorer, batch_format="pyarrow", **kwargs)
     scored = scored.map_batches(_per_block_topk(k, True),
                                 batch_format="pyarrow")
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
-                        score=round6(g["score"].to_numpy()))
-
-    return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+    return _final_topk(scored, k)
 
 
 class LshBucketer:
@@ -312,14 +333,7 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
     scored = ds.map_batches(scorer, batch_format="pyarrow", **kwargs)
     scored = scored.map_batches(_per_block_topk(k, True),
                                 batch_format="pyarrow")
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
-                        score=round6(g["score"].to_numpy()))
-
-    return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+    return _final_topk(scored, k)
 
 
 def kmeans_assign(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
