@@ -681,12 +681,17 @@ def _q_approx_distinct_hll(sf_dir: str):
 
 def _q_approx_quantiles_kll(sf_dir: str):
     """KLL per-key approx quantiles (mergeable sketch; shuffle moves
-    sketches, never values). Rows-only: compaction is deterministic but
-    not SQL-expressible; tests assert <2% rank error and merge parity."""
+    sketches, never values). Registered in the exact-degeneration regime
+    (the knn_ivf trick): k=32768 exceeds the largest per-type group
+    (20302 at sf0.1), so no compaction ever fires and the sketch answer
+    IS the exact rank-ceil(q*n) quantile — SQL-expressible, so the full
+    KLL code path (per-block sketch → serialized merge → query) is
+    driver-oracle-checked. Compaction-regime error bounds (<2% rank
+    error, merge==union) are covered by tests/test_sketch_extra.py."""
     from cardinalhq_otel_collector_ray.stages.sketch import approx_quantiles_per_key
     ds = _events_ms(sf_dir).select_columns(["event_type", "value_cents"])
     out = approx_quantiles_per_key(ds, "event_type", "value_cents",
-                                   qs=[0.5, 0.95]).to_pandas()
+                                   qs=[0.5, 0.95], k=32768).to_pandas()
     out = out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
     return pd.DataFrame({"event_type": out["event_type"],
                          "p50_cents": out["q_0_5"].astype("float64"),
@@ -2038,8 +2043,13 @@ def _q_source_overlap(sf_dir: str):
 def _q_approx_heavy_hitters(sf_dir: str):
     """SpaceSaving approximate heavy hitters over the token stream — the
     single-pass mergeable scale path next to the exact two-pass
-    `heavy_hitter_tokens` (rows-only: approximate counts; the guarantee
-    tests live in test_sketch_extra.py)."""
+    `heavy_hitter_tokens`. Runs in the exact-degeneration regime at test
+    scales: the synthetic vocab (31 distinct tokens) never fills
+    sketch_k=256 slots, so no eviction fires, counts are exact and every
+    overestimate is 0 — SQL-expressible, so the full sketch path
+    (per-block SpaceSaving → serialized driver tree-merge → top-k) is
+    driver-oracle-checked. Eviction-regime guarantees (freq > N/k
+    survival, merge bounds) are covered by tests/test_sketch_extra.py."""
     from cardinalhq_otel_collector_ray.sources import tokenized_documents
     from cardinalhq_otel_collector_ray.stages.sketch import (
         approx_heavy_hitters)
@@ -2390,6 +2400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_per_type": _q_quantiles_per_type,
         "sliding_window": _q_sliding_window,
         "streaming_interval_agg": _q_streaming_interval_agg,
+        "approx_heavy_hitters": _q_approx_heavy_hitters,
+        "approx_quantiles_kll": _q_approx_quantiles_kll,
         "supplier_by_region": _q_supplier_by_region,
         "tail_sampling": _q_tail_sampling,
         "token_frequencies": _q_token_frequencies,
@@ -2480,9 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "aggregate_emit_shape": _q_emit_shape,
         "compression_ratio": _q_compression_ratio,
-        "approx_heavy_hitters": _q_approx_heavy_hitters,
         "approx_distinct_hll": _q_approx_distinct_hll,
-        "approx_quantiles_kll": _q_approx_quantiles_kll,
         "anomaly_iforest": _q_anomaly_iforest,
         "semdedup": _q_semdedup,
         "bpe_merges": _q_bpe_merges,
@@ -3490,6 +3500,34 @@ SELECT p.event_id,
              WHERE e2.user_id = p.user_id AND e2.event_type = 'error'
                AND e2.ts_ms <= p.ts_ms) AS DOUBLE) AS last_error_ts
 FROM ev p WHERE p.event_type = 'purchase'
+""",
+        # Exact-degeneration oracle: 31-token vocab never fills the
+        # 256-slot SpaceSaving sketch -> counts exact, overestimate 0.
+        "approx_heavy_hitters": _SQL_TOKENS + r""", stream AS (
+  SELECT v.tid FROM exploded e JOIN vocab v ON e.w = v.word
+), counted AS (
+  SELECT CAST(tid AS BIGINT) AS token,
+         CAST(count(*) AS BIGINT) AS approx_count
+  FROM stream GROUP BY tid
+)
+SELECT token, approx_count, CAST(0 AS BIGINT) AS max_overestimate
+FROM counted ORDER BY approx_count DESC, token LIMIT 10
+""",
+        # Exact-degeneration oracle: k=32768 KLL never compacts at these
+        # group sizes -> quantile == value at 1-based rank ceil(q*n).
+        "approx_quantiles_kll": _SQL_EVENTS + r""", ranked AS (
+  SELECT event_type, value_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value_cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN value_cents END) AS DOUBLE) AS p50_cents,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                     THEN value_cents END) AS DOUBLE) AS p95_cents
+FROM ranked GROUP BY event_type ORDER BY event_type
 """,
         "streaming_interval_agg": _SQL_EVENTS + r"""
 SELECT event_type, (ts_ms // 3600000) * 3600000 AS interval_ms,

@@ -92,15 +92,14 @@ def test_contract_surface():
     approximate/emit set; entry() exists."""
     rows_only = set(QUERIES) - set(ORACLES)
     assert set(ORACLES) <= set(QUERIES)
-    # round 4: drain_templates + cdc_dedup_ratio converted to oracled via
-    # exact degeneration (see their _q_ docstrings)
+    # round 4: drain_templates, cdc_dedup_ratio, approx_heavy_hitters and
+    # approx_quantiles_kll converted to oracled via exact degeneration
+    # (see their _q_ docstrings)
     assert rows_only == {"knn_lsh",
                          "aggregate_emit_shape",
                          "anomaly_iforest",
                          "kmeans_cluster_sizes", "approx_distinct_hll",
-                         "approx_quantiles_kll",
                          "compression_ratio",
-                         "approx_heavy_hitters",
                          "semdedup", "bpe_merges", "bpe_encode"}, rows_only
     assert callable(entrymod.entry)
     assert len(ORACLES) >= 60
