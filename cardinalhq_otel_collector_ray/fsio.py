@@ -162,7 +162,8 @@ def atomic_output(path: str, upload_options: dict | None = None):
     raises mid-stream, the close() that the ``with`` triggers would still
     COMPLETE the multipart upload and commit a truncated object, so the
     error path closes and then deletes the partially-committed key before
-    re-raising — readers listing the sink root never keep a partial."""
+    re-raising — readers listing the sink root never keep a partial. The
+    local branch likewise deletes the orphaned ``.tmp`` on error."""
     headers = upload_headers(upload_options)
     fs, p = resolve_fs(path)
     # parent create is a no-op on real object stores (keys, not dirs) but
@@ -171,8 +172,15 @@ def atomic_output(path: str, upload_options: dict | None = None):
     if is_local(path):
         # upload options are object-store semantics; ignored on local FS
         tmp = p + ".tmp"
-        with fs.open_output_stream(tmp) as f:
-            yield f
+        try:
+            with fs.open_output_stream(tmp) as f:
+                yield f
+        except BaseException:
+            try:
+                fs.delete_file(tmp)  # never leak a partial .tmp to globbers
+            except Exception:
+                pass
+            raise
         fs.move(tmp, p)
     else:
         f = _open_output(fs, p, headers)

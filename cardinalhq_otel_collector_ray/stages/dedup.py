@@ -35,21 +35,33 @@ GRID_MAX_BLOCKS = 1_000_000
 # ---------------------------------------------------------------- exact dedup
 
 def _content_part_tags(col, num_partitions: int) -> np.ndarray:
-    """Deterministic int32 partition tag for a content column. Short
-    contents (mean ≤ 64 B) hash zero-copy from the Arrow buffers
-    (``bytes_hash64`` — no per-row Python string); long document bodies
-    go through SipHash's per-string C loop, which amortizes better than
-    byte-position passes. The tag is internal (never in output), so the
-    two hashes need not agree."""
+    """Deterministic int32 partition tag for a content column. The hash
+    choice is a pure function of each VALUE's byte length — short values
+    (≤ 64 B) hash zero-copy from the Arrow buffers (``bytes_hash64``,
+    whose cost is one numpy pass per byte position, so it's bounded at 64
+    passes); long document bodies go through SipHash's per-string C loop,
+    which amortizes better. Because equal contents have equal lengths,
+    duplicates take the same path in EVERY batch — a per-batch heuristic
+    here would scatter the same content across partitions and break
+    exact_dedup (caught in round-4 review)."""
     from ..functions.hashing import bytes_hash64
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    n = max(len(col), 1)
-    total = col.nbytes - 4 * n  # value bytes ≈ nbytes minus int32 offsets
-    if total <= 64 * n:
-        h = bytes_hash64(col)
-    else:
-        h = stable_str_hash64(col.to_pylist())
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    filled = pc.fill_null(col, "" if pa.types.is_string(col.type)
+                          or pa.types.is_large_string(col.type) else b"")
+    lens = pc.binary_length(filled).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    h = np.empty(n, dtype=np.uint64)
+    short = lens <= 64
+    if short.any():
+        idx = np.flatnonzero(short)
+        h[idx] = bytes_hash64(filled.take(pa.array(idx)))
+    if not short.all():
+        idx = np.flatnonzero(~short)
+        h[idx] = stable_str_hash64(filled.take(pa.array(idx)).to_pylist())
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 

@@ -190,11 +190,18 @@ class AudioDecoder:
         for i in range(n):
             b = payload[i].as_py()
             if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                with wave.open(io.BytesIO(b)) as w:
-                    rate[i] = w.getframerate()
-                    chans[i] = w.getnchannels()
-                    frames[i] = w.getnframes()
-                codec[i] = "PCM"
+                try:
+                    with wave.open(io.BytesIO(b)) as w:
+                        rate[i] = w.getframerate()
+                        chans[i] = w.getnchannels()
+                        frames[i] = w.getnframes()
+                    codec[i] = "PCM"
+                except (wave.Error, EOFError):
+                    # RIFF/WAVE magic but unparseable container: the FAKE
+                    # stamp in non-strict mode, same as any non-WAV payload
+                    if self.strict:
+                        raise
+                    rate[i] = chans[i] = frames[i] = 0
             elif self.strict:
                 raise NotImplementedError(
                     "payload is not a RIFF/WAVE container; run with "
@@ -319,8 +326,16 @@ class ImageResizer:
         out, changed = [], False
         for b in payload.to_pylist():
             if len(b) >= 54 and b[:2] == b"BM":
-                out.append(_bmp_resize_nn(b, self.width, self.height))
-                changed = True
+                try:
+                    out.append(_bmp_resize_nn(b, self.width, self.height))
+                    changed = True
+                except (NotImplementedError, ValueError, struct.error):
+                    # 'BM' magic but not a parseable 24-bpp BMP (e.g. text
+                    # that happens to start with BM, or a truncated file):
+                    # strict raises, non-strict passes through untouched
+                    if self.strict:
+                        raise
+                    out.append(b)
             elif self._pil is not None:  # pragma: no cover - no PIL here
                 import io
                 img = self._pil.open(io.BytesIO(b)).resize(

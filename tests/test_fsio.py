@@ -212,6 +212,21 @@ def test_atomic_output_error_deletes_partial_object():
     assert fsio.read_bytes(p) == b"full"
 
 
+def test_atomic_output_error_deletes_local_tmp(tmp_path):
+    """Local branch twin (round-4 review): a writer raising mid-stream must
+    not leak '<path>.tmp' — globbing readers would try to parse it."""
+    p = str(tmp_path / "out" / "part-000.bin")
+    with pytest.raises(RuntimeError, match="boom"):
+        with fsio.atomic_output(p) as f:
+            f.write(b"half a payl")
+            raise RuntimeError("boom")
+    import os
+    assert not os.path.exists(p)
+    assert not os.path.exists(p + ".tmp")
+    fsio.write_bytes_atomic(p, b"full")
+    assert fsio.read_bytes(p) == b"full"
+
+
 def test_upload_headers_validation_table():
     """Config-surface parity with the reference's upload options
     (writer.go:92-155, validated like config_test.go): accepted values map

@@ -63,6 +63,31 @@ def test_decode_strict_raises_on_undecodable_payload():
         dec(pa.table({"payload": pa.array([b"not an image"], pa.binary())}))
 
 
+def test_nonstrict_decoders_survive_malformed_magic():
+    """Round-4 review: magic-byte sniffs route payloads into the REAL
+    stdlib codecs, but a payload can carry the magic and still be garbage
+    (text starting with 'BM', truncated RIFF). Non-strict mode must fall
+    back (FAKE stamp / passthrough), never crash the stage; strict mode
+    raises."""
+    from cardinalhq_otel_collector_ray.stages.multimodal import (
+        AudioDecoder, ImageResizer)
+    bad_wav = pa.table({"payload": pa.array(
+        [b"RIFF0000WAVE" + b"\x00" * 8], pa.binary())})
+    out = AudioDecoder(strict=False)(bad_wav)
+    assert out["codec"].to_pylist() == ["FAKE"]
+    assert out["sample_rate"].to_pylist() == [0]
+    with pytest.raises(Exception):
+        AudioDecoder(strict=True)(bad_wav)
+
+    bm_text = b"BM" + b"this is not a bitmap, just text " * 2
+    bad_bmp = pa.table({"payload": pa.array([bm_text], pa.binary())})
+    out = ImageResizer(4, 4, strict=False)(bad_bmp)
+    assert out["payload"].to_pylist() == [bm_text]  # passthrough untouched
+    assert out["target_width"].to_pylist() == [4]
+    with pytest.raises(Exception):
+        ImageResizer(4, 4, strict=True)(bad_bmp)
+
+
 def test_bmp_decode_real_roundtrip(ray_session):
     """REAL codec path: synthesized 24-bpp BMPs decode to their true
     pixel dimensions (not byte lengths) — strict mode, no fake."""

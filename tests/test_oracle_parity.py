@@ -87,6 +87,16 @@ def test_all_queries_run(sf_dir):
         assert df is not None and df.shape[0] >= 0, name
 
 
+def test_driver_window_is_fully_oracled():
+    """Meta: the driver's correctness gate samples the FIRST 50 queries()
+    entries in dict order — every one of those must carry a DuckDB oracle
+    so the round's window yields full rows+schema+hash checks (a rows-only
+    entry inside the window would waste a sampling slot)."""
+    window = list(QUERIES)[:50]
+    missing = [k for k in window if k not in ORACLES]
+    assert not missing, missing
+
+
 def test_contract_surface():
     """Meta: every oracle key has a query; rows-only queries are the known
     approximate/emit set; entry() exists."""

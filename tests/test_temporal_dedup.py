@@ -64,6 +64,26 @@ def test_exact_dedup_keeps_min_id():
     assert sorted(out["id"]) == [2, 3]  # min id per distinct text
 
 
+def test_exact_dedup_same_content_across_mixed_length_batches():
+    """Regression (round-4 review): the partition-tag hash choice must be
+    a pure function of the VALUE, not of per-batch statistics. A duplicate
+    content appearing once in a short-strings batch and once in a batch
+    dominated by long documents previously took different hash functions,
+    landed in different _cpart partitions, and BOTH copies survived."""
+    from cardinalhq_otel_collector_ray.stages.dedup import _content_part_tags
+    dup = "hello-world-content"
+    short_batch = pa.table({"text": [dup, "a", "bb"], "id": [1, 2, 3]})
+    long_batch = pa.table({
+        "text": [dup, "x" * 900, "y" * 900], "id": [7, 8, 9]})
+    t1 = _content_part_tags(short_batch["text"], 64)
+    t2 = _content_part_tags(long_batch["text"], 64)
+    assert t1[0] == t2[0]  # same content -> same partition, always
+    ds = ray.data.from_arrow([short_batch, long_batch])
+    out = exact_dedup(ds, content_col="text", id_col="id").to_pandas()
+    assert (out["text"] == dup).sum() == 1
+    assert out.loc[out["text"] == dup, "id"].iloc[0] == 1
+
+
 def test_minhash_finds_planted_near_dups():
     rng = np.random.default_rng(5)
     words = [f"w{i}" for i in range(200)]
