@@ -29,6 +29,27 @@ def test_tokenize_roundtrip(docs):
 
 
 @settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="abcxyz-", min_size=0, max_size=200),
+                min_size=1, max_size=30),
+       st.data())
+def test_content_part_tags_are_value_deterministic(contents, data):
+    """The dedup partition tag must be a pure function of the VALUE —
+    independent of which other rows share the batch (round-4 regression:
+    a per-batch mean-length heuristic scattered duplicates)."""
+    from cardinalhq_otel_collector_ray.stages.dedup import _content_part_tags
+    tags = _content_part_tags(pa.array(contents, pa.string()), 64)
+    expect = dict(zip(contents, tags.tolist()))
+    # any sub-batch, any companions (incl. very long ones): same tags
+    subset = data.draw(st.lists(st.sampled_from(contents), min_size=1,
+                                max_size=10))
+    companions = data.draw(st.lists(
+        st.text(alphabet="qz", min_size=0, max_size=2000), max_size=3))
+    mixed = _content_part_tags(pa.array(subset + companions, pa.string()), 64)
+    for c, t in zip(subset, mixed.tolist()[: len(subset)]):
+        assert t == expect[c]
+
+
+@settings(max_examples=50, deadline=None)
 @given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
                 min_size=1, max_size=50))
 def test_mulhash_range_and_determinism(ids):
