@@ -43,6 +43,29 @@ def _q_route_counts(sf_dir: str):
     return sink_counts(routed_documents(sf_dir))
 
 
+def _q_spec_route_counts(sf_dir: str):
+    """Driver-checks the declarative spec surface end-to-end: loads
+    examples/flagship_route.yaml through the config-provider chain
+    (load_spec), compiles it (tokenize / parse_regex / route / aggregate
+    spec kinds) and returns per-sink row+token counts — the collector
+    YAML-config analog (distribution/main.go:35-45) exercised as a real
+    pipeline, not just a compile test."""
+    import os
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    spec = load_spec(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "examples", "flagship_route.yaml"))
+    agg = compile_pipeline(spec, sf_dir)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "route": batch["route"],
+            "n_rows": batch["agg_count"].cast(pa.int64()),
+            "sum_tokens": batch["agg_sum"].cast(pa.int64()),
+        })
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_route_agg_by_source(sf_dir: str):
     from cardinalhq_otel_collector_ray.pipelines import aggregate_by_source, routed_documents
     return aggregate_by_source(routed_documents(sf_dir))
@@ -2435,6 +2458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (exactly 50 entries above — the driver samples the FIRST 50 in
         # dict order; everything below was driver-green in r2/r3 or is
         # rows-only. A meta-test in test_oracle_parity.py pins the count.)
+        "spec_route_counts": _q_spec_route_counts,  # rotate into r5 window
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -2559,6 +2583,26 @@ SELECT CAST(t.doc_id AS VARCHAR) AS doc_id, t.tokens, t.n_tok, d.source
 FROM tok t JOIN documents d ON t.doc_id = d.doc_id
 """,
         "route_counts": _SQL_ROUTED + r"""
+SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM routed GROUP BY route
+""",
+        # spec-compiled flagship (examples/flagship_route.yaml): same
+        # deterministic routing minus the enrichment/quarantine leg
+        "spec_route_counts": r"""
+WITH parsed AS (
+  SELECT doc_id,
+         regexp_extract(text, '^(\w+)', 1) AS head_word,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), routed AS (
+  SELECT *,
+    CASE
+      WHEN head_word = 'slow' THEN 'errors'
+      WHEN (doc_id * 2654435761 + 12345) % 1000 < 100 THEN 'sampled'
+      ELSE 'main'
+    END AS route
+  FROM parsed
+)
 SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route
 """,

@@ -42,6 +42,19 @@ from ..stages import enrich, parse, route, sample, transform
 StageFn = Callable[[ray.data.Dataset, dict], ray.data.Dataset]
 
 
+def _s_tokenize(ds, cfg):
+    """Tokenized-sequence intake stage (the flagship's receiver analog,
+    sources/tokenized.py): adds tokens:list<int32> + n_tok:int32 from the
+    corpus-derived broadcast vocab. ``keep_text: true`` keeps the text
+    column flowing for downstream regex stages."""
+    import ray as _ray
+    from ..sources.tokenized import Tokenizer, build_vocab
+    vocab = build_vocab(cfg["_sf_dir"])
+    ref = _ray.put(vocab)
+    return ds.map_batches(Tokenizer(ref, keep_text=cfg.get("keep_text", False)),
+                          batch_format="pyarrow", batch_size=None)
+
+
 def _s_parse_regex(ds, cfg):
     return parse.parse_stage(ds, [parse.ParseRule(cfg["column"], cfg["pattern"])],
                              concurrency=cfg.get("concurrency"))
@@ -357,6 +370,7 @@ def _s_inverted_index(ds, cfg):
 
 _STAGES: dict[str, StageFn] = {
     "parse_regex": _s_parse_regex,
+    "tokenize": _s_tokenize,
     "flag_regex": _s_flag_regex,
     "enrich": _s_enrich,
     "stamp": _s_stamp,
