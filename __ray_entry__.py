@@ -66,6 +66,24 @@ def _q_spec_route_counts(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_spec_topology_counts(sf_dir: str):
+    """Driver-checks compile_topology end-to-end (the per-vendor enforce
+    topology of docs/flow/flow.dot:27-104): shared decorate chain →
+    deterministic split routing → PER-SINK enforcement chains
+    (train drops no-word rows; val/test pass through). Counts per sink
+    after enforcement. Each sink view re-executes the shared chain — fine
+    at query scale; a production run writes all views in one pass via
+    PartitionedSink."""
+    import os
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_topology, load_spec)
+    spec = load_spec(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "examples", "training_topology.yaml"))
+    views = compile_topology(spec, sf_dir)
+    return pd.DataFrame([{"sink": name, "n_rows": views[name].count()}
+                         for name in sorted(views)])
+
+
 def _q_route_agg_by_source(sf_dir: str):
     from cardinalhq_otel_collector_ray.pipelines import aggregate_by_source, routed_documents
     return aggregate_by_source(routed_documents(sf_dir))
@@ -2459,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order; everything below was driver-green in r2/r3 or is
         # rows-only. A meta-test in test_oracle_parity.py pins the count.)
         "spec_route_counts": _q_spec_route_counts,  # rotate into r5 window
+        "spec_topology_counts": _q_spec_topology_counts,  # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -2605,6 +2624,21 @@ WITH parsed AS (
 )
 SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route
+""",
+        # topology (examples/training_topology.yaml): split routing +
+        # per-sink enforcement (train drops rows with no \w word)
+        "spec_topology_counts": r"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN (doc_id * 2654435761 + 12345) % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761 + 12345) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS route,
+         regexp_matches(text, '\w') AS has_word
+  FROM documents
+)
+SELECT route AS sink, CAST(count(*) AS BIGINT) AS n_rows
+FROM s WHERE route <> 'train' OR has_word
+GROUP BY route
 """,
         "route_agg_by_source": _SQL_ROUTED + r"""
 SELECT route, source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
