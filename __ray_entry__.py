@@ -684,6 +684,59 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, queries, "embedding", "vec_id", k=5, dim=dim)
 
 
+def _q_knn_lsh_exact(sf_dir: str):
+    """LSH ANN at exact degeneration: ``nbits=0`` hashes every row (and
+    every query) to bucket 0 and ``probe_radius=0`` probes only that
+    bucket, so the scorer evaluates every (query, row) pair — brute force
+    through the LSH code path. Same self-exclusion and (score desc, id
+    asc) ranking as the brute-force baseline, so its oracle applies
+    verbatim; recall-vs-nbits tradeoffs stay covered by recall tests."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.similarity import knn_lsh
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    queries = {int(v): e for v, e in pairs[:10]}
+    dim = len(pairs[0][1])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, queries, "embedding", "vec_id", k=5, dim=dim,
+                  nbits=0, probe_radius=0)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id": "neighbor_id"})[
+            ["qid", "neighbor_id", "rank", "score"]]
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_kmeans_assign_seeded(sf_dir: str):
+    """k-means assignment with an EXPLICIT codebook (the pretrained-IVF
+    surface) run at exact degeneration: centroids = embeddings of the 16
+    lowest vec_ids, zero Lloyd iterations ⇒ nearest-seed assignment,
+    which SQL reproduces with a cross-join argmax (ties → lowest cell,
+    matching numpy argmax). Per-cell counts; the sampled-fit variant
+    stays rows-only (`kmeans_cluster_sizes`)."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.similarity import kmeans_assign
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    seeds = np.stack([np.asarray(e, dtype=np.float64) for _, e in pairs[:16]])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = kmeans_assign(ds, "embedding", "vec_id", centroids=seeds)
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_one", pa.array(
+            np.ones(batch.num_rows, dtype=np.int64)))
+
+    agg = grouped_aggregate(assigned.map_batches(one, batch_format="pyarrow"),
+                            keys=["cell"], value_col="_one",
+                            mode="driver").to_pandas()
+    agg = agg.sort_values("cell", kind="mergesort")
+    return pd.DataFrame({"cell": agg["cell"].astype("int32").to_numpy(),
+                         "n_vectors": agg["agg_count"].astype("int64").to_numpy()})
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF ANN run at exact degeneration (nprobe == n_centroids ⇒ every
     cell probed ⇒ brute force) so the result is DuckDB-oracle-checkable;
@@ -2478,6 +2531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only. A meta-test in test_oracle_parity.py pins the count.)
         "spec_route_counts": _q_spec_route_counts,  # rotate into r5 window
         "spec_topology_counts": _q_spec_topology_counts,  # r5 rotation too
+        "knn_lsh_exact": _q_knn_lsh_exact,                # r5 rotation too
+        "kmeans_assign_seeded": _q_kmeans_assign_seeded,  # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -2846,6 +2901,42 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        # nbits=0 LSH degenerates to brute force — identical oracle
+        "knn_lsh_exact": r"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE q.qid <> e.vec_id
+), ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+        # explicit seed codebook ⇒ nearest-seed assignment (argmax cosine,
+        # ties to the lowest cell) — exact in SQL
+        "kmeans_assign_seeded": r"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), scored AS (
+  SELECT e.vec_id, s.cell,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+), best AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+  FROM scored
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+FROM best WHERE rk = 1 GROUP BY cell
 """,
         "join_composite": _SQL_EVENTS + r""", g AS (
   SELECT user_id, event_type, count(*) AS group_n

@@ -338,17 +338,26 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
 
 def kmeans_assign(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
                   n_centroids: int = 16, sample_size: int = 2048,
-                  seed: int = 13, keep_vec: bool = False) -> ray.data.Dataset:
+                  seed: int = 13, keep_vec: bool = False,
+                  centroids: np.ndarray | None = None) -> ray.data.Dataset:
     """Distributed k-means cluster assignment (the IVF coarse quantizer as
     a first-class operator — corpus partitioning / near-dup blocking for
     embedding pipelines): centroids trained ONCE on a bounded driver
     sample, broadcast; assignment is one matmul-argmax per batch.
     Output: (id, cell:int32), plus the vector column when ``keep_vec``
-    (the SemDeDup composition needs vectors alongside the cell)."""
-    sample = ds.limit(sample_size).to_pandas()[vec_col]
-    smat = _normalize(np.stack(sample.to_numpy()).astype(np.float64))
-    centroids = _normalize(_kmeans(smat, n_centroids, seed=seed))
-    cref = ray.put(centroids)
+    (the SemDeDup composition needs vectors alongside the cell).
+
+    ``centroids`` skips the sample fit and assigns against an explicit
+    codebook (rows normalized here) — the pretrained-quantizer surface an
+    IVF index reuses across runs, and the exact-degeneration oracle path
+    (seed vectors as centroids ⇒ nearest-seed assignment, which a SQL
+    cross-join argmax reproduces; ties break to the lowest cell, matching
+    ``argmax``'s first-max rule)."""
+    if centroids is None:
+        sample = ds.limit(sample_size).to_pandas()[vec_col]
+        smat = _normalize(np.stack(sample.to_numpy()).astype(np.float64))
+        centroids = _kmeans(smat, n_centroids, seed=seed)
+    cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cref)
