@@ -1094,6 +1094,20 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merges(ds, "text", k=30)
 
 
+def _q_bpe_first_merge(sf_dir: str):
+    """BPE training at exact degeneration (k=1): before any merge the
+    symbols are single characters plus the ``</w>`` end-of-word marker, so
+    the first learned merge is a pure SQL aggregate — max freq-weighted
+    adjacent character-pair count, ties to the lexicographically smallest
+    (left, right). Exercises the real distributed word-frequency pass and
+    the pair-count/tie-break core of the merge loop; the iterative k>1
+    path stays rows-only (`bpe_merges`) with ≡-naive tests."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.bpe import bpe_merges
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_merges(ds, "text", k=1)
+
+
 def _q_bpe_encode(sf_dir: str):
     """BPE application: learn 30 merges, then encode the corpus — per-doc
     subword counts via the flat-array merge kernel over Arrow string
@@ -2533,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spec_topology_counts": _q_spec_topology_counts,  # r5 rotation too
         "knn_lsh_exact": _q_knn_lsh_exact,                # r5 rotation too
         "kmeans_assign_seeded": _q_kmeans_assign_seeded,  # r5 rotation too
+        "bpe_first_merge": _q_bpe_first_merge,            # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -2918,6 +2933,28 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        # k=1 BPE: symbols are still single chars + '</w>', so the first
+        # merge is a pure pair-count aggregate (ties: smallest (left,right))
+        "bpe_first_merge": r"""
+WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+), pos AS (
+  SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf
+), pairs AS (
+  SELECT substr(word, i, 1) AS "left",
+         CASE WHEN i = length(word) THEN '</w>'
+              ELSE substr(word, i + 1, 1) END AS "right",
+         freq
+  FROM pos
+)
+SELECT CAST(0 AS BIGINT) AS "rank", "left", "right",
+       "left" || "right" AS merged,
+       CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY "left", "right"
+ORDER BY pair_count DESC, "left", "right" LIMIT 1
 """,
         # explicit seed codebook ⇒ nearest-seed assignment (argmax cosine,
         # ties to the lowest cell) — exact in SQL
