@@ -737,6 +737,25 @@ def _q_kmeans_assign_seeded(sf_dir: str):
                          "n_vectors": agg["agg_count"].astype("int64").to_numpy()})
 
 
+def _q_semdedup_seeded(sf_dir: str):
+    """SemDeDup at exact degeneration: explicit seed codebook (16 lowest
+    vec_ids) + threshold=-2 ⇒ every within-cell pair is a dup pair, so
+    each cell is one connected component and the keep rule collapses to
+    "min id per cell" — a SQL window function over the same cross-join
+    argmax assignment as `kmeans_assign_seeded`. Exercises the real
+    assign → pair-gen → clustering → mark-join chain end-to-end; the
+    sampled-fit variant stays rows-only (`semdedup`)."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import semdedup
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    seeds = np.stack([np.asarray(e, dtype=np.float64) for _, e in pairs[:16]])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, "embedding", "vec_id", centroids=seeds,
+                    threshold=-2.0)
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF ANN run at exact degeneration (nprobe == n_centroids ⇒ every
     cell probed ⇒ brute force) so the result is DuckDB-oracle-checkable;
@@ -2548,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_exact": _q_knn_lsh_exact,                # r5 rotation too
         "kmeans_assign_seeded": _q_kmeans_assign_seeded,  # r5 rotation too
         "bpe_first_merge": _q_bpe_first_merge,            # r5 rotation too
+        "semdedup_seeded": _q_semdedup_seeded,            # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -2974,6 +2994,26 @@ WITH seeds AS (
 )
 SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
 FROM best WHERE rk = 1 GROUP BY cell
+""",
+        # seeded cells + threshold=-2 ⇒ every in-cell pair connects ⇒
+        # keep = min id per cell (same assignment CTE as kmeans_assign_seeded)
+        "semdedup_seeded": r"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), scored AS (
+  SELECT e.vec_id, s.cell,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+), best AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+  FROM scored
+)
+SELECT vec_id AS id, cell,
+       vec_id = min(vec_id) OVER (PARTITION BY cell) AS keep
+FROM best WHERE rk = 1
 """,
         "join_composite": _SQL_EVENTS + r""", g AS (
   SELECT user_id, event_type, count(*) AS group_n

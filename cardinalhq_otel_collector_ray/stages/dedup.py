@@ -1359,7 +1359,8 @@ def semdedup(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
              n_centroids: int | str = "auto", threshold: float = 0.97,
              sample_size: int = 2048, seed: int = 13,
              max_block: int = 16384, partitions: int = 64,
-             max_driver_pairs: int = 2_000_000) -> ray.data.Dataset:
+             max_driver_pairs: int = 2_000_000,
+             centroids=None) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     semantic deduplication = k-means partition of the embedding space +
     within-cluster cosine near-dup detection + keep ONE representative
@@ -1391,14 +1392,19 @@ def semdedup(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
 
     from .similarity import kmeans_assign
 
-    if n_centroids == "auto":
-        import math
-        n_centroids = max(16, min(65536, math.isqrt(max(int(ds.count()), 1))))
-    sample_size = max(sample_size, 4 * int(n_centroids))
+    if centroids is None:
+        if n_centroids == "auto":
+            import math
+            n_centroids = max(16, min(65536,
+                                      math.isqrt(max(int(ds.count()), 1))))
+        sample_size = max(sample_size, 4 * int(n_centroids))
 
+    # ``centroids`` (explicit codebook) skips the sample fit — the
+    # pretrained-quantizer surface, and the exact-degeneration oracle path
+    # (seeded cells + threshold ≤ -1 ⇒ keep = min id per cell).
     assigned = kmeans_assign(ds, vec_col, id_col, n_centroids=n_centroids,
                              sample_size=sample_size, seed=seed,
-                             keep_vec=True)
+                             keep_vec=True, centroids=centroids)
     pairs = embedding_neardup_pairs(assigned, vec_col, "id",
                                     block_col="cell", threshold=threshold,
                                     max_block=max_block,
