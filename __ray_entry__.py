@@ -897,6 +897,34 @@ def _q_emit_shape(sf_dir: str):
     return emit_stage(tagged, additional_attributes={"env": "prod"})
 
 
+def _q_emit_flat(sf_dir: str):
+    """C3 re-emit, oracle-checked: same aggregate → tag → emit_stage chain
+    as `aggregate_emit_shape`, then the map-typed sections are flattened to
+    scalar columns with C++ map_lookup (resource_attrs['service'],
+    dp_attrs['event_type'/'env']) so every emitted field — defaults-then-
+    metadata temporality/monotonic, interval timestamps, section re-split,
+    additional_attributes — is SQL-reproducible. The full map-shape
+    fidelity stays covered by `aggregate_emit_shape` + emit_row goldens."""
+    emitted = _q_emit_shape(sf_dir)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        def lk(col: str, key: str):
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return pc.map_lookup(arr, query_key=key, occurrence="first")
+        return pa.table({
+            "name": batch["name"], "unit": batch["unit"],
+            "mtype": batch["mtype"], "temporality": batch["temporality"],
+            "monotonic": batch["monotonic"], "ts_ms": batch["ts_ms"],
+            "start_ts_ms": batch["start_ts_ms"], "value_d": batch["value_d"],
+            "service": lk("resource_attrs", "service"),
+            "event_type": lk("dp_attrs", "event_type"),
+            "env": lk("dp_attrs", "env"),
+        })
+    return emitted.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_streaming_interval_agg(sf_dir: str):
     """The INCREMENTAL path of C2: events streamed in arrival order through
     actor-per-bucket MicroBatchAggregators (state kept across consume
@@ -2568,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_seeded": _q_kmeans_assign_seeded,  # r5 rotation too
         "bpe_first_merge": _q_bpe_first_merge,            # r5 rotation too
         "semdedup_seeded": _q_semdedup_seeded,            # r5 rotation too
+        "emit_flat": _q_emit_flat,                        # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -2740,6 +2769,22 @@ SELECT route AS sink,
        count(*) AS n_rows,
        CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY 1, 2
+""",
+        # C3 emit flattened to scalars: aggregate + constant/formatted
+        # fields (sum defaults: delta + non-monotonic; env appended)
+        "emit_flat": _SQL_EVENTS + r"""
+SELECT 'events.' || event_type || '.value' AS name,
+       'cents' AS unit,
+       'sum' AS mtype,
+       'delta' AS temporality,
+       FALSE AS monotonic,
+       (ts_ms // 600000) * 600000 AS ts_ms,
+       (ts_ms // 600000) * 600000 AS start_ts_ms,
+       CAST(CAST(sum(value_cents) AS BIGINT) AS DOUBLE) AS value_d,
+       'events' AS service,
+       event_type,
+       'prod' AS env
+FROM ev GROUP BY event_type, (ts_ms // 600000) * 600000
 """,
         "interval_agg_events": _SQL_EVENTS + r"""
 SELECT event_type, (ts_ms // 60000) * 60000 AS interval_ms,
