@@ -1169,6 +1169,21 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode_stats(ds, merges, "text", "doc_id")
 
 
+def _q_bpe_encode_nomerge(sf_dir: str):
+    """BPE encode at exact degeneration (empty merge plan): every word
+    stays bytes + one </w>, so per-doc n_subwords = byte length of the
+    text minus separators plus the word count — pure SQL. Exercises the
+    real flat-symbol-array encode kernel (Arrow buffer walk, bincount
+    per-doc finish); the learned-merge path stays rows-only
+    (`bpe_encode`) with ≡-naive tests."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.bpe import (bpe_encode_stats,
+                                                          bpe_merges)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_merges(ds, "text", k=0)
+    return bpe_encode_stats(ds, merges, "text", "doc_id")
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) per-cell summary: k-means partition +
     within-cluster cosine dedup, keep the min-id representative per dup
@@ -2597,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_first_merge": _q_bpe_first_merge,            # r5 rotation too
         "semdedup_seeded": _q_semdedup_seeded,            # r5 rotation too
         "emit_flat": _q_emit_flat,                        # r5 rotation too
+        "bpe_encode_nomerge": _q_bpe_encode_nomerge,      # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -2998,6 +3014,14 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        # zero merges: n_subwords = word bytes + one </w> per word
+        "bpe_encode_nomerge": r"""
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(octet_length(encode(replace(text, ' ', '')))
+            + length(string_split(text, ' ')) AS BIGINT) AS n_subwords
+FROM documents
 """,
         # k=1 BPE: symbols are still single chars + '</w>', so the first
         # merge is a pure pair-count aggregate (ties: smallest (left,right))
