@@ -2137,6 +2137,19 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(ds)
 
 
+def _q_compression_ratio_stored(sf_dir: str):
+    """Deflate ratio at exact degeneration: level=0 emits STORED blocks,
+    so for docs under one block (corpus max 577 bytes ≪ 65535) the
+    compressed size is exactly n_bytes + 11 (2B zlib header + 5B stored-
+    block header + 4B adler32) — pure SQL. Exercises the real zlib call,
+    Arrow buffer walk and round6 ratio plumbing; the level-6 signal stays
+    rows-only (`compression_ratio`) with ordering goldens."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import compression_ratio
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return compression_ratio(ds, level=0)
+
+
 def _q_range_partition(sf_dir: str):
     """Range partitioning for sorted output: exact balanced boundaries at
     ranks ceil(j·n/P) from a bounded-domain value histogram, broadcast
@@ -2613,6 +2626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_seeded": _q_semdedup_seeded,            # r5 rotation too
         "emit_flat": _q_emit_flat,                        # r5 rotation too
         "bpe_encode_nomerge": _q_bpe_encode_nomerge,      # r5 rotation too
+        "compression_ratio_stored": _q_compression_ratio_stored,  # r5 too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -3014,6 +3028,18 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        # zlib level 0 = stored blocks: compressed = n + 11 for docs under
+        # one 64 KiB block (corpus max 577 B)
+        "compression_ratio_stored": r"""
+WITH d AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       n_bytes + 11 AS compressed_bytes,
+       round((n_bytes + 11) / greatest(n_bytes, 1), 6) AS compression_ratio
+FROM d
 """,
         # zero merges: n_subwords = word bytes + one </w> per word
         "bpe_encode_nomerge": r"""
