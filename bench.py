@@ -196,7 +196,8 @@ def run_queries(sf_dir: str) -> dict:
              "period_over_period", "dsir_weights", "semdedup", "bpe_merges",
              "bpe_encode", "dup_ngram_fraction", "gopher_rules", "global_rank",
              "exact_quantiles", "global_percentile",
-             "multimodal_decode", "audio_decode", "drain_templates"]
+             "multimodal_decode", "audio_decode", "drain_templates",
+             "spec_route_counts", "emit_flat", "kmeans_assign_seeded"]
     qs = entrymod.queries()
     out = {}
     import ray.data
