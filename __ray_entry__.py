@@ -2137,6 +2137,35 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(ds)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-run incremental dedup (the daily-increment production
+    pattern): a deterministic 30% of documents play the HISTORY corpus (a
+    prior run's output), the rest are the NEW increment; keep the min-id
+    per distinct new content absent from history. Both sides exchange
+    only skinny per-block partials through ONE bounded-tag shuffle
+    (`dedup_against_history`)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import dedup_against_history
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(hist: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            mark = (ids * 2654435761 + 12345) % 10 < 3
+            keep = mark if hist else ~mark
+            return batch.filter(pa.array(keep))
+        return fn
+
+    new = ds.map_batches(split(False), batch_format="pyarrow")
+    hist = ds.map_batches(split(True), batch_format="pyarrow")
+    out = dedup_against_history(new, hist, "text", "doc_id")
+    return out.map_batches(
+        lambda t: pa.table({"keep_id": t["keep_id"],
+                            "n_copies": t["n_copies"]}),
+        batch_format="pyarrow")
+
+
 def _q_compression_ratio_stored(sf_dir: str):
     """Deflate ratio at exact degeneration: level=0 emits STORED blocks,
     so for docs under one block (corpus max 577 bytes ≪ 65535) the
@@ -2627,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emit_flat": _q_emit_flat,                        # r5 rotation too
         "bpe_encode_nomerge": _q_bpe_encode_nomerge,      # r5 rotation too
         "compression_ratio_stored": _q_compression_ratio_stored,  # r5 too
+        "incremental_dedup": _q_incremental_dedup,        # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -3028,6 +3058,21 @@ WITH q AS (
 )
 SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS score
 FROM ranked WHERE rank <= 5
+""",
+        # cross-run incremental dedup: new-increment min-id per content,
+        # contents already in the 30% history corpus excluded
+        "incremental_dedup": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         (doc_id * 2654435761 + 12345) % 10 < 3 AS hist
+  FROM documents
+), n AS (
+  SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM t WHERE NOT hist GROUP BY text
+)
+SELECT keep_id, n_copies FROM n
+WHERE NOT EXISTS (SELECT 1 FROM t h WHERE h.hist AND h.text = n.text)
 """,
         # zlib level 0 = stored blocks: compressed = n + 11 for docs under
         # one 64 KiB block (corpus max 577 B)

@@ -125,6 +125,82 @@ def exact_dedup_stats(ds: ray.data.Dataset, content_col: str, id_col: str,
     return partials.groupby("_cpart").map_groups(per_part, batch_format="pyarrow")
 
 
+_HIST_SENTINEL_ID = np.iinfo(np.int64).max
+
+
+def dedup_against_history(new_ds: ray.data.Dataset,
+                          history_ds: ray.data.Dataset,
+                          content_col: str, id_col: str,
+                          num_partitions: int = 64,
+                          coalesce_partials: bool = False
+                          ) -> ray.data.Dataset:
+    """Incremental exact dedup: among NEW rows, keep the min-id per
+    distinct content whose content does NOT appear in the HISTORY corpus
+    (a prior run's output — the daily-increment pattern: dedup today's
+    crawl against everything already ingested).
+
+    Scale contract (both corpora can be 100 TB): neither side ever
+    shuffles full rows. Each side pre-combines per block to skinny
+    partials — new → (content, min id, count), history → distinct
+    contents only — tagged with the SAME value-deterministic
+    ``_cpart = hash(content) % P`` used by ``exact_dedup_stats``, so equal
+    contents from either side co-locate in ONE bounded-tag shuffle. The
+    per-partition finish is a single C++ ``group_by`` (min / sum / max on
+    a history flag); exact content equality is re-checked there, so hash
+    collisions cannot suppress a keep.
+
+    Output: (content, keep_id, n_copies) — one row per distinct NEW
+    content not present in history. ``n_copies`` counts its occurrences
+    within the new increment.
+    SQL-equivalent: ``SELECT content, min(id), count(*) FROM new
+    GROUP BY content WHERE content NOT IN (SELECT content FROM history)``.
+    """
+    def pre_new(batch: pa.Table) -> pa.Table:
+        part = batch.select([content_col, id_col]).group_by([content_col]) \
+            .aggregate([(id_col, "min"), (id_col, "count")])
+        part = part.rename_columns([content_col, "_pmin", "_pn"])
+        tag = _content_part_tags(part[content_col], num_partitions)
+        n = part.num_rows
+        return pa.table({
+            content_col: part[content_col],
+            "_pmin": part["_pmin"].cast(pa.int64()),
+            "_pn": part["_pn"].cast(pa.int64()),
+            "_hist": pa.array(np.zeros(n, dtype=np.int8)),
+            "_cpart": pa.array(tag),
+        })
+
+    def pre_hist(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        distinct = col.unique()
+        tag = _content_part_tags(distinct, num_partitions)
+        n = len(distinct)
+        # sentinel id can never win a min against a real new-side id, and
+        # history-hit groups are filtered out anyway
+        return pa.table({
+            content_col: distinct,
+            "_pmin": pa.array(np.full(n, _HIST_SENTINEL_ID, dtype=np.int64)),
+            "_pn": pa.array(np.zeros(n, dtype=np.int64)),
+            "_hist": pa.array(np.ones(n, dtype=np.int8)),
+            "_cpart": pa.array(tag),
+        })
+
+    def per_part(t: pa.Table) -> pa.Table:
+        g = t.group_by([content_col]).aggregate(
+            [("_pmin", "min"), ("_pn", "sum"), ("_hist", "max")])
+        g = g.rename_columns([content_col, "keep_id", "n_copies", "_h"])
+        fresh = g.filter(pc.equal(g["_h"], pa.scalar(np.int8(0))))
+        return fresh.drop_columns(["_h"])
+
+    partials = new_ds.map_batches(pre_new, batch_format="pyarrow") \
+        .union(history_ds.map_batches(pre_hist, batch_format="pyarrow"))
+    if coalesce_partials:  # many-block inputs: see CLAUDE.md sort-cost note
+        partials = partials.repartition(num_partitions)
+    return partials.groupby("_cpart").map_groups(per_part,
+                                                 batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- MinHash + LSH
 
 def _minhash_sigs(codes: np.ndarray, starts: np.ndarray, num_perm: int,
