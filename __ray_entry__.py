@@ -2166,6 +2166,33 @@ def _q_incremental_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_incremental_neardup(sf_dir: str):
+    """Fuzzy incremental dedup: NEW docs (70%) flagged when their exact
+    char-6-shingle Jaccard with ANY history doc (the deterministic 30%)
+    is ≥ 0.8 — LSH-accelerated candidates, exact verify, so the output is
+    deterministic and SQL-checkable (`neardup_against_history`)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.dedup import neardup_against_history
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(hist: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            mark = (ids * 2654435761 + 12345) % 10 < 3
+            return batch.filter(pa.array(mark if hist else ~mark))
+        return fn
+
+    new = ds.map_batches(split(False), batch_format="pyarrow")
+    hist = ds.map_batches(split(True), batch_format="pyarrow")
+    out = neardup_against_history(new, hist, "text", "doc_id",
+                                  threshold=0.8)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["id"],
+                            "max_jaccard": t["max_jaccard"]}),
+        batch_format="pyarrow")
+
+
 def _q_compression_ratio_stored(sf_dir: str):
     """Deflate ratio at exact degeneration: level=0 emits STORED blocks,
     so for docs under one block (corpus max 577 bytes ≪ 65535) the
@@ -2657,6 +2684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_nomerge": _q_bpe_encode_nomerge,      # r5 rotation too
         "compression_ratio_stored": _q_compression_ratio_stored,  # r5 too
         "incremental_dedup": _q_incremental_dedup,        # r5 rotation too
+        "incremental_neardup": _q_incremental_neardup,    # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -3073,6 +3101,31 @@ WITH t AS (
 )
 SELECT keep_id, n_copies FROM n
 WHERE NOT EXISTS (SELECT 1 FROM t h WHERE h.hist AND h.text = n.text)
+""",
+        # fuzzy incremental dedup: new docs with an exact shingle-Jaccard
+        # >= 0.8 near-dup in the 30% history corpus (max over hist matches)
+        "incremental_neardup": r"""
+WITH t AS (
+  SELECT doc_id, text, (doc_id * 2654435761 + 12345) % 10 < 3 AS hist
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, hist, substr(text, CAST(i AS INTEGER), 6) AS s
+  FROM t, unnest(range(1, greatest(length(text) - 4, 1))) AS g(i)
+  WHERE length(text) >= 6
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT n.doc_id AS nid, h.doc_id AS hid, count(*) AS i
+  FROM sh n JOIN sh h ON n.s = h.s AND NOT n.hist AND h.hist
+  GROUP BY n.doc_id, h.doc_id
+), j AS (
+  SELECT nid, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jac
+  FROM inter
+  JOIN sizes sa ON nid = sa.doc_id
+  JOIN sizes sb ON hid = sb.doc_id
+)
+SELECT nid AS doc_id, round(max(jac), 6) AS max_jaccard
+FROM j WHERE jac >= 0.8 GROUP BY nid
 """,
         # zlib level 0 = stored blocks: compressed = n + 11 for docs under
         # one 64 KiB block (corpus max 577 B)

@@ -794,6 +794,62 @@ def minhash_neardup_exact(ds: ray.data.Dataset, text_col: str, id_col: str, *,
         threshold=threshold, max_bytes=max_bytes)
 
 
+def neardup_against_history(new_ds: ray.data.Dataset,
+                            history_ds: ray.data.Dataset,
+                            text_col: str, id_col: str, *,
+                            k_shingle: int = 6, threshold: float = 0.8,
+                            num_perm: int = 128, bands: int = 32,
+                            max_bucket: int = 2000, seed: int = 7,
+                            max_bytes: int = 1 << 30) -> ray.data.Dataset:
+    """Fuzzy incremental dedup: flag NEW docs whose exact char-k-shingle
+    Jaccard with ANY history doc is ≥ threshold (today's crawl near-dup'd
+    against everything already ingested, without re-pairing history with
+    itself on the output side).
+
+    Rides the exact LSH pipeline (`minhash_neardup_exact`) over the union
+    of both corpora: requires non-negative int64 ids; history ids travel
+    as ``-(id+1)`` so side information survives into the (id_a, id_b)
+    pair stream — pair emission orders id_a < id_b, so a cross-side pair
+    is exactly (id_a < 0 ≤ id_b). Within-new and within-history pairs are
+    dropped; the finish is the same bounded-tag partitioned C++ max as
+    `_pair_dedup`. Output: (id, max_jaccard) per flagged new doc.
+    """
+    def neg_ids(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64())
+        flipped = pc.subtract(pa.scalar(-1, pa.int64()), ids)
+        return pa.table({id_col: flipped, text_col: batch[text_col]})
+
+    def pass_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         text_col: batch[text_col]})
+
+    union = new_ds.map_batches(pass_ids, batch_format="pyarrow").union(
+        history_ds.map_batches(neg_ids, batch_format="pyarrow"))
+    pairs = minhash_neardup_exact(union, text_col, id_col,
+                                  k_shingle=k_shingle, threshold=threshold,
+                                  num_perm=num_perm, bands=bands,
+                                  max_bucket=max_bucket, seed=seed,
+                                  max_bytes=max_bytes)
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        keep = (a < 0) & (bb >= 0)
+        t = b.filter(pa.array(keep))
+        part = (t["id_b"].to_numpy(zero_copy_only=False)
+                % np.int64(16)).astype(np.int32)
+        return pa.table({"id": t["id_b"], "jaccard": t["jaccard"],
+                         "_part": pa.array(part)})
+
+    def per_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id"]).aggregate([("jaccard", "max")])
+        return g.rename_columns(["id", "max_jaccard"])
+
+    flagged = pairs.map_batches(cross_only, batch_format="pyarrow")
+    return flagged.groupby("_part").map_groups(per_part,
+                                               batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash64(ds: ray.data.Dataset, text_col: str, out: str = "simhash") -> ray.data.Dataset:

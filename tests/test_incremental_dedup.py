@@ -7,7 +7,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from cardinalhq_otel_collector_ray.stages.dedup import dedup_against_history
+from cardinalhq_otel_collector_ray.stages.dedup import (
+    dedup_against_history, neardup_against_history)
 
 
 def _ds(rows, parts=3):
@@ -41,6 +42,23 @@ def test_empty_history_degenerates_to_exact_dedup_stats():
     new = [(3, "p"), (1, "p"), (2, "q")]
     got = _run(new, [])
     assert got == {1: 2, 2: 1}
+
+
+def test_neardup_history_flags_planted_pairs():
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base[:-1] + "!"          # one-char edit: shingle Jaccard ≈ 0.9
+    far = "completely different content with no shared shingles at all xyz"
+    new = [(100, near), (101, far), (102, base)]   # 102 is an exact dup
+    hist = [(1, base)]
+    out = neardup_against_history(_ds(new), _ds(hist), "text", "id",
+                                  threshold=0.8, max_bucket=100).to_pandas()
+    got = dict(zip(out["id"], out["max_jaccard"]))
+    assert set(got) == {100, 102}
+    assert got[102] == 1.0
+    assert 0.8 <= got[100] < 1.0
+    # within-new exact dup (100 vs 102 share most shingles) must NOT
+    # appear as a history flag for a doc with no history match
+    assert 101 not in got
 
 
 def test_batching_invariance():
