@@ -2166,6 +2166,18 @@ def _q_incremental_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_sq_embedding_error(sf_dir: str):
+    """Scalar int8 quantization of the embedding corpus (the 4× storage
+    lever at 100 TB) with exact per-row reconstruction accounting: the
+    per-dim (lo, hi) codebook trains distributed (one 2×dim partial per
+    block), broadcasts once, and the encode/decode expression tree matches
+    SQL exactly — float64 end to end, round6 after the row max."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.similarity import sq_quantize_stats
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sq_quantize_stats(ds, "embedding", "vec_id")
+
+
 def _q_incremental_neardup(sf_dir: str):
     """Fuzzy incremental dedup: NEW docs (70%) flagged when their exact
     char-6-shingle Jaccard with ANY history doc (the deterministic 30%)
@@ -2685,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_stored": _q_compression_ratio_stored,  # r5 too
         "incremental_dedup": _q_incremental_dedup,        # r5 rotation too
         "incremental_neardup": _q_incremental_neardup,    # r5 rotation too
+        "sq_embedding_error": _q_sq_embedding_error,      # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -3101,6 +3114,35 @@ WITH t AS (
 )
 SELECT keep_id, n_copies FROM n
 WHERE NOT EXISTS (SELECT 1 FROM t h WHERE h.hist AND h.text = n.text)
+""",
+        # per-dim uniform int8 quantization: code/reconstruction expression
+        # trees identical to the Ray kernel (float64, round6 after row max)
+        "sq_embedding_error": r"""
+WITH dims AS (
+  SELECT g.d AS d,
+         min(CAST(embedding[g.d] AS DOUBLE)) AS lo,
+         max(CAST(embedding[g.d] AS DOUBLE)) AS hi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)
+  GROUP BY g.d
+), vals AS (
+  SELECT e.vec_id, dims.lo, dims.hi,
+         CAST(e.embedding[g.d] AS DOUBLE) AS v
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS g(d)
+  JOIN dims ON dims.d = g.d
+), coded AS (
+  SELECT vec_id, v, lo, hi,
+         CASE WHEN hi > lo
+              THEN least(greatest(floor((v - lo) / (hi - lo) * 256), 0), 255)
+              ELSE 0 END AS code
+  FROM vals
+), recon AS (
+  SELECT vec_id, code,
+         abs(v - (lo + (code + 0.5) * ((hi - lo) / 256))) AS err
+  FROM coded
+)
+SELECT vec_id AS id, CAST(max(code) AS BIGINT) AS max_code,
+       round(max(err), 6) AS max_abs_err
+FROM recon GROUP BY vec_id
 """,
         # fuzzy incremental dedup: new docs with an exact shingle-Jaccard
         # >= 0.8 near-dup in the 30% history corpus (max over hist matches)

@@ -336,6 +336,77 @@ def knn_lsh(ds: ray.data.Dataset, queries: dict, vec_col: str, id_col: str,
     return _final_topk(scored, k)
 
 
+def sq_minmax(ds: ray.data.Dataset, vec_col: str) -> tuple[np.ndarray,
+                                                           np.ndarray]:
+    """Per-dimension (min, max) over an embedding column, distributed:
+    each block contributes ONE (mins, maxs) partial row (2 × dim floats —
+    bounded by dim, not corpus size); the driver folds the ≤ n_blocks
+    partials. The codebook-training analog of the IVF sample fit, but
+    exact and one pass."""
+    def block(batch: pa.Table) -> pa.Table:
+        vecs = batch[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+        d = offsets[1] - offsets[0]
+        m = vecs.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, d)
+        return pa.table({"mins": pa.array([m.min(axis=0)]),
+                         "maxs": pa.array([m.max(axis=0)])})
+
+    parts = ds.map_batches(block, batch_format="pyarrow")
+    lo, hi = None, None
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0:
+            continue
+        mins = np.stack(b["mins"].to_pylist()).min(axis=0)
+        maxs = np.stack(b["maxs"].to_pylist()).max(axis=0)
+        lo = mins if lo is None else np.minimum(lo, mins)
+        hi = maxs if hi is None else np.maximum(hi, maxs)
+    return lo, hi
+
+
+def sq_quantize_stats(ds: ray.data.Dataset, vec_col: str, id_col: str,
+                      *, levels: int = 256) -> ray.data.Dataset:
+    """Scalar (per-dimension uniform) quantization of an embedding column
+    with reconstruction-error accounting — the 4× storage lever for
+    100 TB embedding corpora (float32 → uint8 codes).
+
+    code = clip(floor((v - lo_d) / (hi_d - lo_d) * levels), 0, levels-1)
+    per dimension d (constant dims quantize to code 0 exactly);
+    reconstruction v̂ = lo_d + (code + 0.5) · (hi_d - lo_d) / levels
+    (mid-rise). All float64 with the same expression tree a SQL engine
+    evaluates, so per-row stats are EXACTLY reproducible: output
+    (id, max_code:int64, max_abs_err:float64 round6).
+
+    The (lo, hi) codebook is 2 × dim values — trained distributed
+    (`sq_minmax`), broadcast once via the serialized callable.
+    """
+    lo, hi = sq_minmax(ds, vec_col)
+    rng_ = hi - lo
+    safe = np.where(rng_ > 0, rng_, 1.0)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vecs = batch[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+        d = offsets[1] - offsets[0]
+        m = vecs.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, d)
+        code = np.floor((m - lo) / safe * levels)
+        np.clip(code, 0, levels - 1, out=code)
+        code[:, rng_ <= 0] = 0.0
+        vhat = lo + (code + 0.5) * (rng_ / levels)
+        err = np.abs(m - vhat)
+        return pa.table({
+            "id": batch[id_col],
+            "max_code": pa.array(code.max(axis=1).astype(np.int64)),
+            "max_abs_err": pa.array(round6(err.max(axis=1))),
+        })
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 def kmeans_assign(ds: ray.data.Dataset, vec_col: str, id_col: str, *,
                   n_centroids: int = 16, sample_size: int = 2048,
                   seed: int = 13, keep_vec: bool = False,
