@@ -300,12 +300,21 @@ def _q_logdedup(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _embedding_head(sf_dir: str):
+    """(vec_id, embedding) pairs sorted by vec_id — the ONE deterministic
+    query/seed extraction shared by every ANN / seeded-codebook query
+    (callers slice the head; the unused label column stays on disk)."""
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    return sorted(zip(emb["vec_id"].to_pylist(),
+                      emb["embedding"].to_pylist()))
+
+
 def _q_knn(sf_dir: str):
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.similarity import knn_brute_force
-    import pyarrow.parquet as pq
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    pairs = _embedding_head(sf_dir)
     queries = {int(v): e for v, e in pairs[:10]}  # 10 smallest vec_ids
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, queries, "embedding", "vec_id", k=5)
@@ -673,11 +682,9 @@ def _q_join_bucketed(sf_dir: str):
 
 def _q_knn_lsh(sf_dir: str):
     """Rows-only: LSH-bucketed ANN (approximate — no exact SQL oracle)."""
-    import pyarrow.parquet as pq
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.similarity import knn_lsh
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    pairs = _embedding_head(sf_dir)
     queries = {int(v): e for v, e in pairs[:10]}
     dim = len(pairs[0][1])
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -691,11 +698,9 @@ def _q_knn_lsh_exact(sf_dir: str):
     through the LSH code path. Same self-exclusion and (score desc, id
     asc) ranking as the brute-force baseline, so its oracle applies
     verbatim; recall-vs-nbits tradeoffs stay covered by recall tests."""
-    import pyarrow.parquet as pq
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.similarity import knn_lsh
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    pairs = _embedding_head(sf_dir)
     queries = {int(v): e for v, e in pairs[:10]}
     dim = len(pairs[0][1])
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -715,12 +720,10 @@ def _q_kmeans_assign_seeded(sf_dir: str):
     which SQL reproduces with a cross-join argmax (ties → lowest cell,
     matching numpy argmax). Per-cell counts; the sampled-fit variant
     stays rows-only (`kmeans_cluster_sizes`)."""
-    import pyarrow.parquet as pq
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
     from cardinalhq_otel_collector_ray.stages.similarity import kmeans_assign
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    pairs = _embedding_head(sf_dir)
     seeds = np.stack([np.asarray(e, dtype=np.float64) for _, e in pairs[:16]])
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned = kmeans_assign(ds, "embedding", "vec_id", centroids=seeds)
@@ -745,11 +748,9 @@ def _q_semdedup_seeded(sf_dir: str):
     argmax assignment as `kmeans_assign_seeded`. Exercises the real
     assign → pair-gen → clustering → mark-join chain end-to-end; the
     sampled-fit variant stays rows-only (`semdedup`)."""
-    import pyarrow.parquet as pq
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.dedup import semdedup
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    pairs = _embedding_head(sf_dir)
     seeds = np.stack([np.asarray(e, dtype=np.float64) for _, e in pairs[:16]])
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semdedup(ds, "embedding", "vec_id", centroids=seeds,
@@ -762,11 +763,9 @@ def _q_knn_ivf(sf_dir: str):
     the recall-vs-nprobe tradeoff configs are covered by recall tests.
     Same self-exclusion and (score desc, id asc) ranking as the
     brute-force baseline, so the same oracle shape applies."""
-    import pyarrow.parquet as pq
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.similarity import knn_ivf
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    pairs = sorted(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    pairs = _embedding_head(sf_dir)
     queries = {int(v): e for v, e in pairs[:10]}
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_ivf(ds, queries, "embedding", "vec_id", k=5,
@@ -1177,10 +1176,12 @@ def _q_bpe_encode_nomerge(sf_dir: str):
     per-doc finish); the learned-merge path stays rows-only
     (`bpe_encode`) with ≡-naive tests."""
     from cardinalhq_otel_collector_ray.sources import read_table
-    from cardinalhq_otel_collector_ray.stages.bpe import (bpe_encode_stats,
-                                                          bpe_merges)
+    from cardinalhq_otel_collector_ray.stages.bpe import bpe_encode_stats
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    merges = bpe_merges(ds, "text", k=0)
+    # an empty merge table directly — running the distributed word-freq
+    # pass just to learn zero merges would double the corpus scans
+    merges = pd.DataFrame(columns=["rank", "left", "right", "merged",
+                                   "pair_count"])
     return bpe_encode_stats(ds, merges, "text", "doc_id")
 
 

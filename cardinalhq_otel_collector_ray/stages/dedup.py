@@ -832,12 +832,12 @@ def neardup_against_history(new_ds: ray.data.Dataset,
                                   max_bytes=max_bytes)
 
     def cross_only(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import part_tags
         a = b["id_a"].to_numpy(zero_copy_only=False)
         bb = b["id_b"].to_numpy(zero_copy_only=False)
         keep = (a < 0) & (bb >= 0)
         t = b.filter(pa.array(keep))
-        part = (t["id_b"].to_numpy(zero_copy_only=False)
-                % np.int64(16)).astype(np.int32)
+        part = part_tags(t["id_b"].to_numpy(zero_copy_only=False), 16)
         return pa.table({"id": t["id_b"], "jaccard": t["jaccard"],
                          "_part": pa.array(part)})
 

@@ -344,6 +344,9 @@ def sq_minmax(ds: ray.data.Dataset, vec_col: str) -> tuple[np.ndarray,
     partials. The codebook-training analog of the IVF sample fit, but
     exact and one pass."""
     def block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"mins": pa.array([], pa.list_(pa.float64())),
+                             "maxs": pa.array([], pa.list_(pa.float64()))})
         vecs = batch[vec_col]
         if isinstance(vecs, pa.ChunkedArray):
             vecs = vecs.combine_chunks()
@@ -383,10 +386,17 @@ def sq_quantize_stats(ds: ray.data.Dataset, vec_col: str, id_col: str,
     (`sq_minmax`), broadcast once via the serialized callable.
     """
     lo, hi = sq_minmax(ds, vec_col)
+    if lo is None:
+        raise ValueError("sq_quantize_stats: empty input dataset — "
+                         "no vectors to train the (lo, hi) codebook on")
     rng_ = hi - lo
     safe = np.where(rng_ > 0, rng_, 1.0)
 
     def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id": batch[id_col],
+                             "max_code": pa.array([], pa.int64()),
+                             "max_abs_err": pa.array([], pa.float64())})
         vecs = batch[vec_col]
         if isinstance(vecs, pa.ChunkedArray):
             vecs = vecs.combine_chunks()
