@@ -1953,6 +1953,26 @@ def _q_regional_revenue(sf_dir: str):
                          "n_items": agg["agg_count"].astype("int64")})
 
 
+def _q_chunk_windows(sf_dir: str):
+    """Sliding-window chunking (RAG / context-window prep): each tokenized
+    doc explodes into 32-token windows every 16 tokens, final remainder
+    window kept. Shuffle-free segmented explode; integer-only chunk
+    arithmetic makes the SQL oracle exact."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.packing import chunk_tokens
+    out = chunk_tokens(tokenized_documents(sf_dir), "tokens", "doc_id",
+                       size=32, stride=16)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "chunk_idx": batch["chunk_idx"],
+            "start_tok": batch["start_tok"],
+            "n_tok_chunk": batch["n_tok_chunk"],
+        })
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (pretraining layout): per-source
     streams ordered by doc id, cut into 512-token context windows; each
@@ -2699,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,        # r5 rotation too
         "incremental_neardup": _q_incremental_neardup,    # r5 rotation too
         "sq_embedding_error": _q_sq_embedding_error,      # r5 rotation too
+        "chunk_windows": _q_chunk_windows,                # r5 rotation too
         "knn_ivf": _q_knn_ivf,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "argmax_event_per_type": _q_argmax_event,
@@ -3115,6 +3136,21 @@ WITH t AS (
 )
 SELECT keep_id, n_copies FROM n
 WHERE NOT EXISTS (SELECT 1 FROM t h WHERE h.hist AND h.text = n.text)
+""",
+        # sliding-window chunking: integer-only count/boundary arithmetic
+        "chunk_windows": r"""
+WITH tok AS (
+  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 15) // 16 END AS k
+  FROM tok
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+       CAST(g.i * 16 AS BIGINT) AS start_tok,
+       least(32, n - g.i * 16) AS n_tok_chunk
+FROM c, unnest(generate_series(0, k - 1)) AS g(i)
 """,
         # per-dim uniform int8 quantization: code/reconstruction expression
         # trees identical to the Ray kernel (float64, round6 after row max)

@@ -57,6 +57,63 @@ def pack_sequences(ds: ray.data.Dataset, key: str, order_col: str,
     return partitioned_apply(ds, [key], kernel, num_partitions=num_partitions)
 
 
+def chunk_tokens(ds: ray.data.Dataset, tokens_col: str = "tokens",
+                 id_col: str = "doc_id", *, size: int = 32,
+                 stride: int = 16,
+                 emit_tokens: bool = False) -> ray.data.Dataset:
+    """Sliding-window chunking of a tokenized corpus (RAG / context-window
+    prep): each document explodes into windows of ``size`` tokens starting
+    every ``stride`` tokens; the final window is the remainder (shorter
+    than ``size``), and a doc with ≤ size tokens yields exactly one chunk.
+
+    Shuffle-free — a pure per-batch segmented numpy explode (integer
+    arithmetic only: chunk count = 1 + ceil((n - size)/stride) via
+    (n - size + stride - 1) // stride, so a SQL oracle reproduces it
+    exactly). Output: (id, chunk_idx, start_tok, n_tok_chunk) and, with
+    ``emit_tokens``, the sliced ``tokens`` windows gathered from the flat
+    Arrow values buffer (one vectorized fancy-index per batch — the
+    output-token-count cost is inherent to overlapping windows).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("chunk_tokens: size and stride must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(offsets)
+        k = np.where(n <= size, 1,
+                     1 + (n - size + stride - 1) // stride).astype(np.int64)
+        total = int(k.sum())
+        doc_idx = np.repeat(np.arange(len(n)), k)
+        firsts = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(k[:-1], out=firsts[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - firsts[doc_idx]
+        start_tok = chunk_idx * stride
+        n_chunk = np.minimum(size, n[doc_idx] - start_tok)
+        cols = {
+            id_col: batch[id_col].take(pa.array(doc_idx)),
+            "chunk_idx": pa.array(chunk_idx),
+            "start_tok": pa.array(start_tok),
+            "n_tok_chunk": pa.array(n_chunk),
+        }
+        if emit_tokens:
+            # flat gather: output token t of chunk c reads values[
+            # doc_start + start_tok + t] — built with one repeat/arange
+            starts_flat = offsets[doc_idx] + start_tok
+            out_off = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(n_chunk, out=out_off[1:])
+            within = np.arange(out_off[-1], dtype=np.int64) \
+                - np.repeat(out_off[:-1], n_chunk)
+            gather = np.repeat(starts_flat, n_chunk) + within
+            vals = toks.values.take(pa.array(gather))
+            cols[tokens_col] = pa.ListArray.from_arrays(
+                pa.array(out_off, type=pa.int32()), vals)
+        return pa.table(cols)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def dataset_split(ds: ray.data.Dataset, id_col: str,
                   thresholds: tuple[int, int] = (80, 90),
                   out: str = "split") -> ray.data.Dataset:

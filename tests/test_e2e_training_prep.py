@@ -81,3 +81,38 @@ def test_training_prep_end_to_end(sf_dir, tmp_path):
     # resume: identical rerun writes nothing
     assert sink.write_sorted(out, sort_col="doc_id", route_col="route",
                              tokens_len_col="n_tok") == []
+
+
+def test_chunk_tokens_reconstructs_and_counts():
+    """Non-overlapping windows (stride == size) concatenate back to the
+    doc; overlapping windows obey the count/boundary arithmetic; short
+    docs yield exactly one chunk."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from cardinalhq_otel_collector_ray.stages.packing import chunk_tokens
+
+    rng = np.random.default_rng(9)
+    docs = [list(rng.integers(0, 100, n)) for n in [1, 5, 32, 33, 100]]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+
+    flat = chunk_tokens(ds, size=32, stride=32, emit_tokens=True) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    for did, doc in enumerate(docs):
+        parts = flat[flat["doc_id"] == did]["tokens"]
+        recon = [x for chunk in parts for x in chunk]
+        assert recon == doc                     # stride==size: exact cover
+
+    over = chunk_tokens(ds, size=32, stride=16).to_pandas()
+    for did, doc in enumerate(docs):
+        n = len(doc)
+        k = 1 if n <= 32 else 1 + -(-(n - 32) // 16)
+        sub = over[over["doc_id"] == did]
+        assert len(sub) == k
+        assert (sub["n_tok_chunk"] == np.minimum(
+            32, n - sub["start_tok"])).all()
+        assert (sub["n_tok_chunk"] > 0).all()
