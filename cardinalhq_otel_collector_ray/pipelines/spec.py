@@ -224,6 +224,17 @@ def _s_dedup_history(ds, cfg):
                                  num_partitions=cfg.get("partitions", 64))
 
 
+def _s_chunk(ds, cfg):
+    """Sliding-window chunking (kind: chunk): explode a tokens column into
+    size-token windows every stride tokens (pairs with kind: tokenize)."""
+    from ..stages.packing import chunk_tokens
+    return chunk_tokens(ds, tokens_col=cfg.get("tokens", "tokens"),
+                        id_col=cfg.get("id", "doc_id"),
+                        size=cfg["size"], stride=cfg.get("stride",
+                                                         cfg["size"]),
+                        emit_tokens=cfg.get("emit_tokens", False))
+
+
 def _s_neardup_history(ds, cfg):
     """Fuzzy incremental dedup (kind: neardup_history): flag rows with an
     exact shingle-Jaccard ≥ threshold near-dup in ``history_table``."""
@@ -428,6 +439,7 @@ _STAGES: dict[str, StageFn] = {
     "winnow": _s_winnow,
     "iforest": _s_iforest,
     "pack_sequences": _s_pack_sequences,
+    "chunk": _s_chunk,
     "dataset_split": _s_dataset_split,
     "funnel": _s_funnel,
     "moving_window": _s_moving_window,

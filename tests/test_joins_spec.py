@@ -257,3 +257,20 @@ def test_spec_incremental_dedup_kinds(sf_dir):
     # every doc near-dups its own history copy at J=1
     assert (near["max_jaccard"] == 1.0).all()
     assert len(near) > 0
+
+
+def test_spec_chunk_kind(sf_dir):
+    """tokenize -> chunk: the declarative RAG-window prep pipeline."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+    out = compile_pipeline({
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text", "source"]},
+        "stages": [
+            {"kind": "tokenize"},
+            {"kind": "chunk", "size": 16, "stride": 8},
+        ],
+    }, sf_dir).to_pandas()
+    assert {"doc_id", "chunk_idx", "start_tok", "n_tok_chunk"} \
+        <= set(out.columns)
+    assert (out["n_tok_chunk"] > 0).all() and (out["n_tok_chunk"] <= 16).all()
+    assert len(out) > 0
