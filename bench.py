@@ -168,6 +168,51 @@ def run_headline(sf_dir: str, num_cpus: int, replication: int) -> dict:
             "sinks": len(agg["route"].unique())}
 
 
+def run_compute_kernel(sf_dir: str, num_cpus: int, replication: int) -> dict:
+    """Compute-bound scaling probe: MinHash signatures (64 universal-hash
+    passes over every shingle — high FLOPs/byte, NO shuffle, no driver
+    combine beyond a count) over the same replicated corpus as the
+    headline. If THIS scales ~linearly where the headline's 8→32 pair
+    does not, the executor/software is proven and the headline gap is the
+    host's per-core DRAM bandwidth budget — the falsification experiment
+    behind BASELINE.md's host-bound attribution."""
+    _init_ray(num_cpus)
+    import ray.data
+    from cardinalhq_otel_collector_ray.stages.dedup import MinHasher
+
+    docs, n_base = replicated_docs(sf_dir, replication)
+    # replicated_docs blocks at ~6 replicas/block; re-block to 4 tasks per
+    # CPU and materialize BEFORE timing so the timed window is the map
+    # kernel over cached blocks — no read, no shuffle, no starved stage
+    docs = docs.repartition(4 * num_cpus).materialize()
+    hasher = MinHasher("text", "doc_id", k_shingle=6, num_perm=64, bands=8)
+
+    def sig_rows(ds):
+        return ds.map_batches(hasher, batch_format="pyarrow",
+                              batch_size=None).count()
+
+    t_w = time.perf_counter()
+    import ray
+    small = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"], override_num_blocks=num_cpus)
+    sig_rows(small)
+    warmup_sec = time.perf_counter() - t_w
+    repeats = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3"))
+    walls, rows = [], 0
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        rows = sig_rows(docs)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    del docs
+    import gc
+    gc.collect()
+    return {"wall_sec": wall, "warmup_sec": round(warmup_sec, 3),
+            "walls": [round(w, 3) for w in walls], "index_rows": rows,
+            "rows_per_sec": rows / wall}
+
+
 def run_queries(sf_dir: str) -> dict:
     """Per-query wall times for a representative operator subset."""
     import __ray_entry__ as entrymod
@@ -337,6 +382,32 @@ def main():
         import ray
         ray.shutdown()
         return
+    if "--scaling-compute" in sys.argv:
+        # compute-bound 8→32 pair (see run_compute_kernel docstring)
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--compute-only",
+                 f"--cpus={cpus}"],
+                capture_output=True, text=True, timeout=3000)
+            out = proc.stdout.strip()
+            if proc.returncode != 0 or not out:
+                sys.stderr.write(f"[scaling-compute] cpus={cpus} failed "
+                                 f"(rc={proc.returncode}); stderr tail:\n"
+                                 f"{proc.stderr[-2000:]}\n")
+                raise SystemExit(1)
+            results[cpus] = json.loads(out.split("\n")[-1])
+        eff = results[32]["rows_per_sec"] / (4 * results[8]["rows_per_sec"])
+        print(json.dumps({
+            "metric": "scaling_compute_bound_8_to_32",
+            "value": round(eff, 3),
+            "rows_per_sec": {str(c): round(results[c]["rows_per_sec"], 1)
+                             for c in results},
+            "host_canary": {str(c): results[c].get("host_canary")
+                            for c in results},
+            "sf_dir": SF_DIR, "replication": REPLICATION,
+        }))
+        return
     if "--scaling" in sys.argv:
         # Two N→4N pairs in fresh processes on the same input: 4→16 and
         # 8→32. On one shared-memory box the 32-core point is depressed by
@@ -379,6 +450,18 @@ def main():
     for a in sys.argv:
         if a.startswith("--cpus="):
             cpus = int(a.split("=")[1])
+
+    if "--compute-only" in sys.argv:
+        canary = cpu_canary()
+        # 64-perm minhash is ~40× the headline's per-row FLOPs; a smaller
+        # replica set keeps the probe minutes-scale without changing the
+        # compute-bound character (256 replicas → ≥128 blocks after the
+        # pre-timing re-block, so even 32 CPUs stay saturated)
+        out = run_compute_kernel(SF_DIR, cpus, min(REPLICATION, 256))
+        print(json.dumps({**out, "host_canary": canary}))
+        import ray
+        ray.shutdown()
+        return
 
     canary = cpu_canary()
     headline = run_headline(SF_DIR, cpus, REPLICATION)
