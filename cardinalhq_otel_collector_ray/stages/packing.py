@@ -76,42 +76,56 @@ def chunk_tokens(ds: ray.data.Dataset, tokens_col: str = "tokens",
     """
     if stride <= 0 or size <= 0:
         raise ValueError("chunk_tokens: size and stride must be positive")
+    if stride > size:
+        # stride > size would skip tokens between windows AND breaks the
+        # advance-until-covered count formula (negative remainder windows
+        # — caught by the naive-reference fuzz); overlap must be ≥ 0
+        raise ValueError("chunk_tokens: stride must be <= size "
+                         f"(got stride={stride} > size={size})")
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = batch[tokens_col]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        n = np.diff(offsets)
-        k = np.where(n <= size, 1,
-                     1 + (n - size + stride - 1) // stride).astype(np.int64)
-        total = int(k.sum())
-        doc_idx = np.repeat(np.arange(len(n)), k)
-        firsts = np.zeros(len(n), dtype=np.int64)
-        np.cumsum(k[:-1], out=firsts[1:])
-        chunk_idx = np.arange(total, dtype=np.int64) - firsts[doc_idx]
-        start_tok = chunk_idx * stride
-        n_chunk = np.minimum(size, n[doc_idx] - start_tok)
-        cols = {
-            id_col: batch[id_col].take(pa.array(doc_idx)),
-            "chunk_idx": pa.array(chunk_idx),
-            "start_tok": pa.array(start_tok),
-            "n_tok_chunk": pa.array(n_chunk),
-        }
-        if emit_tokens:
-            # flat gather: output token t of chunk c reads values[
-            # doc_start + start_tok + t] — built with one repeat/arange
-            starts_flat = offsets[doc_idx] + start_tok
-            out_off = np.zeros(total + 1, dtype=np.int64)
-            np.cumsum(n_chunk, out=out_off[1:])
-            within = np.arange(out_off[-1], dtype=np.int64) \
-                - np.repeat(out_off[:-1], n_chunk)
-            gather = np.repeat(starts_flat, n_chunk) + within
-            vals = toks.values.take(pa.array(gather))
-            cols[tokens_col] = pa.ListArray.from_arrays(
-                pa.array(out_off, type=pa.int32()), vals)
-        return pa.table(cols)
+        return chunk_batch(batch, tokens_col, id_col, size=size,
+                           stride=stride, emit_tokens=emit_tokens)
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_batch(batch: pa.Table, tokens_col: str, id_col: str, *,
+                size: int, stride: int, emit_tokens: bool) -> pa.Table:
+    """The per-batch kernel of ``chunk_tokens`` (module-level so the
+    naive-reference fuzz can drive it without a Ray dataset)."""
+    toks = batch[tokens_col]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.diff(offsets)
+    k = np.where(n <= size, 1,
+                 1 + (n - size + stride - 1) // stride).astype(np.int64)
+    total = int(k.sum())
+    doc_idx = np.repeat(np.arange(len(n)), k)
+    firsts = np.zeros(len(n), dtype=np.int64)
+    np.cumsum(k[:-1], out=firsts[1:])
+    chunk_idx = np.arange(total, dtype=np.int64) - firsts[doc_idx]
+    start_tok = chunk_idx * stride
+    n_chunk = np.minimum(size, n[doc_idx] - start_tok)
+    cols = {
+        id_col: batch[id_col].take(pa.array(doc_idx)),
+        "chunk_idx": pa.array(chunk_idx),
+        "start_tok": pa.array(start_tok),
+        "n_tok_chunk": pa.array(n_chunk),
+    }
+    if emit_tokens:
+        # flat gather: output token t of chunk c reads values[
+        # doc_start + start_tok + t] — built with one repeat/arange
+        starts_flat = offsets[doc_idx] + start_tok
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(n_chunk, out=out_off[1:])
+        within = np.arange(out_off[-1], dtype=np.int64) \
+            - np.repeat(out_off[:-1], n_chunk)
+        gather = np.repeat(starts_flat, n_chunk) + within
+        vals = toks.values.take(pa.array(gather))
+        cols[tokens_col] = pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int32()), vals)
+    return pa.table(cols)
 
 
 def dataset_split(ds: ray.data.Dataset, id_col: str,

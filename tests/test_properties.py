@@ -409,3 +409,34 @@ def test_grid_dispatch_equivalence_randomized(ray_session, nblocks,
     grid = run(dispatch="grid", max_block=max_block)
     assert (grid["id_a"] < grid["id_b"]).all() if len(grid) else True
     pd.testing.assert_frame_equal(base, grid)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 1000), min_size=0, max_size=90),
+                min_size=1, max_size=12),
+       st.integers(1, 40), st.data())
+def test_chunk_batch_matches_naive(docs, size, data):
+    """chunk_batch ≡ the obvious per-doc Python chunker for every
+    (size, stride ≤ size), including empty docs and remainder windows
+    (stride > size is rejected by the operator — see chunk_tokens)."""
+    from cardinalhq_otel_collector_ray.stages.packing import chunk_batch
+    stride = data.draw(st.integers(1, size))
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+    })
+    out = chunk_batch(t, "tokens", "doc_id", size=size, stride=stride,
+                      emit_tokens=True)
+    got = list(zip(out["doc_id"].to_pylist(), out["chunk_idx"].to_pylist(),
+                   out["start_tok"].to_pylist(),
+                   out["n_tok_chunk"].to_pylist(),
+                   out["tokens"].to_pylist()))
+    want = []
+    for did, doc in enumerate(docs):
+        n = len(doc)
+        k = 1 if n <= size else 1 + -(-(n - size) // stride)
+        for c in range(k):
+            s = c * stride
+            w = min(size, n - s)
+            want.append((did, c, s, w, doc[s:s + w]))
+    assert got == want
