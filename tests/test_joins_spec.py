@@ -274,3 +274,13 @@ def test_spec_chunk_kind(sf_dir):
         <= set(out.columns)
     assert (out["n_tok_chunk"] > 0).all() and (out["n_tok_chunk"] <= 16).all()
     assert len(out) > 0
+
+
+def test_example_incremental_dedup_spec(sf_dir):
+    """examples/incremental_dedup.yaml compiles and runs end-to-end."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    spec = load_spec("/root/repo/examples/incremental_dedup.yaml")
+    out = compile_pipeline(spec, sf_dir).to_pandas()
+    # corpus-as-its-own-history: every doc near-dups its own copy at J=1
+    assert (out["max_jaccard"] == 1.0).all() and len(out) > 0
