@@ -405,7 +405,7 @@ def main():
                              for c in results},
             "host_canary": {str(c): results[c].get("host_canary")
                             for c in results},
-            "sf_dir": SF_DIR, "replication": REPLICATION,
+            "sf_dir": SF_DIR, "replication": min(REPLICATION, 256),
         }))
         return
     if "--scaling" in sys.argv:

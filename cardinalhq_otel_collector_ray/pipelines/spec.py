@@ -552,6 +552,8 @@ def compile_topology(spec: dict[str, Any], sf_dir: str) -> dict[str, ray.data.Da
             kind = st.get("kind")
             if kind not in _STAGES:
                 raise ValueError(f"sink {name} stage {i}: unknown kind {kind!r}")
-            view = _STAGES[kind](view, st)
+            # same _sf_dir injection as compile_pipeline — sink chains may
+            # use side-source kinds (tokenize, join_table, *_history)
+            view = _STAGES[kind](view, {**st, "_sf_dir": sf_dir})
         out[name] = view
     return out

@@ -230,10 +230,12 @@ def test_bucketed_join_composite_key():
 
 
 def test_spec_incremental_dedup_kinds(sf_dir):
-    """dedup_history / neardup_history kinds: the side history table reads
-    from the same dataset root; outputs match the library operators'
-    shapes. The doc_id%2 filter planted here guarantees cross-side exact
-    dups only when a content value straddles the split."""
+    """dedup_history / neardup_history kinds compile and run with the
+    corpus as its own history: the exact pass must then drop EVERYTHING
+    (every content is in history) and the near-dup pass must flag every
+    doc at J=1.0 against its own history copy — both ends of the
+    spectrum, with the cross-side split semantics covered by
+    tests/test_incremental_dedup.py."""
     from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
     out = compile_pipeline({
         "source": {"kind": "parquet", "table": "documents",
@@ -284,3 +286,18 @@ def test_example_incremental_dedup_spec(sf_dir):
     out = compile_pipeline(spec, sf_dir).to_pandas()
     # corpus-as-its-own-history: every doc near-dups its own copy at J=1
     assert (out["max_jaccard"] == 1.0).all() and len(out) > 0
+
+
+def test_topology_sink_chain_gets_sf_dir(sf_dir):
+    """Per-sink chains receive the same _sf_dir injection as the shared
+    chain, so side-source kinds (tokenize, *_history) work there too
+    (regression: sink chains previously passed the raw stage dict)."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_topology
+    views = compile_topology({
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id", "text", "source"]},
+        "route": {"default": "main", "rules": []},
+        "sinks": {"main": {"stages": [{"kind": "tokenize"}]}},
+    }, sf_dir)
+    out = views["main"].to_pandas()
+    assert "n_tok" in out.columns and len(out) > 0
