@@ -242,7 +242,9 @@ def run_queries(sf_dir: str) -> dict:
              "bpe_encode", "dup_ngram_fraction", "gopher_rules", "global_rank",
              "exact_quantiles", "global_percentile",
              "multimodal_decode", "audio_decode", "drain_templates",
-             "spec_route_counts", "emit_flat", "kmeans_assign_seeded"]
+             "spec_route_counts", "emit_flat", "kmeans_assign_seeded",
+             "incremental_dedup", "incremental_neardup",
+             "sq_embedding_error", "chunk_windows"]
     qs = entrymod.queries()
     out = {}
     import ray.data
