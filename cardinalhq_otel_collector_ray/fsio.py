@@ -106,7 +106,21 @@ def upload_headers(upload_options: dict | None) -> dict[str, str] | None:
     (canned ACL), ``content_type``, ``metadata`` (free-form str→str,
     sent as ``x-amz-meta-*``). Unknown keys and out-of-table values
     raise ``ValueError`` — config validation happens at sink BUILD time,
-    not first write (factory.go:115-117 pattern)."""
+    not first write (factory.go:115-117 pattern).
+
+    Key-name contract: pyarrow's native ``S3FileSystem`` only honors its
+    own metadata names — ``ACL``, ``Content-Type``, ``Cache-Control``,
+    ``Expires`` (``arrow/filesystem/s3fs.cc`` ObjectMetadataSetter) — and
+    SILENTLY ignores anything else, so ``acl``/``content_type`` are
+    emitted under those names. Arrow 16 has no setter for storage class
+    or user metadata; those are emitted as the raw S3 header forms
+    (``x-amz-storage-class`` / ``x-amz-meta-*``) so fsspec/s3fs-backed
+    filesystems (which forward extra headers) can honor them.
+    INTEGRATION NOTE (untestable here — no network): on a deployment
+    whose sink root resolves to the NATIVE Arrow S3FileSystem, storage
+    class and user metadata do not apply; route such sinks through an
+    fsspec ``s3://`` filesystem or set the bucket's default storage
+    class / lifecycle policy instead."""
     if not upload_options:
         return None
     known = {"storage_class", "acl", "content_type", "metadata"}
@@ -125,7 +139,7 @@ def upload_headers(upload_options: dict | None) -> dict[str, str] | None:
     if acl is not None:
         if acl not in _ACLS:
             raise ValueError(f"unknown acl {acl!r}; known: {sorted(_ACLS)}")
-        headers["x-amz-acl"] = acl
+        headers["ACL"] = acl
     ct = upload_options.get("content_type")
     if ct is not None:
         headers["Content-Type"] = str(ct)
@@ -187,14 +201,23 @@ def atomic_output(path: str, upload_options: dict | None = None):
         try:
             yield f
         except BaseException:
+            # pyarrow OutputStream has no abort/cancel API (the multipart
+            # upload is completed by close()), so the best available is
+            # close-then-delete: a lister can observe the truncated object
+            # for the brief window between the two calls, and a FAILED
+            # delete would leak it permanently — hence the loud warning.
             try:
                 f.close()  # commits a truncated object …
             except Exception:
                 pass
             try:
                 fs.delete_file(p)  # … which we immediately remove
-            except Exception:
-                pass
+            except Exception as cleanup_err:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "failed to delete partially-written object %s after a "
+                    "write error; a truncated object may be left behind: %s",
+                    path, cleanup_err)
             raise
         else:
             f.close()

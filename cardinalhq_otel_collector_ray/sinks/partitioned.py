@@ -35,7 +35,6 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
@@ -126,6 +125,17 @@ class PartitionedSink:
             notifier = NoopNotifier()
         self.notifier = notifier
 
+    def __getstate__(self):
+        """The sink object is captured by the per-partition write closure
+        and shipped to Ray tasks — but the notifier runs ONLY driver-side
+        (``_record_entries``), and a live ``HttpNotifier`` holds threads
+        and locks that cannot pickle. Ship a Noop stand-in instead; the
+        driver's own instance keeps the real one."""
+        from ..state.notifier import NoopNotifier
+        state = self.__dict__.copy()
+        state["notifier"] = NoopNotifier()
+        return state
+
     def object_path(self, sink: str, pid: int) -> str:
         if self.unique_key == "uuid7":
             uniq = deterministic_uuid7(self.run_ts, pid)
@@ -195,19 +205,26 @@ class PartitionedSink:
 
         sink_self = self
 
-        def write_group(g: pd.DataFrame) -> pd.DataFrame:
-            if len(g) == 0:
-                return pd.DataFrame({"partition_id": [], "sink": [], "path": [],
-                                     "rows": [], "bytes": [], "tokens": []})
-            sink = g[route_col].iloc[0]
-            pid = int(g["_pid"].iloc[0])
+        def write_group(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"partition_id": pa.array([], pa.string()),
+                                 "sink": pa.array([], pa.string()),
+                                 "path": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64()),
+                                 "bytes": pa.array([], pa.int64()),
+                                 "tokens": pa.array([], pa.int64())})
+            import pyarrow.compute as pc
+            sink = g[route_col][0].as_py()
+            pid = int(g["_pid"][0].as_py())
             path = sink_self.object_path(sink, pid)
             # deterministic row order within the file for byte-stable output
-            # (range-partitioned writes sort by the range column instead,
-            # so partition-id file order == global sort order)
-            g = g.sort_values(file_sort_col or key_col,
-                              kind="mergesort").drop(columns=["_pid"])
-            table = pa.Table.from_pandas(g, preserve_index=False)
+            # (range-partitioned writes sort by the range column instead, so
+            # partition-id file order == global sort order). Arrow sort_indices
+            # is stable, matching the pandas mergesort this path replaced —
+            # and the take() is the only copy the written bytes ever make.
+            order = pc.sort_indices(
+                g, sort_keys=[(file_sort_col or key_col, "ascending")])
+            table = g.take(order).drop_columns(["_pid"])
             with fsio.atomic_output(path, sink_self.upload_options) as f:
                 if sink_self.fmt == "parquet" and sink_self.compression is None:
                     pq.write_table(table, f)
@@ -216,13 +233,15 @@ class PartitionedSink:
                     data, _ = serialize(table, sink_self.fmt,
                                         compression=sink_self.compression)
                     f.write(data)
-            tokens = int(g[tokens_len_col].sum()) if tokens_len_col else 0
-            return pd.DataFrame({"partition_id": [f"{sink}/{pid}"], "sink": [sink],
-                                 "path": [path], "rows": [len(g)],
-                                 "bytes": [fsio.file_size(path)], "tokens": [tokens]})
+            tokens = (int(pc.sum(table[tokens_len_col]).as_py() or 0)
+                      if tokens_len_col else 0)
+            return pa.table({"partition_id": [f"{sink}/{pid}"], "sink": [sink],
+                             "path": [path], "rows": [table.num_rows],
+                             "bytes": [fsio.file_size(path)],
+                             "tokens": [tokens]})
 
         result = with_pid.groupby([route_col, "_pid"]).map_groups(
-            write_group, batch_format="pandas")
+            write_group, batch_format="pyarrow")
         return self._record_entries(result)
 
     def write_sorted(self, ds: ray.data.Dataset, *, sort_col: str,

@@ -191,9 +191,14 @@ def merge_partials(partials: ray.data.Dataset, group_cols: list[str],
 
 
 def with_interval(ts_ms: pa.Array, interval_ms: int) -> pa.Array:
-    """Event-time tumbling bucket start: ``(ts_ms // interval) * interval``."""
-    return pc.multiply(pc.floor(pc.divide(ts_ms.cast(pa.float64()), interval_ms)).cast(pa.int64()),
-                       interval_ms)
+    """Event-time tumbling bucket start: ``(ts_ms // interval) * interval``.
+
+    Pure int64 floor-divide (numpy floors toward -inf like Python's ``//``)
+    — exact for the full int64 range, unlike the float64 divide/floor/cast
+    chain this replaced, which loses ulps above 2**53."""
+    ts = ts_ms.combine_chunks() if isinstance(ts_ms, pa.ChunkedArray) else ts_ms
+    v = ts.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return pa.array(np.floor_divide(v, interval_ms) * interval_ms)
 
 
 def split_marked(ds: ray.data.Dataset, mark_col: str):

@@ -127,6 +127,30 @@ class ImageDecoder:
         if is_bmp.any():
             p = offs[:-1][is_bmp]
             is_bmp[is_bmp] = (data[p] == 0x42) & (data[p + 1] == 0x4D)
+        if is_bmp.any():
+            # header-sanity bounds: a truncated or garbage payload that
+            # happens to start with 'BM' must NOT yield bogus dims — it
+            # routes to the fake (non-strict) / raise (strict) path like
+            # every other undecodable payload (ImageResizer contract).
+            p = offs[:-1][is_bmp]
+            plen = lens[is_bmp]
+            declared = _gather_le(data, p + 2, 4)          # file size field
+            data_off = _gather_le(data, p + 10, 4)         # pixel data offset
+            bw = (_gather_le(data, p + 18, 4)
+                  .astype(np.uint32)).astype(np.int32).astype(np.int64)
+            bh_raw = (_gather_le(data, p + 22, 4)
+                      .astype(np.uint32)).astype(np.int32).astype(np.int64)
+            bpp = _gather_le(data, p + 28, 2)
+            compression = _gather_le(data, p + 30, 4)
+            ok = ((declared <= plen)                       # not truncated
+                  & (data_off >= 54) & (data_off <= plen)  # offset in payload
+                  & np.isin(bpp, (1, 4, 8, 16, 24, 32))
+                  & (bw > 0) & (bh_raw != 0))
+            # uncompressed (BI_RGB): the full pixel array must fit
+            stride = ((bw * bpp + 31) // 32) * 4
+            need = data_off + stride * np.abs(bh_raw)
+            ok &= (compression != 0) | (need <= plen)
+            is_bmp[is_bmp] = ok
         w = np.zeros(n, dtype=np.int64)
         h = np.zeros(n, dtype=np.int64)
         m = np.full(n, "FAKE", dtype=object)

@@ -151,18 +151,33 @@ def interval_dedup(ds: ray.data.Dataset, keys: list[str], ts_col: str,
 
     Two-phase: per-batch first+count pre-combine (each block contributes ≤1
     row per group — the skew defense), then ONE pandas groupby per hash
-    partition for the final combine (no per-group Python dispatch)."""
+    partition for the final combine (no per-group Python dispatch).
+
+    The pre-combine is pure Arrow — stable ``sort_indices`` plus a
+    single-threaded ``group_by`` "first"/"count_all" (single-threaded
+    because "first" is scan-order-sensitive) — so WIDE input blocks shrink
+    before any pandas conversion; only the skinny partials pay the pandas
+    hop in the final combine."""
+    import pyarrow.compute as pc
     order = [ts_col] + (tiebreak_cols or [])
     group_cols = keys + ["_interval"]
 
-    def precombine(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_interval"] = (df[ts_col].astype("int64") // interval_ms) * interval_ms
-        df = df.sort_values(order, kind="mergesort")
-        g = df.groupby(group_cols, sort=False, as_index=False)
-        first = g.first()
-        first["dedup_count"] = g.size()["size"].values
-        return first
+    def precombine(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        v = ts.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        t = t.append_column(
+            "_interval", pa.array(np.floor_divide(v, interval_ms) * interval_ms))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in order]))
+        other = [c for c in t.column_names if c not in group_cols]
+        agg = t.group_by(group_cols, use_threads=False).aggregate(
+            [(c, "first") for c in other] + [([], "count_all")])
+        agg = agg.rename_columns(group_cols + other + ["dedup_count"])
+        # keep the original column order (+_interval, +dedup_count): block
+        # schemas must agree for the downstream hash-partition union
+        return agg.select(t.column_names + ["dedup_count"])
 
     def combine_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(group_cols + order, kind="mergesort")
@@ -171,7 +186,7 @@ def interval_dedup(ds: ray.data.Dataset, keys: list[str], ts_col: str,
         first["dedup_count"] = g["dedup_count"].sum()["dedup_count"].values
         return first
 
-    partials = ds.map_batches(precombine, batch_format="pandas")
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
     return partitioned_apply(partials, group_cols, combine_part, num_partitions)
 
 

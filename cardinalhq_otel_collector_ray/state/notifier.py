@@ -328,11 +328,37 @@ class HttpNotifier:
                 return
 
 
+def urllib_transport(cfg: NotifyConfig):
+    """Default live HTTP transport — the stdlib analog of the reference's
+    ``http.Client`` POST loop (notifier.go:360-380): POST the JSON body to
+    ``cfg.endpoint`` with Content-Type application/json plus the configured
+    extra headers, honoring ``cfg.timeout_s``. Returns the HTTP status
+    code; network-level failures raise (→ retriable, like Go's
+    ``client.Do`` error branch). HTTP error statuses are RETURNED, not
+    raised, so 4xx/5xx classify through the normal status table."""
+    import urllib.error
+    import urllib.request
+
+    def post(body: bytes) -> int:
+        req = urllib.request.Request(cfg.endpoint, data=body, method="POST")
+        req.add_header("Content-Type", "application/json")
+        for k, v in cfg.headers.items():
+            req.add_header(k, v)
+        try:
+            with urllib.request.urlopen(req, timeout=cfg.timeout_s) as resp:
+                return int(resp.status)
+        except urllib.error.HTTPError as e:
+            return int(e.code)  # non-2xx carries a real status
+        # URLError / socket.timeout / ConnectionError propagate → network
+    return post
+
+
 def build(cfg: NotifyConfig, transport=None, **kwargs):
     """Factory (notifier.go:104-146): empty endpoint → NoopNotifier;
-    otherwise a live HttpNotifier (transport required)."""
+    otherwise a live HttpNotifier. ``transport`` defaults to the stdlib
+    ``urllib_transport`` poster — a deployment needs only the endpoint."""
     if cfg.endpoint == "":
         return NoopNotifier()
     if transport is None:
-        raise ValueError("live notifier requires an injectable transport")
+        transport = urllib_transport(cfg)
     return HttpNotifier(cfg, transport, **kwargs)

@@ -239,8 +239,12 @@ def test_upload_headers_validation_table():
         "acl": "bucket-owner-full-control",
         "content_type": "application/x-protobuf",
         "metadata": {"team": "o11y", "run": "r4"}})
+    # ACL / Content-Type use the names Arrow's native S3FileSystem
+    # recognizes (it silently drops unknown metadata keys); storage class
+    # and user metadata have no Arrow setter, so they keep the raw S3
+    # header forms for fsspec-backed filesystems (see fsio.upload_headers)
     assert h == {"x-amz-storage-class": "STANDARD_IA",
-                 "x-amz-acl": "bucket-owner-full-control",
+                 "ACL": "bucket-owner-full-control",
                  "Content-Type": "application/x-protobuf",
                  "x-amz-meta-team": "o11y", "x-amz-meta-run": "r4"}
     for bad in ({"storage_class": "GLACIER_DEEP"},   # not in the enum
@@ -289,7 +293,7 @@ def test_upload_options_reach_object_store_writer(monkeypatch):
             rows=1, bytes=fsio.file_size(path), tokens=0))
     out = compact_sink(sink, min_rows=100)
     assert out, "compaction should have merged the two small files"
-    want = {"x-amz-storage-class": "STANDARD_IA", "x-amz-acl": "private"}
+    want = {"x-amz-storage-class": "STANDARD_IA", "ACL": "private"}
     data_writes = [(p, h) for p, h in seen if "sink=" in p]
     assert data_writes and all(h == want for _, h in data_writes)
     compact_writes = [p for p, _ in data_writes if "compact" in p]

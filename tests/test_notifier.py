@@ -262,3 +262,90 @@ def test_sink_enqueues_notify_event_after_write(tmp_path, ray_session):
         assert ent.path in by_key
         assert by_key[ent.path].size == ent.bytes
         assert by_key[ent.path].bucket == sink.root
+
+
+# ---------------------------------------------------------------- live e2e
+class _Hook:
+    """Tiny localhost webhook receiver — the httptest.NewServer analog of
+    ``internal/upload/writer_test.go:42-90``."""
+
+    def __init__(self, status=200):
+        import http.server
+        import json
+        hook = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                hook.posts.append(
+                    (self.path, dict(self.headers), json.loads(body)))
+                self.send_response(hook.status)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.posts = []
+        self.status = status
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}/hook"
+        self.thread = threading.Thread(target=self.server.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_live_upload_then_notify_roundtrip(ray_session, tmp_path):
+    """End-to-end over a REAL localhost socket with the DEFAULT urllib
+    transport (writer_test.go:42-90 analog): sink write → manifest record
+    → notifier POST; the webhook receives the S3-event envelope with the
+    URL-encoded object key, size, and the configured extra header."""
+    import pyarrow as pa
+    import ray.data
+    from cardinalhq_otel_collector_ray.sinks.partitioned import PartitionedSink
+
+    hook = _Hook()
+    try:
+        n = build(NotifyConfig(endpoint=hook.url,
+                               headers={"X-Run": "r5"},
+                               initial_backoff_s=0.001, max_backoff_s=0.01))
+        sink = PartitionedSink(str(tmp_path / "out"), run_ts=1706078400.0,
+                               num_partitions=2, notifier=n)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": ["a", "b", "c", "d"], "route": ["main"] * 4,
+            "n": [1, 2, 3, 4]}))
+        entries = sink.write(ds, key_col="doc_id", resume=False)
+        assert entries
+        n.shutdown(deadline_s=5.0)
+        assert n.metrics.sent == len(entries)
+        got = {}
+        for _path, headers, body in hook.posts:
+            assert headers.get("Content-Type") == "application/json"
+            assert headers.get("X-Run") == "r5"
+            for r in body["Records"]:
+                assert r["eventSource"] == "aws:s3"
+                assert r["eventName"] == "ObjectCreated:Put"
+                got[urllib.parse.unquote_plus(r["s3"]["object"]["key"])] = \
+                    r["s3"]["object"]["size"]
+        assert got == {e.path: e.bytes for e in entries}
+    finally:
+        hook.close()
+
+
+def test_live_transport_4xx_is_permanent_drop():
+    """The default transport RETURNS HTTP error statuses (HTTPError → code)
+    so a live 4xx classifies as a permanent drop, never a retry storm."""
+    hook = _Hook(status=422)
+    try:
+        n = build(NotifyConfig(endpoint=hook.url,
+                               initial_backoff_s=0.001, max_backoff_s=0.01))
+        n.enqueue(Event("b", "k", 1))
+        assert _wait(lambda: n.metrics.dropped.get(REASON_PERMANENT_4XX) == 1)
+        n.shutdown()
+        assert len(hook.posts) == 1  # exactly one attempt, no retries
+        assert n.metrics.sent == 0
+    finally:
+        hook.close()
