@@ -791,6 +791,39 @@ def _q_approx_distinct_hll(sf_dir: str):
                          "approx_users": out["approx_distinct"].astype("float64")})
 
 
+def _assert_ascii(ds, col: str = "text"):
+    """Exact-degeneration guard (fused passthrough stage): the BPE
+    degeneration oracles count CHARACTERS where the engine walks BYTES —
+    identical only while the corpus is pure ASCII. A non-ASCII corpus at
+    a new driver scale must fail HERE with a named precondition, not as
+    an opaque oracle hash mismatch."""
+    def check(batch: pa.Table) -> pa.Table:
+        neq = pc.not_equal(pc.utf8_length(batch[col]),
+                           pc.binary_length(batch[col]))
+        if pc.any(neq).as_py():
+            raise AssertionError(
+                f"exact-degeneration precondition violated: column {col!r} "
+                "contains non-ASCII text (char count != byte count); the "
+                "char==byte BPE oracle contract no longer holds")
+        return batch
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def _assert_max_bytes(ds, col: str, limit: int):
+    """Exact-degeneration guard: every value must fit in ``limit`` bytes
+    (e.g. one zlib STORED block = 65535) or the stored-size arithmetic
+    the SQL oracle uses stops being exact — fail loudly at query time."""
+    def check(batch: pa.Table) -> pa.Table:
+        mx = pc.max(pc.binary_length(batch[col])).as_py()
+        if mx is not None and mx > limit:
+            raise AssertionError(
+                f"exact-degeneration precondition violated: max {col!r} "
+                f"size {mx} B exceeds {limit} B — the stored-block size "
+                "oracle (n_bytes + 11) no longer holds at this scale")
+        return batch
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
 def _q_approx_quantiles_kll(sf_dir: str):
     """KLL per-key approx quantiles (mergeable sketch; shuffle moves
     sketches, never values). Registered in the exact-degeneration regime
@@ -803,7 +836,8 @@ def _q_approx_quantiles_kll(sf_dir: str):
     from cardinalhq_otel_collector_ray.stages.sketch import approx_quantiles_per_key
     ds = _events_ms(sf_dir).select_columns(["event_type", "value_cents"])
     out = approx_quantiles_per_key(ds, "event_type", "value_cents",
-                                   qs=[0.5, 0.95], k=32768).to_pandas()
+                                   qs=[0.5, 0.95], k=32768,
+                                   strict_exact=True).to_pandas()
     out = out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
     return pd.DataFrame({"event_type": out["event_type"],
                          "p50_cents": out["q_0_5"].astype("float64"),
@@ -1150,7 +1184,7 @@ def _q_bpe_first_merge(sf_dir: str):
     path stays rows-only (`bpe_merges`) with ≡-naive tests."""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.bpe import bpe_merges
-    ds = read_table(sf_dir, "documents", columns=["text"])
+    ds = _assert_ascii(read_table(sf_dir, "documents", columns=["text"]))
     return bpe_merges(ds, "text", k=1)
 
 
@@ -1177,7 +1211,8 @@ def _q_bpe_encode_nomerge(sf_dir: str):
     (`bpe_encode`) with ≡-naive tests."""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.bpe import bpe_encode_stats
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _assert_ascii(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
     # an empty merge table directly — running the distributed word-freq
     # pass just to learn zero merges would double the corpus scans
     merges = pd.DataFrame(columns=["rank", "left", "right", "merged",
@@ -1617,6 +1652,82 @@ def _q_tail_sampling(sf_dir: str):
                .iter_batches(batch_format="pyarrow", batch_size=None):
         users.update(b["user_id"].to_pylist())
     return semi_join(ds, users, on="user_id")
+
+
+def _q_span_red_metrics(sf_dir: str):
+    """spanmetricsconnector analog (distribution/components.go:24): RED
+    metrics — request count, error count, duration histogram — per
+    (service, operation) from span rows. Spans are the deterministic
+    span view over events (stages/spans.py fixture contract: service =
+    svc<user_id%5>, duration_ms = value_cents % 10000, is_error =
+    event_type=='error'); the rollup is the engine's two-phase
+    fixed-width-bin histogram (500 ms buckets, floor bucketing)."""
+    from cardinalhq_otel_collector_ray.stages.spans import (red_metrics,
+                                                            spans_from_events)
+    spans = spans_from_events(_events_ms(sf_dir))
+    return red_metrics(spans, bucket_width_ms=500, mode="driver")
+
+
+def _q_tail_sampling_policies(sf_dir: str):
+    """tailsamplingprocessor POLICY vocabulary (components.go:145):
+    ordered composite over trace-level features — status_code ('errors',
+    unlimited), numeric_attribute ('high_value': max_cents >= 19000,
+    unlimited), then deterministic rate_limiting ('rate_limited': at most
+    3 traces per minute bucket, hash-ranked). Trace features come from a
+    distributed per-user aggregate; unclaimed traces drop. Output:
+    user_id + the claiming policy label."""
+    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
+    from cardinalhq_otel_collector_ray.stages.sample import (
+        apply_composite_policies, policy_attr)
+    ds = _events_ms(sf_dir)
+
+    # trace-level features: has_error / max_cents / first-minute bucket.
+    # Two grouped passes share the same partials shape; cardinality is
+    # bounded (distinct users), so the driver merge is the right finish.
+    def prep(batch: pa.Table) -> pa.Table:
+        err = pc.equal(batch["event_type"], "error").cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"],
+                         "is_error": err,
+                         "value_cents": batch["value_cents"],
+                         "ts_ms": batch["ts_ms"]})
+
+    feats = ds.map_batches(prep, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["user_id"]).aggregate(
+            [("is_error", "max"), ("value_cents", "max"), ("ts_ms", "min")])
+        return out.rename_columns(["user_id", "has_error", "max_cents",
+                                   "min_ts"])
+
+    partials = feats.map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(["user_id"]).aggregate(
+            [("has_error", "max"), ("max_cents", "max"), ("min_ts", "min")])
+        out = out.rename_columns(["user_id", "has_error", "max_cents",
+                                  "min_ts"])
+        mts = out["min_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = out.append_column(
+            "bucket", pa.array(np.floor_divide(mts, 60_000)))
+        return out.drop_columns(["min_ts"])
+
+    from cardinalhq_otel_collector_ray.stages.temporal import partitioned_apply
+    traces = partitioned_apply(
+        partials, ["user_id"],
+        lambda df: merge(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas(),
+        num_partitions=8)
+
+    kept = apply_composite_policies(
+        traces,
+        [("errors", policy_attr("has_error", "==", 1), None),
+         ("high_value", policy_attr("max_cents", ">=", 19_000), None),
+         ("rate_limited", lambda df: np.ones(len(df), dtype=bool), 3)],
+        key_col="user_id", bucket_col="bucket", num_partitions=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "policy"])
+    return kept.map_batches(project, batch_format="pyarrow")
 
 
 def _q_frame_sample(sf_dir: str):
@@ -2236,7 +2347,7 @@ def _q_compression_ratio_stored(sf_dir: str):
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.textstats import compression_ratio
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return compression_ratio(ds, level=0)
+    return compression_ratio(_assert_max_bytes(ds, "text", 65535), level=0)
 
 
 def _q_range_partition(sf_dir: str):
@@ -2335,7 +2446,7 @@ def _q_approx_heavy_hitters(sf_dir: str):
 
     return approx_heavy_hitters(ds.map_batches(explode,
                                                batch_format="pyarrow"),
-                                "token", k=10)
+                                "token", k=10, strict_exact=True)
 
 
 def _q_cdc_dedup_ratio(sf_dir: str):
@@ -2650,68 +2761,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # C-operator/perf-touched re-checks. Rows-only queries (no SQL oracle
     # by design) sit at the back so the window stays value-checked.
     return {
-        # ---- driver sampling window (first 50, all oracled):
-        # never-sampled + new/changed oracles, then the oldest
-        # (round-1) checks, then C1-C10 re-checks, then queries
-        # whose hot paths the round-4 perf work touched
-        "trend_per_type": _q_trend_per_type,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "audio_decode": _q_audio_decode,
-        "multimodal_decode": _q_multimodal,
-        "drain_templates": _q_drain_templates,
-        "cdc_dedup_ratio": _q_cdc_dedup_ratio,
-        "minhash_lsh_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "anomaly_zscore": _q_anomaly_zscore,
-        "asof_last_error": _q_asof_last_error,
-        "bpe_token_count": _q_bpe_token_count,
-        "delta_to_cumulative": _q_delta_to_cumulative,
-        "distinct_tokens_per_source": _q_distinct_tokens,
-        "frame_sample": _q_frame_sample,
-        "groupby_segment": _q_groupby_segment,
-        "parse_props": _q_parse_props,
-        "quantiles_per_type": _q_quantiles_per_type,
-        "sliding_window": _q_sliding_window,
-        "streaming_interval_agg": _q_streaming_interval_agg,
-        "approx_heavy_hitters": _q_approx_heavy_hitters,
-        "approx_quantiles_kll": _q_approx_quantiles_kll,
-        "supplier_by_region": _q_supplier_by_region,
-        "tail_sampling": _q_tail_sampling,
-        "token_frequencies": _q_token_frequencies,
-        "topk_users": _q_topk_users,
-        "unigram_logprob": _q_unigram_logprob,
-        "tokenize": _q_tokenize,
-        "route_counts": _q_route_counts,
-        "interval_agg_events": _q_interval_agg_events,
-        "dedup_exact": _q_dedup_exact,
-        "sessionize": _q_sessionize,
-        "logdedup_events": _q_logdedup,
-        "count_by_type": _q_count_by_type,
-        "sink_write_files": _q_sink_write_files,
-        "wordset_jaccard": _q_wordset_jaccard,
-        "neardup_cluster_sizes": _q_neardup_cluster_sizes,
-        "bm25_topdocs": _q_bm25_topdocs,
-        "spec_route_counts": _q_spec_route_counts,
-        "spec_topology_counts": _q_spec_topology_counts,
-        "knn_lsh_exact": _q_knn_lsh_exact,
-        "kmeans_assign_seeded": _q_kmeans_assign_seeded,
-        "bpe_first_merge": _q_bpe_first_merge,
-        "semdedup_seeded": _q_semdedup_seeded,
-        "emit_flat": _q_emit_flat,
-        "bpe_encode_nomerge": _q_bpe_encode_nomerge,
-        "compression_ratio_stored": _q_compression_ratio_stored,
-        "incremental_dedup": _q_incremental_dedup,
-        "incremental_neardup": _q_incremental_neardup,
-        "sq_embedding_error": _q_sq_embedding_error,
-        "chunk_windows": _q_chunk_windows,
-        # ------------- end of the driver's 50-query sampling window
-        # (exactly 50 entries above — the driver samples the FIRST 50 in
-        # dict order; everything below was driver-green in r2/r3 or is
-        # rows-only. A meta-test in test_oracle_parity.py pins the count.)
-        "route_agg_by_source": _q_route_agg_by_source,
+        # ---- driver sampling window (first 50, all oracled) — ROUND-5
+        # ROTATION: (a) the oracle-backed queries NOT sampled in the r4
+        # window (C1/C4/C9 anchors aggregate_absorb / summary_split /
+        # enrich_customer_events first, then the r2/r3-green band), (b)
+        # the two NEW r5 oracles (span RED metrics, tail-sampling policy
+        # composite), (c) re-checks of every query whose hot path round-5
+        # edits touched (arrow-native sink write + marshal_fn resolution,
+        # interval_dedup arrow precombine, integer with_interval,
+        # strict_exact degeneration guards, incremental-dedup null
+        # filter, BMP header validation, spec write path), and (d) the
+        # flagship conformance anchors. Rows-only queries stay at the
+        # back so the window is 100% value-checked.
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
+        "span_red_metrics": _q_span_red_metrics,
+        "tail_sampling_policies": _q_tail_sampling_policies,
+        "route_agg_by_source": _q_route_agg_by_source,
         "cumulative_delta": _q_cumulative_delta,
         "transform_chain": _q_transform,
         "sample_events": _q_sample,
@@ -2742,6 +2809,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": _q_user_journeys,
         "source_overlap": _q_source_overlap,
         "pii_redaction": _q_pii_redaction,
+        "logdedup_events": _q_logdedup,
+        "interval_agg_events": _q_interval_agg_events,
+        "sink_write_files": _q_sink_write_files,
+        "incremental_dedup": _q_incremental_dedup,
+        "approx_quantiles_kll": _q_approx_quantiles_kll,
+        "approx_heavy_hitters": _q_approx_heavy_hitters,
+        "compression_ratio_stored": _q_compression_ratio_stored,
+        "bpe_first_merge": _q_bpe_first_merge,
+        "bpe_encode_nomerge": _q_bpe_encode_nomerge,
+        "multimodal_decode": _q_multimodal,
+        "spec_route_counts": _q_spec_route_counts,
+        "spec_topology_counts": _q_spec_topology_counts,
+        "tokenize": _q_tokenize,
+        "route_counts": _q_route_counts,
+        # ------------- end of the driver's 50-query sampling window
+        # (exactly 50 entries above — the driver samples the FIRST 50 in
+        # dict order; everything below was driver-green in r2-r4 or is
+        # rows-only. A meta-test in test_oracle_parity.py pins the count.)
+        "trend_per_type": _q_trend_per_type,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "audio_decode": _q_audio_decode,
+        "drain_templates": _q_drain_templates,
+        "cdc_dedup_ratio": _q_cdc_dedup_ratio,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "asof_last_error": _q_asof_last_error,
+        "bpe_token_count": _q_bpe_token_count,
+        "delta_to_cumulative": _q_delta_to_cumulative,
+        "distinct_tokens_per_source": _q_distinct_tokens,
+        "frame_sample": _q_frame_sample,
+        "groupby_segment": _q_groupby_segment,
+        "parse_props": _q_parse_props,
+        "quantiles_per_type": _q_quantiles_per_type,
+        "sliding_window": _q_sliding_window,
+        "streaming_interval_agg": _q_streaming_interval_agg,
+        "supplier_by_region": _q_supplier_by_region,
+        "tail_sampling": _q_tail_sampling,
+        "token_frequencies": _q_token_frequencies,
+        "topk_users": _q_topk_users,
+        "unigram_logprob": _q_unigram_logprob,
+        "dedup_exact": _q_dedup_exact,
+        "sessionize": _q_sessionize,
+        "count_by_type": _q_count_by_type,
+        "wordset_jaccard": _q_wordset_jaccard,
+        "neardup_cluster_sizes": _q_neardup_cluster_sizes,
+        "bm25_topdocs": _q_bm25_topdocs,
+        "knn_lsh_exact": _q_knn_lsh_exact,
+        "kmeans_assign_seeded": _q_kmeans_assign_seeded,
+        "semdedup_seeded": _q_semdedup_seeded,
+        "emit_flat": _q_emit_flat,
+        "incremental_neardup": _q_incremental_neardup,
+        "sq_embedding_error": _q_sq_embedding_error,
+        "chunk_windows": _q_chunk_windows,
         "interval_join_windows": _q_interval_join_windows,
         "bigram_logprob": _q_bigram_logprob,
         "dup_ngram_fraction": _q_dup_ngram_fraction,
@@ -4001,6 +4122,50 @@ WHERE user_id IN (SELECT DISTINCT user_id FROM ev WHERE event_type = 'error')
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
 FROM documents
 WHERE (doc_id * 2654435761 + 12345) % 10 = 0
+""",
+        # spans fixture contract (stages/spans.py): service = svc<uid%5>,
+        # duration_ms = value_cents % 10000, is_error = type=='error';
+        # 500 ms floor bins (// is DuckDB floor-division on BIGINT)
+        "span_red_metrics": _SQL_EVENTS + r"""
+, spans AS (
+  SELECT 'svc' || CAST(user_id % 5 AS VARCHAR) AS service,
+         event_type AS operation,
+         value_cents % 10000 AS duration_ms,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error
+  FROM ev
+)
+SELECT service, operation, duration_ms // 500 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(is_error) AS BIGINT) AS n_errors
+FROM spans GROUP BY service, operation, bucket
+""",
+        # ordered composite: unlimited policies claim first; the
+        # rate-limited leg is row_number() over the hash priority within
+        # each minute bucket — identical to the kernel's cumsum rank
+        "tail_sampling_policies": _SQL_EVENTS + r"""
+, traces AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+         max(value_cents) AS max_cents,
+         min(ts_ms) // 60000 AS bucket
+  FROM ev GROUP BY user_id
+), pri AS (
+  SELECT *, (user_id * 2654435761 + 777) % 1000003 AS pri FROM traces
+), p1 AS (
+  SELECT user_id, 'errors' AS policy FROM pri WHERE has_error = 1
+), rest1 AS (
+  SELECT * FROM pri WHERE has_error <> 1
+), p2 AS (
+  SELECT user_id, 'high_value' AS policy FROM rest1 WHERE max_cents >= 19000
+), rest2 AS (
+  SELECT * FROM rest1 WHERE max_cents < 19000
+), p3 AS (
+  SELECT user_id, 'rate_limited' AS policy FROM (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY bucket ORDER BY pri, user_id) AS rn
+    FROM rest2) WHERE rn <= 3
+)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
 """,
         "delta_to_cumulative": _SQL_EVENTS + r"""
 SELECT event_id,

@@ -557,3 +557,78 @@ def compile_topology(spec: dict[str, Any], sf_dir: str) -> dict[str, ray.data.Da
             view = _STAGES[kind](view, {**st, "_sf_dir": sf_dir})
         out[name] = view
     return out
+
+
+def _resolve_callable(path: str):
+    """'pkg.module:attr' (or dotted 'pkg.module.attr') → the callable —
+    the encoding-extension-ID lookup of marshaler.go:27-40 expressed as a
+    Python import path."""
+    import importlib
+    if ":" in path:
+        mod, attr = path.split(":", 1)
+    else:
+        mod, _, attr = path.rpartition(".")
+    if not mod:
+        raise ValueError(f"marshaler fn must be 'module:attr', got {path!r}")
+    fn = getattr(importlib.import_module(mod), attr, None)
+    if not callable(fn):
+        raise ValueError(f"marshaler fn {path!r} did not resolve to a callable")
+    return fn
+
+
+def register_spec_marshalers(spec: dict[str, Any]) -> None:
+    """Config-driven encoding-extension registration (config.go:110-112
+    parity): a top-level ``marshalers`` block maps custom format names to
+    an import path + file extension::
+
+        marshalers:
+          csv: {fn: "my_pkg.formats:to_csv", extension: "csv"}
+
+    Registered formats become valid sink ``format:`` values for this
+    process (idempotent: re-registering the same spec overwrites)."""
+    from ..sinks.serializers import register_marshaler
+    for fmt, cfg in (spec.get("marshalers") or {}).items():
+        register_marshaler(fmt, _resolve_callable(cfg["fn"]),
+                           cfg["extension"], overwrite=True)
+
+
+def write_topology(spec: dict[str, Any], sf_dir: str):
+    """Compile a topology spec and WRITE every sink view through one
+    ``PartitionedSink`` — the spec-driven exporter path. The ``write``
+    block mirrors the sink constructor (config.go:18-147 surface)::
+
+        write:
+          root: /data/out            # or s3://…
+          run_ts: 1706078400.0       # fixed run timestamp (determinism)
+          key_column: doc_id
+          format: csv                # built-in or marshalers:-registered
+          compression: gzip          # optional
+          num_partitions: 16
+          resume: true
+
+    Returns ``(sink, manifest_entries)``. Custom ``marshalers:`` are
+    registered BEFORE the sink builds, so the sink's build-time format
+    validation and function resolution see them (marshaler.go:27-40)."""
+    from ..sinks.partitioned import PartitionedSink
+    register_spec_marshalers(spec)
+    wcfg = spec.get("write")
+    if not wcfg:
+        raise ValueError("write_topology requires a 'write' section")
+    sink = PartitionedSink(
+        wcfg["root"], float(wcfg["run_ts"]),
+        num_partitions=int(wcfg.get("num_partitions", 16)),
+        signal=wcfg.get("signal", "logs"),
+        file_prefix=wcfg.get("file_prefix", ""),
+        fmt=wcfg.get("format", "parquet"),
+        compression=wcfg.get("compression"),
+        unique_key=wcfg.get("unique_key", "seq"),
+        upload_options=wcfg.get("upload_options"))
+    # fresh-run reset happens ONCE up front — per-view write(resume=False)
+    # would wipe the previous view's manifest entries mid-run
+    if not bool(wcfg.get("resume", True)):
+        sink.manifest.reset()
+    entries = []
+    for name, view in compile_topology(spec, sf_dir).items():
+        entries.extend(sink.write(view, key_col=wcfg["key_column"],
+                                  resume=True))
+    return sink, entries

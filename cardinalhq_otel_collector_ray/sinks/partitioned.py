@@ -113,9 +113,13 @@ class PartitionedSink:
         # batch is pre-split per attr value so the override is homogeneous)
         self.route_dests = route_dests or {}
         # C7 marshal format + compression (marshaler.go:17-71; .gz suffix
-        # per writer.go:157-191)
+        # per writer.go:157-191). The marshaler FUNCTION is resolved here
+        # at build time — the exporter-build resolution of
+        # marshaler.go:27-40 — so custom register_marshaler() formats ride
+        # the task closure to workers without registry state there.
         self.fmt = fmt
         self.compression = compression
+        self.marshal_fn = MARSHALERS[fmt]
         self.extension = EXTENSIONS[fmt] + _COMPRESSION_SUFFIX.get(compression, "")
         # C8 notify-after-upload: every recorded ManifestEntry is also
         # enqueued to the webhook notifier (exporter.go:117-147; queue /
@@ -229,9 +233,9 @@ class PartitionedSink:
                 if sink_self.fmt == "parquet" and sink_self.compression is None:
                     pq.write_table(table, f)
                 else:
-                    from .serializers import serialize
-                    data, _ = serialize(table, sink_self.fmt,
-                                        compression=sink_self.compression)
+                    from .serializers import serialize_with
+                    data = serialize_with(sink_self.marshal_fn, table,
+                                          compression=sink_self.compression)
                     f.write(data)
             tokens = (int(pc.sum(table[tokens_len_col]).as_py() or 0)
                       if tokens_len_col else 0)
@@ -285,18 +289,27 @@ class PartitionedSink:
         return out_dir
 
     def _record_entries(self, result) -> list[ManifestEntry]:
-        entries = [ManifestEntry(partition_id=r.partition_id, sink=r.sink,
-                                 path=r.path, rows=int(r.rows),
-                                 bytes=int(r.bytes), tokens=int(r.tokens))
-                   for r in result.to_pandas().itertuples()]
+        # STREAMING record: manifest entries land as each partition's write
+        # task finishes (iter_batches yields blocks as they complete), not
+        # after the whole dataset — so a run killed mid-write has durably
+        # recorded every partition that DID finish, and resume skips them.
+        # Entries recorded before a mid-stream failure stay recorded (the
+        # data files are already in place — the manifest invariant).
         from ..state.notifier import Event
-        for e in entries:
-            self.manifest.record(e)
-            # notify AFTER the entry is durably recorded (upload-then-notify
-            # ordering of writer_test.go:366: no notify on failure — a failed
-            # partition never reaches this loop)
-            self.notifier.enqueue(Event(bucket=self.root, key=e.path,
-                                        size=e.bytes))
+        entries: list[ManifestEntry] = []
+        for b in result.iter_batches(batch_format="pyarrow", batch_size=None):
+            for r in b.to_pylist():
+                e = ManifestEntry(partition_id=r["partition_id"],
+                                  sink=r["sink"], path=r["path"],
+                                  rows=int(r["rows"]), bytes=int(r["bytes"]),
+                                  tokens=int(r["tokens"]))
+                entries.append(e)
+                self.manifest.record(e)
+                # notify AFTER the entry is durably recorded (upload-then-
+                # notify ordering of writer_test.go:366: no notify on
+                # failure — a failed partition never reaches this loop)
+                self.notifier.enqueue(Event(bucket=self.root, key=e.path,
+                                            size=e.bytes))
         # per-stage throughput metrics (north rule), next to the manifest
         from ..state.metrics import write_metrics
         try:

@@ -258,16 +258,58 @@ MARSHALERS = {
 EXTENSIONS = {"parquet": "parquet", "jsonl": "jsonl", "body": "txt",
               "sumo_ic": "jsonl", "otlp_proto": "binpb", "otlp_json": "json"}
 
+_BUILTIN_FORMATS = frozenset(MARSHALERS)
 
-def serialize(batch: pa.Table, fmt: str, compression: str | None = None,
-              **kwargs) -> tuple[bytes, str]:
-    """(payload bytes, file extension) for a batch in the given format.
-    ``compression``: 'gzip' → ``.gz``; 'zstd' → ``.zst``
-    (writer.go:157-191 format switch)."""
-    if fmt not in MARSHALERS:
-        raise MarshalError(f"unknown format {fmt!r}; known: {sorted(MARSHALERS)}")
-    data = MARSHALERS[fmt](batch, **kwargs)
-    ext = EXTENSIONS[fmt]
+
+def register_marshaler(fmt: str, fn, extension: str, *,
+                       overwrite: bool = False) -> None:
+    """Formal encoding-extension registration — the pluggable-marshaler
+    surface of ``exporter/awss3exporter/marshaler.go:27-40`` /
+    ``config.go:110-112``, where an encoding extension ID resolves to a
+    custom marshaler at exporter build time.
+
+    ``fn(batch: pa.Table, **kwargs) -> bytes``; ``extension`` is the file
+    suffix (no dot). Registration is process-global: ``PartitionedSink``
+    validates formats against this registry at BUILD time, and spec
+    YAMLs reach custom formats via the sink ``format:`` key plus a
+    ``marshalers:`` config block (pipelines/spec.py). Built-in formats
+    cannot be replaced (overwrite only applies to other custom formats);
+    Multi-node contract: ``PartitionedSink`` resolves the format to the
+    FUNCTION at build time (driver) and ships it inside the write task
+    closure (the reference resolves the encoding-extension ID at exporter
+    build, marshaler.go:27-40) — so driver-side registration suffices for
+    sink writes; only code that calls ``serialize(fmt=...)`` inside its
+    own Ray tasks needs worker-side registration."""
+    if not fmt or not isinstance(fmt, str):
+        raise ValueError("format name must be a non-empty string")
+    if fmt in _BUILTIN_FORMATS:
+        raise ValueError(f"cannot replace built-in format {fmt!r}")
+    if fmt in MARSHALERS and not overwrite:
+        raise ValueError(f"format {fmt!r} already registered; "
+                         "pass overwrite=True to replace it")
+    if not callable(fn):
+        raise ValueError("marshaler must be callable (batch -> bytes)")
+    if not extension or "." in extension:
+        raise ValueError(f"extension must be a bare suffix, got {extension!r}")
+    MARSHALERS[fmt] = fn
+    EXTENSIONS[fmt] = extension
+
+
+def unregister_marshaler(fmt: str) -> None:
+    """Remove a CUSTOM format (tests / re-registration hygiene)."""
+    if fmt in _BUILTIN_FORMATS:
+        raise ValueError(f"cannot remove built-in format {fmt!r}")
+    MARSHALERS.pop(fmt, None)
+    EXTENSIONS.pop(fmt, None)
+
+
+def serialize_with(fn, batch: pa.Table, compression: str | None = None,
+                   **kwargs) -> bytes:
+    """Payload bytes from an explicit marshaler function + compression —
+    the build-time-resolved path ``PartitionedSink`` ships to its write
+    tasks (so custom registered formats work without worker-side
+    registry state)."""
+    data = fn(batch, **kwargs)
     if compression == "gzip":
         data = _gzip.compress(data, mtime=0)  # mtime=0 → deterministic bytes
     elif compression == "zstd":
@@ -276,7 +318,18 @@ def serialize(batch: pa.Table, fmt: str, compression: str | None = None,
         data = _ZSTD.compress(data, asbytes=True)
     elif compression is not None:
         raise MarshalError(f"unknown compression {compression!r}")
-    return data, ext + COMPRESSION_SUFFIX[compression]
+    return data
+
+
+def serialize(batch: pa.Table, fmt: str, compression: str | None = None,
+              **kwargs) -> tuple[bytes, str]:
+    """(payload bytes, file extension) for a batch in the given format.
+    ``compression``: 'gzip' → ``.gz``; 'zstd' → ``.zst``
+    (writer.go:157-191 format switch)."""
+    if fmt not in MARSHALERS:
+        raise MarshalError(f"unknown format {fmt!r}; known: {sorted(MARSHALERS)}")
+    data = serialize_with(MARSHALERS[fmt], batch, compression, **kwargs)
+    return data, EXTENSIONS[fmt] + COMPRESSION_SUFFIX[compression]
 
 
 def decompress(data: bytes, compression: str,

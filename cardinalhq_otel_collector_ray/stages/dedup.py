@@ -153,9 +153,19 @@ def dedup_against_history(new_ds: ray.data.Dataset,
     content not present in history. ``n_copies`` counts its occurrences
     within the new increment.
     SQL-equivalent: ``SELECT content, min(id), count(*) FROM new
-    GROUP BY content WHERE content NOT IN (SELECT content FROM history)``.
+    WHERE content IS NOT NULL AND content NOT IN
+    (SELECT content FROM history WHERE content IS NOT NULL)
+    GROUP BY content``.
+
+    NULL contract: null contents are EXCLUDED from both sides before the
+    shuffle. Without the filter, Arrow's ``group_by`` treats null as an
+    ordinary key, so one null row in history would silently suppress all
+    null new rows — semantics no SQL equality join has (``h.text =
+    n.text`` never matches NULL). Callers that care about null-content
+    rows handle them upstream.
     """
     def pre_new(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch[content_col].is_valid())
         part = batch.select([content_col, id_col]).group_by([content_col]) \
             .aggregate([(id_col, "min"), (id_col, "count")])
         part = part.rename_columns([content_col, "_pmin", "_pn"])
@@ -173,7 +183,7 @@ def dedup_against_history(new_ds: ray.data.Dataset,
         col = batch[content_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        distinct = col.unique()
+        distinct = col.unique().drop_null()
         tag = _content_part_tags(distinct, num_partitions)
         n = len(distinct)
         # sentinel id can never win a min against a real new-side id, and

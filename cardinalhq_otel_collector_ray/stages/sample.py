@@ -124,3 +124,125 @@ def weighted_priority_sample(ds: ray.data.Dataset, id_col: str,
     top = top.reset_index(drop=True)
     top["pri"] = round6(top["pri"].to_numpy())
     return top
+
+
+# --------------------------------------------------------------------------
+# tail-sampling policy vocabulary (tailsamplingprocessor analog)
+# --------------------------------------------------------------------------
+# The reference's tailsamplingprocessor (distribution/components.go:145)
+# decides keep/drop per TRACE from trace-level observations via a policy
+# vocabulary: status_code / latency / numeric_attribute / string_attribute
+# / probabilistic / rate_limiting, combined with `and` and ordered
+# `composite` (each sub-policy with an allocated rate share). This is that
+# vocabulary, made deterministic: probabilistic → the engine-wide hash-mod
+# rule; rate_limiting → per-time-bucket hash-ranked top-N (a true N-per-
+# second cap, reproducible across retries and SQL-oracle-able via
+# row_number()).
+#
+# A policy is a pure vectorized predicate over the TRACE-LEVEL table
+# (one row per decision key — built upstream by a distributed aggregate):
+# ``policy(df: pandas.DataFrame) -> np.ndarray[bool]``. Policies never see
+# raw spans, so policy evaluation is per-partition work over the (much
+# smaller) trace table; the keep set then semi-joins back onto the span
+# stream exactly like the single-policy ``tail_sampling`` path.
+
+def policy_attr(col: str, op: str, value):
+    """numeric_attribute / string_attribute / status_code / latency
+    policies: a single vectorized comparison on a trace-level column."""
+    import operator
+    ops = {"==": operator.eq, "!=": operator.ne, ">=": operator.ge,
+           "<=": operator.le, ">": operator.gt, "<": operator.lt}
+    if op not in ops:
+        raise ValueError(f"unknown policy op {op!r}; known: {sorted(ops)}")
+    f = ops[op]
+
+    def p(df) -> np.ndarray:
+        return np.asarray(f(df[col].to_numpy(), value), dtype=bool)
+    return p
+
+
+def policy_hash_sample(key_col: str, per_mille: int, salt: int = SALT):
+    """probabilistic policy, deterministic: keep when
+    ``(key * 2654435761 + salt) % 1000 < per_mille``."""
+    def p(df) -> np.ndarray:
+        ids = df[key_col].to_numpy().astype(np.int64)
+        return mulhash(ids, salt=salt, mod=1000) < per_mille
+    return p
+
+
+def policy_and(*policies):
+    """`and` policy: every sub-policy must match (components.go:145
+    andpolicy)."""
+    def p(df) -> np.ndarray:
+        m = policies[0](df)
+        for q in policies[1:]:
+            m = m & q(df)
+        return m
+    return p
+
+
+def policy_or(*policies):
+    def p(df) -> np.ndarray:
+        m = policies[0](df)
+        for q in policies[1:]:
+            m = m | q(df)
+        return m
+    return p
+
+
+def policy_not(policy):
+    def p(df) -> np.ndarray:
+        return ~policy(df)
+    return p
+
+
+def apply_composite_policies(traces: ray.data.Dataset,
+                             policies: list[tuple],
+                             *, key_col: str, bucket_col: str,
+                             salt: int = 777, mod: int = 1_000_003,
+                             num_partitions: int = 32) -> ray.data.Dataset:
+    """Ordered `composite` policy over a trace-level Dataset.
+
+    ``policies``: list of ``(name, policy, budget)`` evaluated IN ORDER —
+    a trace is claimed by the FIRST matching policy. ``budget=None`` ⇒
+    unlimited; an integer ⇒ at most ``budget`` claims per ``bucket_col``
+    value (the rate_limiting allocation), chosen deterministically as the
+    lowest-N eligible traces by ``(mulhash(key), key)``; traces over
+    budget FALL THROUGH to later policies (the composite rate-share
+    semantics). Returns kept rows with a ``policy`` label column.
+
+    Distribution: hash-partitioned on ``bucket_col`` so each bucket's
+    rank is computed whole; per-partition work is pure vectorized pandas
+    (cumsum budget accounting, no per-trace Python).
+
+    SQL-oracle shape per policy i with budget B:
+    ``row_number() OVER (PARTITION BY bucket ORDER BY pri, key) <= B``
+    over the rows not claimed by policies 0..i-1.
+    """
+    from .temporal import partitioned_apply
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        ids = df[key_col].to_numpy().astype(np.int64)
+        df = df.assign(_pri=mulhash(ids, salt=salt, mod=mod))
+        df = df.sort_values([bucket_col, "_pri", key_col], kind="mergesort")
+        df = df.reset_index(drop=True)
+        claimed = np.zeros(len(df), dtype=bool)
+        label = np.full(len(df), "", dtype=object)
+        for name, policy, budget in policies:
+            eligible = np.asarray(policy(df), dtype=bool) & ~claimed
+            if budget is not None:
+                # rank eligible rows within their bucket (df is sorted by
+                # (bucket, pri, key) → cumsum of the eligibility mask IS
+                # the hash-rank) and claim only the first ``budget``
+                rank = (pd.Series(eligible.astype(np.int64))
+                        .groupby(df[bucket_col].to_numpy(), sort=False)
+                        .cumsum().to_numpy())
+                eligible &= rank <= budget
+            claimed |= eligible
+            label[eligible] = name
+        out = df[claimed].drop(columns=["_pri"])
+        return out.assign(policy=label[claimed])
+
+    return partitioned_apply(traces, [bucket_col], kernel,
+                             num_partitions=num_partitions)

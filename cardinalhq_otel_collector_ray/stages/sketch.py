@@ -168,11 +168,18 @@ class KLLSketch:
 
 
 def approx_quantiles_per_key(ds: ray.data.Dataset, key: str, column: str,
-                             qs: list[float], k: int = 200) -> ray.data.Dataset:
+                             qs: list[float], k: int = 200,
+                             strict_exact: bool = False) -> ray.data.Dataset:
     """Per-key approximate quantiles: one KLL sketch per (block, key) →
     groupby merge → query. The shuffle moves sketches (≤ a few KiB per
     key per block), never values — the scale path next to the exact
-    rank-based `quantiles_per_type`. Output: key, q_<q> columns."""
+    rank-based `quantiles_per_type`. Output: key, q_<q> columns.
+
+    ``strict_exact``: assert the exact-degeneration precondition — no
+    compaction ever fired (k exceeded every group size), so the sketch
+    answer IS the exact rank quantile. Callers that register an
+    exact-SQL oracle against this path pass True so a scale change fails
+    LOUDLY here instead of as an opaque oracle hash mismatch."""
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for kv, g in batch.groupby(key, sort=False):
@@ -184,6 +191,12 @@ def approx_quantiles_per_key(ds: ray.data.Dataset, key: str, column: str,
         merged = KLLSketch(k)
         for s in g["sketch"]:
             merged = merged.merge(KLLSketch.from_bytes(s))
+        if strict_exact and merged.compactions > 0:
+            raise AssertionError(
+                f"approx_quantiles_per_key(strict_exact): KLL compaction "
+                f"fired for key {g[key].iloc[0]!r} (k={k} is no longer "
+                f"larger than the group) — the exact-degeneration oracle "
+                f"no longer holds at this scale")
         row = {key: g[key].iloc[0]}
         for q in qs:
             row[f"q_{str(q).replace('.', '_')}"] = merged.quantile(q)
@@ -334,12 +347,20 @@ class SpaceSaving:
 
 
 def approx_heavy_hitters(ds: ray.data.Dataset, column: str, k: int,
-                         sketch_k: int = 256) -> "pd.DataFrame":
+                         sketch_k: int = 256,
+                         strict_exact: bool = False) -> "pd.DataFrame":
     """Approximate per-column heavy hitters: one SpaceSaving sketch per
     block (values pre-combined with np.unique), tree-merged on the
     driver — blocks × O(sketch_k) state moves, never the values. Any item
     with true share > 1/sketch_k of the stream survives; the exact
-    `exact_heavy_hitters` is the verification path."""
+    `exact_heavy_hitters` is the verification path.
+
+    ``strict_exact``: assert the exact-degeneration precondition — no
+    block sketch ever evicted (every per-block overestimate is 0: an
+    eviction always stamps err ≥ 1 on the incoming item) and no driver
+    merge ever truncated past ``sketch_k`` — i.e. distinct values fit
+    the slots and the answer is exact. Exact-SQL-oracled callers pass
+    True so a scale change fails LOUDLY here, not as a hash mismatch."""
     def block(batch: pd.DataFrame) -> pd.DataFrame:
         s = SpaceSaving(sketch_k).add(batch[column].to_numpy())
         items = s.candidates()
@@ -353,11 +374,25 @@ def approx_heavy_hitters(ds: ray.data.Dataset, column: str, k: int,
     for b in ds.map_batches(block, batch_format="pandas") \
                .iter_batches(batch_format="pandas", batch_size=None):
         for val_b, cnt_b, err_b in zip(b["val"], b["cnt"], b["err"]):
+            errs = np.frombuffer(err_b, dtype=np.int64)
+            if strict_exact and len(errs) and errs.max() > 0:
+                raise AssertionError(
+                    "approx_heavy_hitters(strict_exact): a block sketch "
+                    f"evicted (overestimate > 0; sketch_k={sketch_k} no "
+                    "longer exceeds per-block distinct values) — the "
+                    "exact-degeneration oracle no longer holds at this scale")
             items = {int(v): [int(c), int(e)] for v, c, e in zip(
                 np.frombuffer(val_b, dtype=np.int64),
                 np.frombuffer(cnt_b, dtype=np.int64),
-                np.frombuffer(err_b, dtype=np.int64))}
+                errs)}
+            union = len(merged.items.keys() | items.keys())
             merged = merged.merge(SpaceSaving(sketch_k, items))
+            if strict_exact and union > sketch_k:
+                raise AssertionError(
+                    "approx_heavy_hitters(strict_exact): driver merge "
+                    f"truncated to sketch_k={sketch_k} slots — distinct "
+                    "values no longer fit; the exact-degeneration oracle "
+                    "no longer holds at this scale")
     top = merged.candidates()[:k]
     return pd.DataFrame({"token": [t[0] for t in top],
                          "approx_count": [t[1] for t in top],

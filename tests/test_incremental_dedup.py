@@ -75,3 +75,13 @@ def test_batching_invariance():
     assert a == b
     kept_contents = {f"doc-{k}" for k in range(7, 17)}
     assert len(a) == len(kept_contents)
+
+
+def test_null_contents_excluded_both_sides():
+    """NULL contract: null contents never appear in the output and a null
+    in history does NOT suppress anything (SQL equality semantics — the
+    Arrow group_by null-as-key behavior is filtered out up front)."""
+    new = [(10, "aa"), (11, None), (12, None), (13, "bb")]
+    hist = [(1, None), (2, "bb")]
+    out = _run(new, hist)
+    assert out == {10: 1}  # 'aa' kept; nulls excluded; 'bb' in history
