@@ -369,11 +369,187 @@ def run_write(sf_dir: str, num_cpus: int, replication: int) -> dict:
             "sorted_rows_per_sec": round(rows_s / t_sorted, 1)}
 
 
+def prep_corpus(sf_dir: str, replication: int):
+    """Replicated corpus with PLANTED duplicate structure for the composed
+    training-prep job (every mutation is a pure function of the replica
+    index — deterministic across runs):
+
+    - replica r with r % 16 == 14: the UNMODIFIED base text → per base
+      doc, all such replicas form one exact-duplicate group
+      (replication/16 copies collapse to the min id);
+    - r % 16 == 15: replica (r-2)'s distinct text minus its LAST word →
+      exactly one near-dup partner each (bounded LSH buckets, no
+      quadratic pair blowup);
+    - otherwise: every word suffixed with the replica index (fully
+      distinct text AND distinct shingles across replicas).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    n = base.num_rows
+    ref = ray.put(base)
+
+    def suffixed(col, r: int):
+        # "w1 w2 w3" -> "w1<r> w2<r> w3<r>"
+        rep = pc.replace_substring(col, " ", f"{r} ")
+        return pc.binary_join_element_wise(rep, str(r), "")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        out = []
+        for r in batch["id"].to_pylist():
+            ids = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) + r * n)
+            mode = r % 16
+            if mode == 14:
+                txt = t["text"].combine_chunks()
+            elif mode == 15:
+                txt = pc.replace_substring_regex(
+                    suffixed(t["text"].combine_chunks(), r - 2),
+                    r" \S+$", "")
+            else:
+                txt = suffixed(t["text"].combine_chunks(), r)
+            out.append(pa.table({"doc_id": ids, "text": txt,
+                                 "source": t["source"]}))
+        return pa.concat_tables(out)
+
+    per_block = 6
+    docs = (ray.data.range(replication,
+                           override_num_blocks=max(1, replication // per_block))
+            .map_batches(expand, batch_format="pyarrow", batch_size=per_block)
+            .materialize())
+    return docs, n
+
+
+def run_prep(sf_dir: str, num_cpus: int, replication: int) -> dict:
+    """The COMPOSED training-prep job as ONE streaming run at spill scale:
+    exact dedup → near dedup → quality gate → split → pack → sorted
+    partitioned write (VERDICT r4 item 1). Reports per-phase walls, the
+    planted-vs-found duplicate accounting (a correctness check at full
+    scale), per-stage operator metrics from the sink's metrics.json, and
+    a resume pass that must skip every finished partition."""
+    _init_ray(num_cpus)
+    import shutil
+    from cardinalhq_otel_collector_ray.pipelines.training_prep import (
+        drop_ids, exact_dup_loser_ids, neardup_loser_ids, quality_gate)
+    from cardinalhq_otel_collector_ray.sinks.partitioned import PartitionedSink
+    from cardinalhq_otel_collector_ray.stages.packing import (dataset_split,
+                                                              pack_sequences)
+    import pyarrow.compute as pc
+
+    out_root = "/tmp/bench_prep_sink"
+    shutil.rmtree(out_root, ignore_errors=True)
+    t_gen0 = time.perf_counter()
+    docs, n_base = prep_corpus(sf_dir, replication)
+    n_docs = replication * n_base
+    in_bytes = docs.size_bytes()
+    t_gen = time.perf_counter() - t_gen0
+
+    # planted truth (LOWER bounds: the synthetic base corpus also carries
+    # its own natural exact/near duplicates, which replicate per copy —
+    # at rep=64/sf0.01 the pipeline finds ~96 extra exact and ~1272 extra
+    # near dups, all real): 1/16 of replicas are exact copies (collapse
+    # to one winner per base doc), 1/16 are single-partner near-dups
+    n_exact_groups = len([r for r in range(replication) if r % 16 == 14])
+    expect_exact = max(0, (n_exact_groups - 1)) * n_base
+    expect_near = len([r for r in range(replication) if r % 16 == 15]) * n_base
+
+    t0 = time.perf_counter()
+    exact_losers = exact_dup_loser_ids(docs, "text", "doc_id",
+                                       num_partitions=64)
+    t_exact = time.perf_counter() - t0
+
+    survivors = drop_ids(docs, exact_losers, "doc_id")
+    t0 = time.perf_counter()
+    near_losers = neardup_loser_ids(survivors, "text", "doc_id",
+                                    k_shingle=6, threshold=0.8,
+                                    num_perm=32, bands=8)
+    t_near = time.perf_counter() - t0
+
+    survivors = drop_ids(survivors, near_losers, "doc_id")
+    gated = quality_gate(survivors, "text")
+
+    def with_len(batch):
+        import pyarrow as pa
+        nl = pc.utf8_length(batch["text"]).cast(pa.int64())
+        return batch.append_column("n_chars", nl).drop_columns(["text"])
+
+    skinny = gated.map_batches(with_len, batch_format="pyarrow")
+    routed = dataset_split(skinny, "doc_id", out="route")
+    packed = pack_sequences(routed, key="source", order_col="doc_id",
+                            len_col="n_chars", context_len=2048,
+                            num_partitions=64)
+    sink = PartitionedSink(out_root, run_ts=1706078400.0, num_partitions=32)
+    t0 = time.perf_counter()
+    entries = sink.write_sorted(packed, sort_col="doc_id", route_col="route",
+                                tokens_len_col="n_chars", resume=True)
+    t_write = time.perf_counter() - t0
+    rows_out = sum(e.rows for e in entries)
+
+    # per-stage operator metrics (north rule) — keep the 5 biggest walls
+    stage_top = []
+    try:
+        with open(os.path.join(out_root, "metrics.json")) as f:
+            stages = json.load(f)
+        stage_top = sorted(stages, key=lambda s: -(s.get("wall_s") or 0))[:5]
+        stage_top = [{"operator": s["operator"][:80],
+                      "wall_s": s["wall_s"], "rows": s["rows"]}
+                     for s in stage_top]
+    except Exception:
+        pass
+
+    # resume pass: every partition already recorded → nothing rewritten
+    t0 = time.perf_counter()
+    entries2 = sink.write_sorted(packed, sort_col="doc_id",
+                                 route_col="route",
+                                 tokens_len_col="n_chars", resume=True)
+    t_resume = time.perf_counter() - t0
+
+    total = t_exact + t_near + t_write
+    del docs, survivors, gated, skinny, routed, packed
+    import gc
+    gc.collect()
+    return {
+        "n_docs": n_docs, "input_bytes": in_bytes,
+        "gen_sec": round(t_gen, 3),
+        "exact_decision_sec": round(t_exact, 3),
+        "near_decision_sec": round(t_near, 3),
+        "filter_gate_split_pack_sorted_write_sec": round(t_write, 3),
+        "total_sec": round(total, 3),
+        "docs_per_sec": round(n_docs / total, 1),
+        "exact_dropped": int(len(exact_losers)),
+        "exact_planted_min": int(expect_exact),
+        "exact_found_ge_planted": bool(len(exact_losers) >= expect_exact),
+        "near_dropped": int(len(near_losers)),
+        "near_planted_min": int(expect_near),
+        "near_found_ge_planted": bool(len(near_losers) >= expect_near),
+        "rows_written": int(rows_out),
+        "partitions": len(entries),
+        "resume_skipped_all": len(entries2) == 0,
+        "resume_sec": round(t_resume, 3),
+        "stage_top5": stage_top,
+    }
+
+
 def main():
     if "--skew" in sys.argv:
         out = run_skew(SF_DIR, NUM_CPUS, REPLICATION)
         print(json.dumps({"metric": "skew_salted_groupby", **out,
                           "sf": SF_DIR, "num_cpus": NUM_CPUS}))
+        import ray
+        ray.shutdown()
+        return
+    if "--prep" in sys.argv:
+        canary = cpu_canary()
+        out = run_prep(SF_DIR, NUM_CPUS, REPLICATION)
+        print(json.dumps({"metric": "composed_training_prep", **out,
+                          "sf": SF_DIR, "num_cpus": NUM_CPUS,
+                          "host_canary": canary}))
         import ray
         ray.shutdown()
         return

@@ -49,7 +49,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import bytes_hash64, part_tags
+from ..functions.hashing import bytes_hash64, part_tags, stable_str_hash64
 from ..stages.packing import dataset_split, pack_sequences
 
 MAX_DRIVER_IDS = 50_000_000  # ~400 MB of int64 — the broadcast guard
@@ -66,8 +66,12 @@ def exact_dup_loser_ids(ds: ray.data.Dataset, text_col: str, id_col: str,
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        d1 = bytes_hash64(col).astype(np.int64)
-        d2 = bytes_hash64(col, seed=0x9E3779B97F4A7C15).astype(np.int64)
+        # two INDEPENDENT hash families → 128-bit digest: FNV-1a over the
+        # Arrow buffers + SipHash (pandas hash_array) — a pair collision
+        # requires both to collide simultaneously
+        d1 = bytes_hash64(col).view(np.int64)
+        d2 = stable_str_hash64(col.to_numpy(zero_copy_only=False)) \
+            .view(np.int64)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         t = pa.table({"d1": pa.array(d1), "d2": pa.array(d2),
                       "id": pa.array(ids)})
@@ -223,7 +227,18 @@ def training_prep(docs: ray.data.Dataset, sink, *,
                             num_partitions=num_partitions)
     entries = sink.write_sorted(packed, sort_col=id_col, route_col="route",
                                 tokens_len_col="n_chars", resume=resume)
+    # per-stage throughput (north rule): the sink lands metrics.json
+    # (parsed Dataset.stats()) next to the manifest on every write
+    stats = None
+    try:
+        import json
+
+        from .. import fsio
+        stats = json.loads(fsio.read_bytes(fsio.join(sink.root,
+                                                     "metrics.json")))
+    except Exception:
+        pass
     return {"entries": entries,
             "n_exact_dropped": int(len(exact_losers)),
             "n_near_dropped": int(len(near_losers)),
-            "stats": None}
+            "stats": stats}

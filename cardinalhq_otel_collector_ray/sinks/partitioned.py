@@ -239,9 +239,22 @@ class PartitionedSink:
                     f.write(data)
             tokens = (int(pc.sum(table[tokens_len_col]).as_py() or 0)
                       if tokens_len_col else 0)
-            return pa.table({"partition_id": [f"{sink}/{pid}"], "sink": [sink],
-                             "path": [path], "rows": [table.num_rows],
-                             "bytes": [fsio.file_size(path)],
+            entry = ManifestEntry(partition_id=f"{sink}/{pid}", sink=sink,
+                                  path=path, rows=table.num_rows,
+                                  bytes=fsio.file_size(path), tokens=tokens)
+            # record IN the task, immediately after the atomic rename/PUT:
+            # the local O_APPEND line and the per-entry object PUT are both
+            # atomic and multi-process safe, so every partition that
+            # finished is durably resumable even if the driver (or a
+            # sibling group in this same task) dies right after —
+            # partition-granular kill-resume, independent of how Ray
+            # batches groups into tasks. A task retry re-writes the same
+            # bytes and re-records the same entry (last-wins, idempotent).
+            sink_self.manifest.record(entry)
+            return pa.table({"partition_id": [entry.partition_id],
+                             "sink": [sink], "path": [path],
+                             "rows": [table.num_rows],
+                             "bytes": [entry.bytes],
                              "tokens": [tokens]})
 
         result = with_pid.groupby([route_col, "_pid"]).map_groups(
@@ -289,12 +302,11 @@ class PartitionedSink:
         return out_dir
 
     def _record_entries(self, result) -> list[ManifestEntry]:
-        # STREAMING record: manifest entries land as each partition's write
-        # task finishes (iter_batches yields blocks as they complete), not
-        # after the whole dataset — so a run killed mid-write has durably
-        # recorded every partition that DID finish, and resume skips them.
-        # Entries recorded before a mid-stream failure stay recorded (the
-        # data files are already in place — the manifest invariant).
+        # Manifest entries were durably recorded INSIDE the write tasks
+        # (see write_group) — the driver side only streams them back for
+        # the return value and fires notifications as partitions land
+        # (iter_batches yields blocks as tasks complete, so notify
+        # latency tracks the writes, not the whole run).
         from ..state.notifier import Event
         entries: list[ManifestEntry] = []
         for b in result.iter_batches(batch_format="pyarrow", batch_size=None):
@@ -304,7 +316,6 @@ class PartitionedSink:
                                   rows=int(r["rows"]), bytes=int(r["bytes"]),
                                   tokens=int(r["tokens"]))
                 entries.append(e)
-                self.manifest.record(e)
                 # notify AFTER the entry is durably recorded (upload-then-
                 # notify ordering of writer_test.go:366: no notify on
                 # failure — a failed partition never reaches this loop)

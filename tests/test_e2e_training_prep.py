@@ -116,3 +116,111 @@ def test_chunk_tokens_reconstructs_and_counts():
         assert (sub["n_tok_chunk"] == np.minimum(
             32, n - sub["start_tok"])).all()
         assert (sub["n_tok_chunk"] > 0).all()
+
+
+def test_composed_training_prep_planted_corpus(ray_session, tmp_path):
+    """The ONE-job composed pipeline (pipelines/training_prep.py) on a
+    corpus with PLANTED exact dups, near dups and junk docs: exact counts
+    for each decision stage, conservation into the sorted sinks, resume
+    idempotence, and per-stage metrics emitted."""
+    from cardinalhq_otel_collector_ray.pipelines.training_prep import (
+        training_prep)
+
+    rows = []
+    for i in range(40):  # distinct 12-word docs (disjoint vocabularies)
+        words = [f"w{i}x{j}" for j in range(12)]
+        rows.append((i, " ".join(words), f"src{i % 3}"))
+    for i in range(10):  # exact duplicates of docs 0..9 (higher ids lose)
+        rows.append((100 + i, rows[i][1], f"src{i % 3}"))
+    for i in range(10, 20):  # near-dups: doc i minus its last word
+        rows.append((200 + i, rows[i][1].rsplit(" ", 1)[0], f"src{i % 3}"))
+    for i in range(5):  # junk: single-word docs fail the quality gate
+        rows.append((300 + i, "x", f"src{i % 3}"))
+
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "source": pa.array([r[2] for r in rows])})
+    docs = ray.data.from_arrow(t).repartition(4)
+
+    sink = PartitionedSink(str(tmp_path / "prep"), run_ts=1706078400.0,
+                           num_partitions=2)
+    out = training_prep(
+        docs, sink, context_len=50, num_partitions=8,
+        neardup_opts=dict(k_shingle=6, threshold=0.5, num_perm=64,
+                          bands=16))
+    # 10 planted copies + 4 of the 5 identical junk docs dedup away
+    assert out["n_exact_dropped"] == 14
+    assert out["n_near_dropped"] == 10
+    # survivors: the 40 base docs (dups/near-dups lose by id, junk gated)
+    assert sum(e.rows for e in out["entries"]) == 40
+    assert {e.sink for e in out["entries"]} <= {"train", "val", "test"}
+    # packing invariant survives the write; files are doc_id-sorted
+    for e in out["entries"]:
+        f = pq.read_table(e.path)
+        assert (f["bin_offset"].to_numpy() < 50).all()
+        assert (np.diff(f["doc_id"].to_numpy()) >= 0).all()
+    # per-stage metrics landed next to the manifest (north rule)
+    assert out["stats"] and any("MapBatches" in s["operator"]
+                                for s in out["stats"])
+    # resume: identical rerun writes nothing
+    again = training_prep(
+        docs, sink, context_len=50, num_partitions=8,
+        neardup_opts=dict(k_shingle=6, threshold=0.5, num_perm=64,
+                          bands=16))
+    assert again["entries"] == []
+
+
+def test_resume_after_midrun_failure_skips_recorded_partitions(
+        ray_session, tmp_path):
+    """Kill-resume contract at the manifest level: a run that DIES mid
+    write has durably recorded every partition that finished (streaming
+    manifest records); the rerun writes only the missing partitions and
+    the final layout equals a clean run's."""
+    import time as _time
+
+    from cardinalhq_otel_collector_ray.sinks.serializers import (
+        register_marshaler, unregister_marshaler)
+
+    flag = tmp_path / "second_run"
+    ids = np.arange(64, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "route": pa.array(["main"] * 64),
+                  "n": pa.array(ids * 2)})
+
+    # fail partition pid==1 on the FIRST run only — and SLOWLY, so the
+    # other partitions' writes finish (and record) before the abort
+    from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+    flag_path = str(flag)
+
+    def failing_jsonl(batch, **kw):
+        pids = set(mulhash(batch["doc_id"].to_numpy(), mod=4).tolist())
+        import json as _json
+        import os as _os
+        if 1 in pids and not _os.path.exists(flag_path):
+            _time.sleep(1.5)
+            raise RuntimeError("injected mid-run death")
+        return ("\n".join(_json.dumps(r) for r in batch.to_pylist())
+                + "\n").encode()
+
+    register_marshaler("failing_jsonl", failing_jsonl, "jsonl")
+    try:
+        sink = PartitionedSink(str(tmp_path / "out"), run_ts=1706078400.0,
+                               num_partitions=4, fmt="failing_jsonl")
+        ds = ray.data.from_arrow(t).repartition(4)
+        import pytest
+        with pytest.raises(Exception):
+            sink.write(ds, key_col="doc_id", resume=True)
+        recorded = set(sink.manifest.completed())
+        assert recorded, "finished partitions must be recorded before death"
+        assert "main/1" not in recorded
+
+        flag.write_text("go")
+        entries2 = sink.write(ds, key_col="doc_id", resume=True)
+        # only the missing partitions were rewritten
+        assert {e.partition_id for e in entries2} == \
+            {f"main/{p}" for p in range(4)} - recorded
+        done = sink.manifest.completed()
+        assert set(done) == {f"main/{p}" for p in range(4)}
+        assert sum(e.rows for e in done.values()) == 64
+    finally:
+        unregister_marshaler("failing_jsonl")
