@@ -165,12 +165,102 @@ def fsio_provider(scheme: str) -> ProviderFn:
     return fetch
 
 
-# Reference parity: the collector binary ships http/https/s3 in its default
-# provider chain (distribution/main.go:35-45) — register the real fetchers
-# up front; deployments can still override via register_provider.
+def aes_provider(selector: str, *, key_env: str = "CONFMAP_AES_KEY") -> str:
+    """``${aes:<base64>}`` → decrypted config value — the contrib
+    aesprovider analog (``distribution/main.go:16,41``): AES-256-GCM with
+    a base64 key from the environment, ciphertext laid out as
+    nonce(12) || ct || tag(16) inside the base64 payload. Crypto is the
+    FIPS-197/SP-800-38D implementation in :mod:`..functions.aesgcm`
+    (NIST-vector-pinned) — no external crypto dependency."""
+    import base64
+    import os as _os
+    from ..functions.aesgcm import gcm_decrypt
+    key_b64 = _os.environ.get(key_env)
+    if not key_b64:
+        raise ValueError(f"aes provider requires the {key_env} environment "
+                         "variable (base64 AES key)")
+    key = base64.b64decode(key_b64)
+    raw = base64.b64decode(selector)
+    if len(raw) < 12 + 16:
+        raise ValueError("aes provider payload too short for nonce+tag")
+    pt = gcm_decrypt(key, raw[:12], raw[12:-16], raw[-16:])
+    return pt.decode("utf-8")
+
+
+def aes_encrypt_value(plaintext: str, key_b64: str, nonce: bytes) -> str:
+    """Companion encryptor (tooling/tests): → the base64 payload the
+    provider accepts. ``nonce`` is caller-supplied (12 bytes) — never
+    sampled here (determinism rule; real tooling passes os.urandom)."""
+    import base64
+    from ..functions.aesgcm import gcm_encrypt
+    assert len(nonce) == 12
+    ct, tag = gcm_encrypt(base64.b64decode(key_b64), nonce,
+                          plaintext.encode("utf-8"))
+    return base64.b64encode(nonce + ct + tag).decode()
+
+
+def secretsmanager_provider(selector: str, *, transport=None,
+                            timeout: float = 10.0) -> Any:
+    """``${secretsmanager:<name-or-arn>}`` → the SecretString — the
+    contrib secretsmanagerprovider analog (``distribution/main.go:18,43``)
+    as a REAL SigV4-signed GetSecretValue POST over urllib (no SDK;
+    signing in :mod:`..functions.sigv4`, pinned to AWS's documented
+    example). Region comes from the ARN when the selector is one, else
+    AWS_REGION / AWS_DEFAULT_REGION; credentials from the standard env
+    vars. ``transport(url, headers, body) -> bytes`` is injectable for
+    tests (no network in CI); the default posts for real."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from ..functions.sigv4 import sign
+
+    region = None
+    if selector.startswith("arn:"):
+        parts = selector.split(":")
+        region = parts[3] if len(parts) > 4 else None
+    region = region or _os.environ.get("AWS_REGION") \
+        or _os.environ.get("AWS_DEFAULT_REGION")
+    if not region:
+        raise ValueError("secretsmanager provider needs a region "
+                         "(ARN selector or AWS_REGION)")
+    ak = _os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = _os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if not ak or not sk:
+        raise ValueError("secretsmanager provider requires "
+                         "AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY")
+    url = f"https://secretsmanager.{region}.amazonaws.com/"
+    body = _json.dumps({"SecretId": selector}).encode()
+    amz_date = _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
+    headers = sign("POST", url,
+                   {"content-type": "application/x-amz-json-1.1",
+                    "x-amz-target": "secretsmanager.GetSecretValue"},
+                   body, access_key=ak, secret_key=sk, region=region,
+                   service="secretsmanager", amz_date=amz_date,
+                   session_token=_os.environ.get("AWS_SESSION_TOKEN"))
+
+    if transport is None:
+        def transport(u, h, b):  # pragma: no cover - no network in CI
+            import urllib.request
+            req = urllib.request.Request(u, data=b, method="POST")
+            for k, v in h.items():
+                req.add_header(k, v)
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.read()
+    resp = _json.loads(transport(url, headers, body))
+    return resp.get("SecretString") or resp.get("SecretBinary")
+
+
+# Reference parity: the collector binary ships http/https/s3/aes/
+# secretsmanager in its default provider chain (distribution/main.go:35-45)
+# — register the real fetchers up front; deployments can still override
+# via register_provider. (googlesecretmanager stays a register_provider
+# hook: its OAuth token exchange needs a service-account flow no stdlib
+# primitive covers.)
 register_provider("http", lambda sel: http_provider(sel, scheme="http"))
 register_provider("https", lambda sel: http_provider(sel, scheme="https"))
 register_provider("s3", fsio_provider("s3"))
+register_provider("aes", aes_provider)
+register_provider("secretsmanager", secretsmanager_provider)
 
 
 def deep_merge(base: Any, overlay: Any) -> Any:

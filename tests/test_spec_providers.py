@@ -51,10 +51,11 @@ def test_file_provider_whole_and_embedded(tmp_path):
 
 
 def test_unknown_scheme_and_hook():
-    # s3/http/https are now pre-registered real fetchers (reference chain
-    # parity) — aes stands in as the unregistered scheme
+    # s3/http/https/aes/secretsmanager are now pre-registered real
+    # fetchers (reference chain parity) — googlesecretmanager remains the
+    # unregistered hook scheme (OAuth flow is deployment-wired)
     with pytest.raises(ValueError, match="no provider registered"):
-        resolve_config("${aes:bucket/key.yaml}")
+        resolve_config("${googlesecretmanager:projects/p/secrets/s}")
     # register_provider OVERRIDES a built-in; restore it afterwards
     from cardinalhq_otel_collector_ray.pipelines import providers as pmod
     builtin = pmod._PROVIDERS["s3"]
@@ -212,4 +213,4 @@ def test_fsio_provider_over_object_store_root():
 
 def test_unregistered_scheme_still_raises():
     with pytest.raises(ValueError, match="no provider registered"):
-        resolve_config({"x": "${secretsmanager:arn:aws:foo}"})
+        resolve_config({"x": "${googlesecretmanager:projects/p/secrets/s}"})
