@@ -377,11 +377,16 @@ def prep_corpus(sf_dir: str, replication: int):
     - replica r with r % 16 == 14: the UNMODIFIED base text → per base
       doc, all such replicas form one exact-duplicate group
       (replication/16 copies collapse to the min id);
-    - r % 16 == 15: replica (r-2)'s distinct text minus its LAST word →
-      exactly one near-dup partner each (bounded LSH buckets, no
-      quadratic pair blowup);
-    - otherwise: every word suffixed with the replica index (fully
-      distinct text AND distinct shingles across replicas).
+    - r % 16 == 15: replica (r-2)'s ciphered text minus its LAST word →
+      exactly one near-dup partner each (bounded LSH buckets);
+    - otherwise: a per-replica SUBSTITUTION CIPHER (seeded letter+digit
+      permutation, one 256-byte LUT gather over the flat Arrow buffer).
+      A cipher — unlike a word suffix — rewrites every character-shingle,
+      so replicas of the same base doc share (almost) no shingles and
+      LSH candidate volume stays linear; within one replica the cipher
+      is injective, so the base corpus's own exact/near duplicate
+      structure is preserved verbatim (and is found — the planted counts
+      below are LOWER bounds).
     """
     import numpy as np
     import pyarrow as pa
@@ -395,10 +400,23 @@ def prep_corpus(sf_dir: str, replication: int):
     n = base.num_rows
     ref = ray.put(base)
 
-    def suffixed(col, r: int):
-        # "w1 w2 w3" -> "w1<r> w2<r> w3<r>"
-        rep = pc.replace_substring(col, " ", f"{r} ")
-        return pc.binary_join_element_wise(rep, str(r), "")
+    def cipher_lut(r: int) -> np.ndarray:
+        rs = np.random.RandomState(r)  # seeded → deterministic per replica
+        lut = np.arange(256, dtype=np.uint8)
+        lut[97:123] = 97 + rs.permutation(26).astype(np.uint8)
+        lut[65:91] = 65 + rs.permutation(26).astype(np.uint8)
+        lut[48:58] = 48 + rs.permutation(10).astype(np.uint8)
+        return lut
+
+    def ciphered(col: "pa.ChunkedArray", r: int) -> "pa.Array":
+        arr = col.combine_chunks().cast(pa.large_binary())
+        m = len(arr)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        out = cipher_lut(r)[data]  # one LUT gather per replica
+        return pa.Array.from_buffers(
+            pa.large_binary(), m,
+            [arr.buffers()[0], arr.buffers()[1],
+             pa.py_buffer(out.tobytes())]).cast(pa.string())
 
     def expand(batch: pa.Table) -> pa.Table:
         t = ray.get(ref)
@@ -410,10 +428,9 @@ def prep_corpus(sf_dir: str, replication: int):
                 txt = t["text"].combine_chunks()
             elif mode == 15:
                 txt = pc.replace_substring_regex(
-                    suffixed(t["text"].combine_chunks(), r - 2),
-                    r" \S+$", "")
+                    ciphered(t["text"], r - 2), r" \S+$", "")
             else:
-                txt = suffixed(t["text"].combine_chunks(), r)
+                txt = ciphered(t["text"], r)
             out.append(pa.table({"doc_id": ids, "text": txt,
                                  "source": t["source"]}))
         return pa.concat_tables(out)
@@ -486,6 +503,10 @@ def run_prep(sf_dir: str, num_cpus: int, replication: int) -> dict:
                             num_partitions=64)
     sink = PartitionedSink(out_root, run_ts=1706078400.0, num_partitions=32)
     t0 = time.perf_counter()
+    # skinny-table materialize before the two-pass sorted write (bounds +
+    # tagged write) — without it the gate/split/pack chain re-executes per
+    # pass (and a third time for the resume check below)
+    packed = packed.materialize()
     entries = sink.write_sorted(packed, sort_col="doc_id", route_col="route",
                                 tokens_len_col="n_chars", resume=True)
     t_write = time.perf_counter() - t0

@@ -28,9 +28,9 @@ Scale shape, stage by stage:
   never all-pairs). Removal rule: drop the LARGER id of every verified
   pair (== keep each cluster's min for pair-shaped clusters; transitive
   chains collapse over repeated runs exactly like repeated crawls).
-- **filters**: broadcast ``np.isin`` anti-joins (one ObjectRef, lazy
-  node-local get) + the Gopher rule gate fused into the stream — no
-  shuffle.
+- **filters**: broadcast sorted-array anti-joins (one ObjectRef, lazy
+  node-local get, searchsorted membership) + the Gopher rule gate fused
+  into the stream — no shuffle.
 - **split/pack/write**: hash-threshold split (pure row function), ONE
   key shuffle for packing (bounded partition dispatch), then the
   range-partitioned sorted write with streaming manifest records — a
@@ -162,14 +162,19 @@ def neardup_loser_ids(ds: ray.data.Dataset, text_col: str, id_col: str, *,
 
 def drop_ids(ds: ray.data.Dataset, ids: np.ndarray,
              id_col: str) -> ray.data.Dataset:
-    """Broadcast anti-join: one sorted id array in plasma, vectorized
-    searchsorted-free ``np.isin`` per batch (ids already unique+sorted)."""
-    ref = ray.put(np.asarray(ids, dtype=np.int64))
+    """Broadcast anti-join: ONE sorted id array in plasma (node-local lazy
+    ``ray.get``), membership via ``searchsorted`` per batch — O(batch ×
+    log(drop set)). Never ``np.isin``: it re-sorts the multi-million-row
+    drop array on EVERY batch."""
+    ref = ray.put(np.unique(np.asarray(ids, dtype=np.int64)))
 
     def fn(batch: pa.Table) -> pa.Table:
         drop = ray.get(ref)
         v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(~np.isin(v, drop)))
+        if len(drop) == 0:
+            return batch
+        pos = np.minimum(np.searchsorted(drop, v), len(drop) - 1)
+        return batch.filter(pa.array(drop[pos] != v))
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
@@ -225,6 +230,14 @@ def training_prep(docs: ray.data.Dataset, sink, *,
     packed = pack_sequences(routed, key=pack_key, order_col=id_col,
                             len_col="n_chars", context_len=context_len,
                             num_partitions=num_partitions)
+    # materialize the SKINNY packed table (id/len/bin/route only — the
+    # text column was dropped above) before the sorted write:
+    # ``write_sorted`` needs a bounds pass plus the tagged write pass, so
+    # an unmaterialized input would re-run the whole dedup→gate→pack
+    # chain per pass. The packed table is ~tens of bytes/row; at corpus
+    # scale it spills to disk, which is still far cheaper than a second
+    # full-corpus pass.
+    packed = packed.materialize()
     entries = sink.write_sorted(packed, sort_col=id_col, route_col="route",
                                 tokens_len_col="n_chars", resume=resume)
     # per-stage throughput (north rule): the sink lands metrics.json

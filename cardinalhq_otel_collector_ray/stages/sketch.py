@@ -167,6 +167,27 @@ class KLLSketch:
         return cls(k, levels, compactions)
 
 
+
+def _key_segments(batch, key: str, column: str):
+    """Arrow-native per-key segmentation for block-side sketch builders:
+    stable key sort + numpy run boundaries → (key values at run starts,
+    per-key numpy value slices). Replaces the pandas groupby hop on the
+    WIDE input blocks; only the tiny sketch partials are ever pandas."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    t = batch.select([key, column])
+    idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+    karr = t[key].take(idx).to_numpy(zero_copy_only=False)
+    vv = t[column].take(idx).to_numpy(zero_copy_only=False)
+    n = len(karr)
+    if n == 0:
+        return karr[:0], []
+    new = np.ones(n, dtype=bool)
+    new[1:] = karr[1:] != karr[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], n]
+    return karr[starts], [vv[s:e] for s, e in zip(starts, ends)]
+
 def approx_quantiles_per_key(ds: ray.data.Dataset, key: str, column: str,
                              qs: list[float], k: int = 200,
                              strict_exact: bool = False) -> ray.data.Dataset:
@@ -180,12 +201,12 @@ def approx_quantiles_per_key(ds: ray.data.Dataset, key: str, column: str,
     answer IS the exact rank quantile. Callers that register an
     exact-SQL oracle against this path pass True so a scale change fails
     LOUDLY here instead of as an opaque oracle hash mismatch."""
-    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for kv, g in batch.groupby(key, sort=False):
-            s = KLLSketch(k).add(g[column].to_numpy())
-            rows.append({key: kv, "sketch": s.to_bytes()})
-        return pd.DataFrame(rows)
+    def sketch(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+        kvals, segs = _key_segments(batch, key, column)
+        blobs = [KLLSketch(k).add(v).to_bytes() for v in segs]
+        return pa.table({key: pa.array(kvals),
+                         "sketch": pa.array(blobs, pa.binary())}).to_pandas()
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         merged = KLLSketch(k)
@@ -202,7 +223,7 @@ def approx_quantiles_per_key(ds: ray.data.Dataset, key: str, column: str,
             row[f"q_{str(q).replace('.', '_')}"] = merged.quantile(q)
         return pd.DataFrame([row])
 
-    partials = ds.map_batches(sketch, batch_format="pandas")
+    partials = ds.map_batches(sketch, batch_format="pyarrow")
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
 
 
@@ -213,15 +234,17 @@ def _hash_values(values) -> np.ndarray:
 def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
     """Global approximate distinct count: one HLL per block, merged on the
     driver (blocks × 4 KiB moves — never the values)."""
-    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
-        h = HyperLogLog(p).add_hashed(_hash_values(batch[column].to_numpy()))
-        return pd.DataFrame({"sketch": [h.to_bytes()]})
+    def sketch(batch) -> "pa.Table":
+        import pyarrow as pa
+        vals = batch[column].to_numpy(zero_copy_only=False)
+        h = HyperLogLog(p).add_hashed(_hash_values(vals))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     merged = HyperLogLog(p)
-    for b in ds.map_batches(sketch, batch_format="pandas") \
-               .iter_batches(batch_format="pandas", batch_size=None):
+    for b in ds.map_batches(sketch, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b["sketch"]:
-            merged = merged.merge(HyperLogLog.from_bytes(s, p))
+            merged = merged.merge(HyperLogLog.from_bytes(s.as_py(), p))
     return merged.estimate()
 
 
@@ -229,12 +252,13 @@ def approx_distinct_per_key(ds: ray.data.Dataset, key: str, column: str,
                             p: int = 12) -> ray.data.Dataset:
     """Per-key approximate distinct: per-(block, key) sketches → groupby
     merge → estimate. Output: key, approx_distinct (float)."""
-    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for k, g in batch.groupby(key, sort=False):
-            h = HyperLogLog(p).add_hashed(_hash_values(g[column].to_numpy()))
-            rows.append({key: k, "sketch": h.to_bytes()})
-        return pd.DataFrame(rows)
+    def sketch(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+        kvals, segs = _key_segments(batch, key, column)
+        blobs = [HyperLogLog(p).add_hashed(_hash_values(v)).to_bytes()
+                 for v in segs]
+        return pa.table({key: pa.array(kvals),
+                         "sketch": pa.array(blobs, pa.binary())}).to_pandas()
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         merged = HyperLogLog(p)
@@ -243,7 +267,7 @@ def approx_distinct_per_key(ds: ray.data.Dataset, key: str, column: str,
         return pd.DataFrame({key: [g[key].iloc[0]],
                              "approx_distinct": [merged.estimate()]})
 
-    partials = ds.map_batches(sketch, batch_format="pandas")
+    partials = ds.map_batches(sketch, batch_format="pyarrow")
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
 
 
@@ -361,19 +385,26 @@ def approx_heavy_hitters(ds: ray.data.Dataset, column: str, k: int,
     merge ever truncated past ``sketch_k`` — i.e. distinct values fit
     the slots and the answer is exact. Exact-SQL-oracled callers pass
     True so a scale change fails LOUDLY here, not as a hash mismatch."""
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        s = SpaceSaving(sketch_k).add(batch[column].to_numpy())
+    def block(batch) -> "pa.Table":
+        import pyarrow as pa
+        s = SpaceSaving(sketch_k).add(
+            batch[column].to_numpy(zero_copy_only=False))
         items = s.candidates()
-        return pd.DataFrame({
-            "val": [np.asarray([t[0] for t in items], dtype=np.int64).tobytes()],
-            "cnt": [np.asarray([t[1] for t in items], dtype=np.int64).tobytes()],
-            "err": [np.asarray([t[2] for t in items], dtype=np.int64).tobytes()],
+        return pa.table({
+            "val": pa.array([np.asarray([t[0] for t in items],
+                                        dtype=np.int64).tobytes()], pa.binary()),
+            "cnt": pa.array([np.asarray([t[1] for t in items],
+                                        dtype=np.int64).tobytes()], pa.binary()),
+            "err": pa.array([np.asarray([t[2] for t in items],
+                                        dtype=np.int64).tobytes()], pa.binary()),
         })
 
     merged = SpaceSaving(sketch_k)
-    for b in ds.map_batches(block, batch_format="pandas") \
-               .iter_batches(batch_format="pandas", batch_size=None):
-        for val_b, cnt_b, err_b in zip(b["val"], b["cnt"], b["err"]):
+    for b in ds.map_batches(block, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow", batch_size=None):
+        for val_b, cnt_b, err_b in zip(b["val"].to_pylist(),
+                                       b["cnt"].to_pylist(),
+                                       b["err"].to_pylist()):
             errs = np.frombuffer(err_b, dtype=np.int64)
             if strict_exact and len(errs) and errs.max() > 0:
                 raise AssertionError(
