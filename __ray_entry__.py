@@ -1676,7 +1676,6 @@ def _q_tail_sampling_policies(sf_dir: str):
     3 traces per minute bucket, hash-ranked). Trace features come from a
     distributed per-user aggregate; unclaimed traces drop. Output:
     user_id + the claiming policy label."""
-    from cardinalhq_otel_collector_ray.stages.aggregate import grouped_aggregate
     from cardinalhq_otel_collector_ray.stages.sample import (
         apply_composite_policies, policy_attr)
     ds = _events_ms(sf_dir)

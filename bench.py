@@ -471,10 +471,31 @@ def run_prep(sf_dir: str, num_cpus: int, replication: int) -> dict:
     # its own natural exact/near duplicates, which replicate per copy —
     # at rep=64/sf0.01 the pipeline finds ~96 extra exact and ~1272 extra
     # near dups, all real): 1/16 of replicas are exact copies (collapse
-    # to one winner per base doc), 1/16 are single-partner near-dups
+    # to one winner per base doc); 1/16 are single-partner near-dups,
+    # counted only for base docs whose EXACT char-6-shingle Jaccard after
+    # dropping the last word clears the 0.8 detector threshold (the
+    # substitution cipher preserves Jaccard exactly, so this is computed
+    # once on the base text) — a short doc that degenerates to an exact
+    # or sub-threshold pair must not raise a spurious alarm
+    import pyarrow.parquet as _pq
     n_exact_groups = len([r for r in range(replication) if r % 16 == 14])
     expect_exact = max(0, (n_exact_groups - 1)) * n_base
-    expect_near = len([r for r in range(replication) if r % 16 == 15]) * n_base
+
+    def _shingles(s: str, k: int = 6) -> set:
+        return {s[i:i + k] for i in range(len(s) - k + 1)}
+
+    base_texts = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["text"])["text"].to_pylist()
+    eligible = 0
+    for t in base_texts:
+        j = t.rfind(" ")
+        if j <= 0:
+            continue
+        a, b = _shingles(t), _shingles(t[:j])
+        if a and b and len(a & b) / len(a | b) >= 0.8:
+            eligible += 1
+    expect_near = len([r for r in range(replication)
+                       if r % 16 == 15]) * eligible
 
     t0 = time.perf_counter()
     exact_losers = exact_dup_loser_ids(docs, "text", "doc_id",

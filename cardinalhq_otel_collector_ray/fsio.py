@@ -180,6 +180,19 @@ def atomic_output(path: str, upload_options: dict | None = None):
     local branch likewise deletes the orphaned ``.tmp`` on error."""
     headers = upload_headers(upload_options)
     fs, p = resolve_fs(path)
+    if headers and isinstance(fs, pafs.S3FileSystem):
+        # the native Arrow S3FileSystem has no setter for storage class or
+        # user metadata and silently drops unrecognized metadata keys —
+        # surface the dropped options instead of pretending they applied
+        # (ACL / Content-Type DO apply; see upload_headers)
+        dropped = [k for k in headers if k.startswith("x-amz-")]
+        if dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "upload options %s are not supported by pyarrow's native "
+                "S3 filesystem and will NOT be applied to %s; set a bucket "
+                "default storage class / lifecycle policy instead", dropped,
+                path)
     # parent create is a no-op on real object stores (keys, not dirs) but
     # required by dir-ful filesystems reached through fsspec
     fs.create_dir(posixpath.dirname(p), recursive=True)

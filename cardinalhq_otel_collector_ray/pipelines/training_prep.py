@@ -15,7 +15,7 @@ the corpus and are broadcast once via ``ray.put``.
 Scale shape, stage by stage:
 
 - **exact dedup decision**: rows never shuffle. Each block emits skinny
-  ``(digest128, id)`` pairs (two independent 64-bit content hashes — the
+  ``(digest128, id)`` pairs (two independent SipHash-keyed 64-bit content hashes — the
   production-standard digest dedup; collision odds at 2^128 are
   negligible and two distinct docs colliding would merely drop one doc);
   one bounded-tag co-partition shuffle of the 24-byte pairs; per
@@ -49,7 +49,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import bytes_hash64, part_tags, stable_str_hash64
+from ..functions.hashing import part_tags
 from ..stages.packing import dataset_split, pack_sequences
 
 MAX_DRIVER_IDS = 50_000_000  # ~400 MB of int64 — the broadcast guard
@@ -63,40 +63,33 @@ def exact_dup_loser_ids(ds: ray.data.Dataset, text_col: str, id_col: str,
     (digest1, digest2, id) triples move, pre-grouped per block so a block
     contributes one row per distinct content + its local losers."""
     def digests(batch: pa.Table) -> pa.Table:
+        import pandas as pd
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        # two INDEPENDENT hash families → 128-bit digest: FNV-1a over the
-        # Arrow buffers + SipHash (pandas hash_array) — a pair collision
-        # requires both to collide simultaneously
-        d1 = bytes_hash64(col).view(np.int64)
-        d2 = stable_str_hash64(col.to_numpy(zero_copy_only=False)) \
+        # two INDEPENDENT SipHash families → 128-bit digest (distinct
+        # hash_keys; a pair collision requires both to collide). Both run
+        # pandas' C SipHash per string — O(total bytes); never
+        # bytes_hash64 here, whose per-byte-position numpy loop is
+        # pathological on long documents (its own docstring says so)
+        vals = col.to_numpy(zero_copy_only=False)
+        d1 = pd.util.hash_array(vals).view(np.int64)
+        d2 = pd.util.hash_array(vals, hash_key="trainprep2ndfam!") \
             .view(np.int64)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = pa.table({"d1": pa.array(d1), "d2": pa.array(d2),
-                      "id": pa.array(ids)})
-        # local pre-dedup: keep min id per digest, emit the rest as known
-        # losers immediately (no need to ship every member of a local
-        # duplicate run through the shuffle)
-        g = t.group_by(["d1", "d2"]).aggregate([("id", "min")])
-        keep = g.rename_columns(["d1", "d2", "id"])
-        local_min = np.full(len(ids), False)
-        # mark rows equal to their group min via a sorted join
+        # local pre-dedup in ONE sorted pass: the run-boundary mask both
+        # identifies each digest group's min id (keep) and the rest
+        # (local losers) — no separate hash aggregation
         order = np.lexsort((ids, d2, d1))
         sd1, sd2, sid = d1[order], d2[order], ids[order]
         first = np.ones(len(sid), dtype=bool)
         first[1:] = (sd1[1:] != sd1[:-1]) | (sd2[1:] != sd2[:-1])
-        local_min[order[first]] = True
-        losers = pa.table({"d1": pa.array(d1[~local_min]),
-                           "d2": pa.array(d2[~local_min]),
-                           "id": pa.array(ids[~local_min]),
-                           "loser": pa.array(np.ones((~local_min).sum(),
-                                                     dtype=np.int8))})
-        keep = keep.append_column("loser", pa.array(
-            np.zeros(len(keep), dtype=np.int8)))
-        out = pa.concat_tables([keep, losers])
-        tag = (part_tags(out["d1"].to_numpy(zero_copy_only=False),
-                         num_partitions))
+        loser_flag = np.zeros(len(sid), dtype=np.int8)
+        loser_flag[~first] = 1
+        out = pa.table({"d1": pa.array(sd1), "d2": pa.array(sd2),
+                        "id": pa.array(sid),
+                        "loser": pa.array(loser_flag)})
+        tag = part_tags(sd1, num_partitions)
         return out.append_column("_part", pa.array(tag))
 
     def per_part(t: pa.Table) -> pa.Table:

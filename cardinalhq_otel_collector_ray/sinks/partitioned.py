@@ -307,6 +307,15 @@ class PartitionedSink:
         # the return value and fires notifications as partitions land
         # (iter_batches yields blocks as tasks complete, so notify
         # latency tracks the writes, not the whole run).
+        #
+        # Notification delivery contract: AT-MOST-ONCE across driver
+        # death. A partition recorded by a run whose driver died before
+        # this loop reached it is resumed-over silently (never re-written,
+        # never re-notified) — matching the reference notifier's
+        # drop-on-shutdown semantics (notifier.go:181-221: queued events
+        # are counted as shutdown drops, not replayed). The manifest is
+        # the durable source of truth; consumers that need exactly-once
+        # discovery reconcile against `manifest.completed()`.
         from ..state.notifier import Event
         entries: list[ManifestEntry] = []
         for b in result.iter_batches(batch_format="pyarrow", batch_size=None):

@@ -176,6 +176,9 @@ def _key_segments(batch, key: str, column: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     t = batch.select([key, column])
+    # pandas groupby (the path this replaced) EXCLUDES null keys — keep
+    # that contract: null-key rows contribute to no per-key sketch
+    t = t.filter(t[key].is_valid())
     idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
     karr = t[key].take(idx).to_numpy(zero_copy_only=False)
     vv = t[column].take(idx).to_numpy(zero_copy_only=False)

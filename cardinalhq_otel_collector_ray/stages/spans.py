@@ -71,7 +71,7 @@ def red_metrics(spans: ray.data.Dataset, *,
                 service_col: str = "service", op_col: str = "operation",
                 duration_col: str = "duration_ms", error_col: str = "is_error",
                 bucket_width_ms: int = 500,
-                mode: str = "driver") -> ray.data.Dataset:
+                mode: str = "driver") -> "pd.DataFrame":
     """spanmetricsconnector RED rollup: one row per
     (service, operation, duration bucket) carrying the request count and
     error count for that histogram bin — exactly the calls_total +
