@@ -2123,6 +2123,18 @@ def _q_dataset_split(sf_dir: str):
                          "sum_chars": agg["agg_sum"].astype("int64")})
 
 
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle + shard layout (the pretraining
+    export shuffle): shard = hash(id) % 64, pos = 0-based rank within the
+    shard under a second-hash order — one bounded-tag co-partition
+    shuffle of the skinny (id, shard, h2) table, segmented-arange kernel.
+    SQL twin: row_number() OVER (PARTITION BY shard ORDER BY h2, id)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.packing import shuffle_shards
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_shards(ds, "doc_id", num_shards=64)
+
+
 def _q_contamination(sf_dir: str):
     """Benchmark-contamination flags: corpus docs sharing any token
     trigram with the (hash-selected ~2%) benchmark subset. Benchmark
@@ -2764,8 +2776,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROTATION: (a) the oracle-backed queries NOT sampled in the r4
         # window (C1/C4/C9 anchors aggregate_absorb / summary_split /
         # enrich_customer_events first, then the r2/r3-green band), (b)
-        # the two NEW r5 oracles (span RED metrics, tail-sampling policy
-        # composite), (c) re-checks of every query whose hot path round-5
+        # the three NEW r5 oracles (span RED metrics, tail-sampling policy
+        # composite, shuffle-shard export layout — the latter displacing
+        # the r2-green transform_chain re-check, whose hot path r5 never
+        # touched), (c) re-checks of every query whose hot path round-5
         # edits touched (arrow-native sink write + marshal_fn resolution,
         # interval_dedup arrow precombine, integer with_interval,
         # strict_exact degeneration guards, incremental-dedup null
@@ -2779,7 +2793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail_sampling_policies": _q_tail_sampling_policies,
         "route_agg_by_source": _q_route_agg_by_source,
         "cumulative_delta": _q_cumulative_delta,
-        "transform_chain": _q_transform,
+        "shuffle_shards": _q_shuffle_shards,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -2826,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (exactly 50 entries above — the driver samples the FIRST 50 in
         # dict order; everything below was driver-green in r2-r4 or is
         # rows-only. A meta-test in test_oracle_parity.py pins the count.)
+        "transform_chain": _q_transform,
         "trend_per_type": _q_trend_per_type,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "audio_decode": _q_audio_decode,
@@ -3744,6 +3759,20 @@ WITH s AS (
 )
 SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split
+""",
+        # deterministic shuffle+shard export layout: both engines rank by
+        # the same BIGINT-safe second hash with an id tiebreak
+        "shuffle_shards": r"""
+WITH h AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761 + 12345) % 64 AS BIGINT) AS shard,
+         ((doc_id + 777) * 2654435761 + 12345) % 1000003 AS h2
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
 """,
         "contamination_flags": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word

@@ -244,7 +244,8 @@ def run_queries(sf_dir: str) -> dict:
              "multimodal_decode", "audio_decode", "drain_templates",
              "spec_route_counts", "emit_flat", "kmeans_assign_seeded",
              "incremental_dedup", "incremental_neardup",
-             "sq_embedding_error", "chunk_windows"]
+             "sq_embedding_error", "chunk_windows", "shuffle_shards",
+             "span_red_metrics", "tail_sampling_policies"]
     qs = entrymod.queries()
     out = {}
     import ray.data

@@ -147,6 +147,59 @@ def dataset_split(ds: ray.data.Dataset, id_col: str,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def shuffle_shards(ds: ray.data.Dataset, id_col: str, *,
+                   num_shards: int = 64, pos_salt: int = 777,
+                   num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                   ) -> ray.data.Dataset:
+    """Deterministic global shuffle + shard assignment — the export layout
+    every pretraining pipeline applies before writing token shards.
+
+    Each row gets ``shard = (id·2654435761 + 12345) % num_shards`` and
+    ``pos`` = its 0-based position within the shard under the shuffled
+    order ``(h2, id)`` where ``h2 = ((id + pos_salt)·2654435761 + 12345)
+    % 1000003`` — a reproducible permutation (retries/resumes land every
+    row at the same (shard, pos); re-shuffling per epoch = a new
+    ``pos_salt``). The salt is added to the ID BEFORE the multiply: an
+    additive post-multiply salt would only shift every h2 by a constant
+    (mod M), an order-PRESERVING rotation — epochs would replay the same
+    order. No RNG, no wall clock, so a killed export resumes
+    byte-identically.
+
+    Scale shape: ONE bounded-tag co-partition shuffle of the SKINNY
+    (id, shard, h2) table (the corpus text/tokens never move — the
+    assignment is joined back or fed straight to ``PartitionedSink`` as
+    the route/order columns); per-partition work is one sort + a
+    segmented arange, O(rows/P · log) with zero per-row Python. A global
+    ``ds.sort`` would be the naive shape; hash-sharding replaces the
+    all-to-all range sort with a bounded exchange exactly like
+    ``pack_sequences``. SQL-equivalent: ``row_number() OVER (PARTITION BY
+    shard ORDER BY h2, id) - 1``."""
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids),
+                         "shard": pa.array(mulhash(ids, mod=num_shards)),
+                         "_h2": pa.array(mulhash(ids + np.int64(pos_salt)))})
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "_h2", id_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        shard = df["shard"].to_numpy().astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        starts = np.zeros(n, dtype=bool)
+        if n:
+            starts[0] = True
+            starts[1:] = shard[1:] != shard[:-1]
+        start_idx = np.maximum.accumulate(np.where(starts, idx, 0))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "shard": shard,
+                             "pos": idx - start_idx})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return partitioned_apply(tagged, ["shard"], kernel,
+                             num_partitions=num_partitions)
+
+
 def token_budget_sample(ds: ray.data.Dataset, key: str, id_col: str,
                         len_col: str, budgets: dict | int,
                         salt: int = 4242,

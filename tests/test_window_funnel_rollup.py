@@ -832,3 +832,35 @@ def test_global_percent_rank_ties_and_single_row():
         ray.data.from_pandas(pd.DataFrame({"id": [1], "v": [5]})),
         "v").to_pandas()
     assert one["pct"].tolist() == [0.0]
+
+
+def test_shuffle_shards_permutation_and_naive_match():
+    from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+    from cardinalhq_otel_collector_ray.stages.packing import shuffle_shards
+    ids = np.arange(0, 503, dtype=np.int64) * 7  # sparse, non-contiguous
+    df = pd.DataFrame({"doc_id": ids})
+    out = (shuffle_shards(ray.data.from_pandas(df, override_num_blocks=4),
+                          "doc_id", num_shards=8, num_partitions=3)
+           .to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True))
+    # every input id appears exactly once
+    assert sorted(out["doc_id"].tolist()) == sorted(ids.tolist())
+    # per shard: pos is exactly 0..n_i-1
+    for _, g in out.groupby("shard"):
+        assert g["pos"].tolist() == list(range(len(g)))
+    # matches the naive single-process reference
+    naive = pd.DataFrame({"doc_id": ids,
+                          "shard": mulhash(ids, mod=8),
+                          "h2": mulhash(ids + np.int64(777))})
+    naive = naive.sort_values(["shard", "h2", "doc_id"]).reset_index(drop=True)
+    naive["pos"] = naive.groupby("shard").cumcount()
+    merged = out.merge(naive[["doc_id", "shard", "pos"]], on="doc_id",
+                       suffixes=("", "_ref"))
+    assert (merged["shard"] == merged["shard_ref"]).all()
+    assert (merged["pos"] == merged["pos_ref"]).all()
+    # epoch re-shuffle: a different pos_salt permutes positions
+    out2 = (shuffle_shards(ray.data.from_pandas(df), "doc_id", num_shards=8,
+                           pos_salt=778, num_partitions=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    base = out.sort_values("doc_id").reset_index(drop=True)
+    assert (out2["shard"] == base["shard"]).all()      # shards stable
+    assert (out2["pos"] != base["pos"]).any()          # order re-drawn
