@@ -378,6 +378,13 @@ def _s_dataset_split(ds, cfg):
                          out=cfg.get("out", "split"))
 
 
+def _s_shuffle_shards(ds, cfg):
+    from ..stages.packing import shuffle_shards
+    return shuffle_shards(ds, cfg["id"],
+                          num_shards=int(cfg.get("num_shards", 64)),
+                          pos_salt=int(cfg.get("pos_salt", 777)))
+
+
 def _s_funnel(ds, cfg):
     from ..stages.temporal import funnel_match
     return funnel_match(ds, key=cfg["key"], ts_col=cfg["ts"],
@@ -441,6 +448,7 @@ _STAGES: dict[str, StageFn] = {
     "pack_sequences": _s_pack_sequences,
     "chunk": _s_chunk,
     "dataset_split": _s_dataset_split,
+    "shuffle_shards": _s_shuffle_shards,
     "funnel": _s_funnel,
     "moving_window": _s_moving_window,
     "token_entropy": _s_token_entropy,

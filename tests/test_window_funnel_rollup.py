@@ -215,6 +215,21 @@ def test_spec_kinds_pack_split_funnel(sf_dir):
     assert len(out) > 0
 
 
+def test_spec_kind_shuffle_shards(sf_dir):
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+    spec = {
+        "source": {"kind": "parquet", "table": "documents",
+                   "columns": ["doc_id"]},
+        "stages": [{"kind": "shuffle_shards", "id": "doc_id",
+                    "num_shards": 4}],
+    }
+    out = compile_pipeline(spec, sf_dir).to_pandas()
+    assert {"doc_id", "shard", "pos"} == set(out.columns)
+    assert out["shard"].nunique() <= 4
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
+
+
 def test_retention_cohorts_pairs():
     from cardinalhq_otel_collector_ray.stages.temporal import retention_cohorts
     df = pd.DataFrame({
