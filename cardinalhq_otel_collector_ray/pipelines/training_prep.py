@@ -197,11 +197,21 @@ def training_prep(docs: ray.data.Dataset, sink, *,
                   pack_key: str = "source", context_len: int = 2048,
                   neardup: bool = True, num_partitions: int = 64,
                   neardup_opts: dict | None = None,
+                  shuffle: bool = False, shuffle_shards_n: int = 64,
+                  pos_salt: int = 777,
                   resume: bool = True) -> dict:
     """Run the full composed job; returns
     ``{entries, n_exact_dropped, n_near_dropped, stats}`` where ``stats``
     is the final write stream's per-operator ``ds.stats()`` text (the
-    north-rule per-stage throughput source)."""
+    north-rule per-stage throughput source).
+
+    ``shuffle=True`` inserts the deterministic epoch shuffle
+    (``packing.shuffle_shards``) between the quality gate and packing:
+    documents are packed per SHARD in shuffled ``pos`` order instead of
+    per ``pack_key`` in id order — the standard pretraining layout where
+    neighboring context windows are unrelated documents. One extra
+    bounded-tag shuffle of the SKINNY table; everything else (split,
+    sorted write, resume) is unchanged and stays deterministic."""
     exact_losers = exact_dup_loser_ids(docs, text_col, id_col,
                                        num_partitions=num_partitions)
     survivors = drop_ids(docs, exact_losers, id_col)
@@ -220,7 +230,16 @@ def training_prep(docs: ray.data.Dataset, sink, *,
 
     skinny = gated.map_batches(with_len, batch_format="pyarrow")
     routed = dataset_split(skinny, id_col, out="route")
-    packed = pack_sequences(routed, key=pack_key, order_col=id_col,
+    if shuffle:
+        from ..stages.packing import shuffle_shards
+        routed = shuffle_shards(routed, id_col,
+                                num_shards=shuffle_shards_n,
+                                pos_salt=pos_salt,
+                                num_partitions=num_partitions)
+        pack_key, pack_order = "shard", "pos"
+    else:
+        pack_order = id_col
+    packed = pack_sequences(routed, key=pack_key, order_col=pack_order,
                             len_col="n_chars", context_len=context_len,
                             num_partitions=num_partitions)
     # materialize the SKINNY packed table (id/len/bin/route only — the

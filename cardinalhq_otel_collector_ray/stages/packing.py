@@ -173,12 +173,17 @@ def shuffle_shards(ds: ray.data.Dataset, id_col: str, *,
     ``ds.sort`` would be the naive shape; hash-sharding replaces the
     all-to-all range sort with a bounded exchange exactly like
     ``pack_sequences``. SQL-equivalent: ``row_number() OVER (PARTITION BY
-    shard ORDER BY h2, id) - 1``."""
+    shard ORDER BY h2, id) - 1``.
+
+    All OTHER input columns pass through unchanged (the op appends
+    ``shard``/``pos``), so it composes mid-stream — e.g. on the skinny
+    post-filter table of the composed training-prep job."""
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({id_col: pa.array(ids),
-                         "shard": pa.array(mulhash(ids, mod=num_shards)),
-                         "_h2": pa.array(mulhash(ids + np.int64(pos_salt)))})
+        return (batch
+                .append_column("shard", pa.array(mulhash(ids, mod=num_shards)))
+                .append_column("_h2",
+                               pa.array(mulhash(ids + np.int64(pos_salt)))))
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["shard", "_h2", id_col],
@@ -191,9 +196,8 @@ def shuffle_shards(ds: ray.data.Dataset, id_col: str, *,
             starts[0] = True
             starts[1:] = shard[1:] != shard[:-1]
         start_idx = np.maximum.accumulate(np.where(starts, idx, 0))
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             "shard": shard,
-                             "pos": idx - start_idx})
+        return df.drop(columns=["_h2"]).assign(shard=shard,
+                                               pos=idx - start_idx)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return partitioned_apply(tagged, ["shard"], kernel,

@@ -170,6 +170,61 @@ def test_composed_training_prep_planted_corpus(ray_session, tmp_path):
     assert again["entries"] == []
 
 
+def test_composed_training_prep_shuffled_packing(ray_session, tmp_path):
+    """shuffle=True packs per SHARD in deterministic shuffled order: same
+    survivor set as the unshuffled job, bin layout matches a naive local
+    recompute of the (shard, pos) packing, and reruns are idempotent."""
+    from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+    from cardinalhq_otel_collector_ray.pipelines.training_prep import (
+        training_prep)
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(12)), f"src{i % 3}")
+            for i in range(40)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "source": pa.array([r[2] for r in rows])})
+    docs = ray.data.from_arrow(t).repartition(4)
+
+    sink = PartitionedSink(str(tmp_path / "prep_shuf"), run_ts=1706078400.0,
+                           num_partitions=2)
+    out = training_prep(docs, sink, context_len=50, num_partitions=8,
+                        neardup=False, shuffle=True, shuffle_shards_n=4)
+    assert sum(e.rows for e in out["entries"]) == 40
+
+    written = pa.concat_tables([pq.read_table(e.path)
+                                for e in out["entries"]]).to_pandas()
+    # naive local recompute: every doc has n_chars = len(text), shard =
+    # hash(id) % 4, pos = rank by (h2, id) in shard; bins pack per shard
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    n_chars = np.array([len(r[1]) for r in rows], dtype=np.int64)
+    ref = pd.DataFrame({"doc_id": ids, "n_chars": n_chars,
+                        "shard": mulhash(ids, mod=4),
+                        "h2": mulhash(ids + np.int64(777))})
+    ref = ref.sort_values(["shard", "h2", "doc_id"]).reset_index(drop=True)
+    excl = (ref.groupby("shard")["n_chars"].cumsum() - ref["n_chars"])
+    ref["bin_id"], ref["bin_offset"] = excl // 50, excl % 50
+    m = written.merge(ref, on="doc_id", suffixes=("", "_ref"))
+    assert len(m) == 40
+    assert (m["shard"] == m["shard_ref"]).all()
+    assert (m["bin_id"] == m["bin_id_ref"]).all()
+    assert (m["bin_offset"] == m["bin_offset_ref"]).all()
+    # the shuffled layout is NOT the id-ordered one (some doc starts moved)
+    base = training_prep(docs,
+                         PartitionedSink(str(tmp_path / "prep_base"),
+                                         run_ts=1706078400.0,
+                                         num_partitions=2),
+                         context_len=50, num_partitions=8, neardup=False)
+    plain = pa.concat_tables([pq.read_table(e.path)
+                              for e in base["entries"]]).to_pandas()
+    j = written.merge(plain, on="doc_id", suffixes=("_s", "_p"))
+    assert ((j["bin_id_s"] != j["bin_id_p"])
+            | (j["bin_offset_s"] != j["bin_offset_p"])).any()
+    # resume: identical shuffled rerun writes nothing
+    again = training_prep(docs, sink, context_len=50, num_partitions=8,
+                          neardup=False, shuffle=True, shuffle_shards_n=4)
+    assert again["entries"] == []
+
+
 def test_resume_after_midrun_failure_skips_recorded_partitions(
         ray_session, tmp_path):
     """Kill-resume contract at the manifest level: a run that DIES mid
