@@ -532,7 +532,19 @@ def run_prep(sf_dir: str, num_cpus: int, replication: int) -> dict:
 
     skinny = gated.map_batches(with_len, batch_format="pyarrow")
     routed = dataset_split(skinny, "doc_id", out="route")
-    packed = pack_sequences(routed, key="source", order_col="doc_id",
+    # GRAFT_PREP_SHUFFLE=1 packs per shard in deterministic shuffled
+    # order (training_prep's shuffle=True layout) instead of per source
+    # in id order — one extra bounded-tag shuffle of the skinny table
+    run_shuffle = os.environ.get("GRAFT_PREP_SHUFFLE", "0") == "1"
+    if run_shuffle:
+        from cardinalhq_otel_collector_ray.stages.packing import (
+            shuffle_shards)
+        routed = shuffle_shards(routed, "doc_id", num_shards=64,
+                                num_partitions=64)
+        pk, po = "shard", "pos"
+    else:
+        pk, po = "source", "doc_id"
+    packed = pack_sequences(routed, key=pk, order_col=po,
                             len_col="n_chars", context_len=2048,
                             num_partitions=64)
     sink = PartitionedSink(out_root, run_ts=1706078400.0, num_partitions=32)
@@ -581,6 +593,7 @@ def run_prep(sf_dir: str, num_cpus: int, replication: int) -> dict:
         "exact_planted_min": int(expect_exact),
         "exact_found_ge_planted": bool(len(exact_losers) >= expect_exact),
         "neardup_enabled": run_neardup,
+        "shuffled_packing": run_shuffle,
         "near_dropped": int(len(near_losers)),
         "near_planted_min": int(expect_near),
         "near_found_ge_planted": bool(len(near_losers) >= expect_near),

@@ -1,8 +1,9 @@
 """Composed end-to-end training-data preparation — ONE streaming job:
 
     exact dedup → near dedup (MinHash+LSH, exact-verified) → Gopher
-    quality gate → train/val/test split → concat-and-chunk packing →
-    range-partitioned SORTED sink (manifest + resume)
+    quality gate → train/val/test split → [optional deterministic epoch
+    shuffle] → concat-and-chunk packing → range-partitioned SORTED sink
+    (manifest + resume)
 
 This is the pipeline a reference user runs daily over a crawl increment
 (the training-side twin of the telemetry topology; spec analog
