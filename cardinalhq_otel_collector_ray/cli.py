@@ -100,6 +100,34 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """Composed training-data prep — exact+near dedup → quality gate →
+    split → [optional deterministic shuffle] → pack → sorted partitioned
+    write with manifest/resume — as ONE ray-job-submit job."""
+    args._owns_ray = _ensure_ray(args.num_cpus)
+    from .pipelines.training_prep import training_prep
+    from .sinks.partitioned import PartitionedSink
+    from .sources import read_table
+    docs = read_table(args.sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+    sink = PartitionedSink(args.out, run_ts=args.run_ts,
+                           num_partitions=args.num_partitions)
+    out = training_prep(docs, sink, context_len=args.context_len,
+                        neardup=not args.no_neardup, shuffle=args.shuffle,
+                        resume=not args.no_resume)
+    completed = sink.manifest.completed()
+    print(json.dumps({
+        "out": args.out,
+        "n_exact_dropped": out["n_exact_dropped"],
+        "n_near_dropped": out["n_near_dropped"],
+        "partitions_written": len(out["entries"]),
+        "partitions_total": len(completed),
+        "rows": sum(e.rows for e in completed.values()),
+        "manifest": sink.manifest.path,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cardinalhq_otel_collector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -120,6 +148,21 @@ def main(argv=None) -> int:
     ps.add_argument("--out", required=True)
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_spec)
+
+    pp = sub.add_parser("prep", help="composed training-data prep job "
+                        "(dedup → quality → split → pack → sorted write)")
+    pp.add_argument("--sf-dir", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--run-ts", type=float, default=1706078400.0)
+    pp.add_argument("--num-partitions", type=int, default=16,
+                    help="sink range partitions per route")
+    pp.add_argument("--context-len", type=int, default=2048)
+    pp.add_argument("--no-neardup", action="store_true")
+    pp.add_argument("--shuffle", action="store_true",
+                    help="pack per shard in deterministic shuffled order")
+    pp.add_argument("--no-resume", action="store_true")
+    pp.add_argument("--num-cpus", type=int, default=None)
+    pp.set_defaults(fn=cmd_prep)
 
     pq_ = sub.add_parser("query", help="run a registered operator query")
     pq_.add_argument("--name", required=True)

@@ -81,3 +81,27 @@ def test_cli_query_subprocess(sf_dir, tmp_path):
          "--name", "nope", "--sf-dir", sf_dir, "--num-cpus", "4"],
         capture_output=True, text=True, timeout=240, cwd="/root/repo")
     assert proc2.returncode == 2 and "unknown query" in proc2.stderr
+
+
+def test_cli_prep_subprocess(sf_dir, tmp_path):
+    """`prep` subcommand: the composed training-data job as a
+    ray-job-submit surface, with resume on a rerun."""
+    import json
+    import subprocess
+    import sys
+    out = str(tmp_path / "prep")
+    cmd = [sys.executable, "-m", "cardinalhq_otel_collector_ray.cli",
+           "prep", "--sf-dir", sf_dir, "--out", out, "--num-cpus", "4",
+           "--num-partitions", "2", "--no-neardup", "--shuffle"]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                          cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0 and res["partitions_written"] > 0
+    # rerun resumes: nothing rewritten, totals unchanged
+    proc2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                           cwd="/root/repo")
+    assert proc2.returncode == 0, proc2.stderr[-1500:]
+    res2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert res2["partitions_written"] == 0
+    assert res2["rows"] == res["rows"]
