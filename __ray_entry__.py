@@ -326,21 +326,31 @@ def _q_knn(sf_dir: str):
 
 
 def _q_wordset_jaccard(sf_dir: str):
+    """Grid (theta-join) dispatch: at 5 distinct langs the default
+    partition dispatch caps parallelism at 5 tasks; chunk-pair grid at
+    max_block=1024 fans out with corpus size instead (measured 0.81 →
+    0.49 s at sf0.1/32 CPUs, identical 245,973 pairs — the two dispatch
+    modes are equivalence-tested)."""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.dedup import wordset_jaccard_pairs
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.9)
+    return wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.9,
+                                 dispatch="grid", max_block=1024)
 
 
 def _q_ngram_jaccard(sf_dir: str):
     """Exact word-BIGRAM-set Jaccard near-dup pairs (the n-gram Jaccard
     dedup variant): order-sensitive shingles catch shuffled-word false
-    positives the word-set variant accepts."""
+    positives the word-set variant accepts. Grid dispatch for the same
+    reason as `wordset_jaccard` (1.9-3.1 → 1.5-1.7 s at sf0.1; 512-row
+    chunks are SLOWER here — the per-chunk-pair vocab-union overhead
+    grows with bigram cardinality, so 1024 is the sweet spot)."""
     from cardinalhq_otel_collector_ray.sources import read_table
     from cardinalhq_otel_collector_ray.stages.dedup import wordset_jaccard_pairs
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return wordset_jaccard_pairs(ds, "text", "doc_id", "lang",
-                                 threshold=0.75, ngram=2)
+                                 threshold=0.75, ngram=2,
+                                 dispatch="grid", max_block=1024)
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -2749,7 +2759,8 @@ def _q_neardup_cluster_sizes(sf_dir: str):
     from cardinalhq_otel_collector_ray.stages.dedup import (
         cluster_pairs, wordset_jaccard_pairs)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    pairs = wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.9)
+    pairs = wordset_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.9,
+                                  dispatch="grid", max_block=1024)
     clusters = cluster_pairs(pairs)
     sizes = clusters.groupby("cluster").size()
     hist = sizes.value_counts().sort_index()
