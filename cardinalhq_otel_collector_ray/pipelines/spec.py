@@ -106,6 +106,22 @@ def _s_select(ds, cfg):
 
 
 def _s_route(ds, cfg):
+    col = cfg.get("column")
+    if col is not None:
+        # route BY an existing column's values (the per-attr routing
+        # analog at spec level — e.g. a dataset_split's train/val/test
+        # assignment doubles as the sink route). The topology needs the
+        # sink-name set statically: list it under route.values.
+        if "rules" in cfg:
+            raise ValueError("route: use either 'column' or 'rules', not both")
+        if col == "route":
+            return ds
+
+        def fn(b: pa.Table) -> pa.Table:
+            if "route" in b.column_names:
+                b = b.drop_columns(["route"])
+            return b.append_column("route", b[col])
+        return ds.map_batches(fn, batch_format="pyarrow")
     rules = []
     for r in cfg["rules"]:
         if r["kind"] == "equals":
@@ -551,8 +567,13 @@ def compile_topology(spec: dict[str, Any], sf_dir: str) -> dict[str, ray.data.Da
     ds = _s_route(ds, route_cfg)
 
     sink_specs = spec.get("sinks", {})
-    names = set(sink_specs) | {r["sink"] for r in route_cfg.get("rules", [])} \
-        | {route_cfg.get("default", "default")}
+    names = (set(sink_specs) | {r["sink"] for r in route_cfg.get("rules", [])}
+             | set(route_cfg.get("values", [])))
+    if "column" not in route_cfg:
+        names |= {route_cfg.get("default", "default")}
+    elif not names:
+        raise ValueError("column-routed topology needs route.values (or "
+                         "sinks:) to name its sink views")
     out: dict[str, ray.data.Dataset] = {}
     for name in sorted(names):
         view = sink_view(ds, name)

@@ -879,3 +879,37 @@ def test_shuffle_shards_permutation_and_naive_match():
     base = out.sort_values("doc_id").reset_index(drop=True)
     assert (out2["shard"] == base["shard"]).all()      # shards stable
     assert (out2["pos"] != base["pos"]).any()          # order re-drawn
+
+
+def test_shuffled_export_example_spec(sf_dir, tmp_path):
+    """examples/shuffled_export.yaml end-to-end: column-routed topology
+    (route = the dataset_split assignment) through the partitioned sink,
+    with the shuffled packing layout and resume."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        load_spec, write_topology)
+    spec = load_spec("/root/repo/examples/shuffled_export.yaml")
+    spec["write"]["root"] = str(tmp_path / "shuf")
+    spec["write"]["num_partitions"] = 2
+    sink, entries = write_topology(spec, sf_dir)
+    assert {e.sink for e in entries} == {"train", "val", "test"}
+    total = sum(e.rows for e in entries)
+    assert total == 500  # every doc lands in exactly one split
+    f = pq.read_table(entries[0].path)
+    assert {"shard", "pos", "bin_id", "bin_offset"} <= set(f.column_names)
+    # resume: rerun writes nothing
+    _, again = write_topology(spec, sf_dir)
+    assert again == []
+
+
+def test_route_column_form_validation():
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_topology
+    import pytest as _pt
+    base = {"source": {"kind": "parquet", "table": "documents",
+                       "columns": ["doc_id"]}}
+    with _pt.raises(ValueError, match="not both"):
+        compile_topology({**base, "route": {"column": "x", "rules": []}},
+                         "/root/testdata/sf0.001")
+    with _pt.raises(ValueError, match="route.values"):
+        compile_topology({**base, "route": {"column": "x"}},
+                         "/root/testdata/sf0.001")
