@@ -1147,6 +1147,24 @@ def _q_dup_ngram_fraction(sf_dir: str):
     return dup_ngram_fraction(ds, hot, n=8, vocab_size=vocab_size)
 
 
+def _q_dup_span_removal(sf_dir: str):
+    """Lee et al. 2022 ExactSubstr REMOVAL: cut every token position
+    covered by a corpus-duplicated 8-gram. Decision set found distributed
+    and broadcast once (dups are the rare case); coverage is an O(tokens)
+    difference-array interval union per block — no shuffle, the corpus
+    streams. kept_tok_sum is a positional checksum: the oracle recomputes
+    the sum of surviving token ids, so parity proves WHICH positions were
+    cut, not just how many."""
+    from cardinalhq_otel_collector_ray.sources import (build_vocab,
+                                                       tokenized_documents)
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        frequent_ngrams, remove_dup_spans)
+    vocab_size = len(build_vocab(sf_dir))
+    ds = tokenized_documents(sf_dir)
+    hot = frequent_ngrams(ds, n=8, min_count=2, vocab_size=vocab_size)
+    return remove_dup_spans(ds, hot, n=8, vocab_size=vocab_size)
+
+
 def _q_kmeans_cluster_sizes(sf_dir: str):
     """Embedding-corpus partitioning: k-means coarse quantizer (driver
     sample fit, broadcast) + distributed matmul-argmax assignment, then
@@ -2796,7 +2814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strict_exact degeneration guards, incremental-dedup null
         # filter, BMP header validation, spec write path), and (d) the
         # flagship conformance anchors. Rows-only queries stay at the
-        # back so the window is 100% value-checked.
+        # back so the window is 100% value-checked. Late r5:
+        # dup_span_removal (new oracle — ExactSubstr removal) displaces
+        # the r2-green mad_per_type re-check (hot path untouched in r5).
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
@@ -2805,6 +2825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_agg_by_source": _q_route_agg_by_source,
         "cumulative_delta": _q_cumulative_delta,
         "shuffle_shards": _q_shuffle_shards,
+        "dup_span_removal": _q_dup_span_removal,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -2823,7 +2844,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention,
         "pivot_routes": _q_pivot_routes,
         "left_join_counts": _q_left_join_counts,
-        "mad_per_type": _q_mad_per_type,
         "robust_outliers": _q_robust_outliers,
         "weighted_sample": _q_weighted_sample,
         "range_partition_stats": _q_range_partition,
@@ -2852,6 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order; everything below was driver-green in r2-r4 or is
         # rows-only. A meta-test in test_oracle_parity.py pins the count.)
         "transform_chain": _q_transform,
+        "mad_per_type": _q_mad_per_type,
         "trend_per_type": _q_trend_per_type,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "audio_decode": _q_audio_decode,
@@ -4401,6 +4422,44 @@ SELECT CAST(k.doc_id AS VARCHAR) AS doc_id,
        CAST(sum(CASE WHEN kc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
          / count(*) AS dup_frac
 FROM keys k JOIN kc USING (key) GROUP BY k.doc_id
+""",
+        # rpos = dense 1..n_tok rank (row_number over the original split
+        # position) so window coverage `BETWEEN s.rpos AND s.rpos+7` stays
+        # contiguous even if the raw split ever carried empty-word gaps —
+        # matching the engine's flat token indices exactly.
+        "dup_span_removal": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY e.pos) AS rpos
+  FROM exploded e JOIN vocab v ON e.w = v.word
+), vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+ng AS (
+  SELECT doc_id, rpos, tid AS t0,
+         lead(tid,1) OVER w AS t1, lead(tid,2) OVER w AS t2,
+         lead(tid,3) OVER w AS t3, lead(tid,4) OVER w AS t4,
+         lead(tid,5) OVER w AS t5, lead(tid,6) OVER w AS t6,
+         lead(tid,7) OVER w AS t7
+  FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY rpos)
+), keys AS (
+  SELECT doc_id, rpos,
+         (((((((CAST(t0 AS BIGINT)*v + t1)*v + t2)*v + t3)*v + t4)*v + t5)
+            *v + t6)*v + t7) AS key
+  FROM ng CROSS JOIN vs WHERE t7 IS NOT NULL
+), kc AS (SELECT key, count(*) AS c FROM keys GROUP BY key),
+dup_starts AS (
+  SELECT k.doc_id, k.rpos FROM keys k JOIN kc USING (key) WHERE kc.c >= 2
+), cov AS (
+  SELECT DISTINCT s.doc_id, q.rpos
+  FROM dup_starts s JOIN seq q
+    ON q.doc_id = s.doc_id AND q.rpos BETWEEN s.rpos AND s.rpos + 7
+)
+SELECT CAST(s.doc_id AS VARCHAR) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(c.rpos) AS BIGINT) AS n_removed,
+       CAST(count(*) - count(c.rpos) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN c.rpos IS NULL THEN s.tid END), 0)
+            AS BIGINT) AS kept_tok_sum
+FROM seq s LEFT JOIN cov c ON s.doc_id = c.doc_id AND s.rpos = c.rpos
+GROUP BY s.doc_id
 """,
         "dsir_weights": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word

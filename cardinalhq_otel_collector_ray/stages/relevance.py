@@ -604,3 +604,70 @@ def dup_ngram_fraction(ds: ray.data.Dataset, hot_keys: np.ndarray, n: int,
             "n_dup": pa.array(n_dup[keep]),
             "dup_frac": pa.array(frac)})
     return ds.map_batches(block, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds: ray.data.Dataset, hot_keys: np.ndarray, n: int,
+                     vocab_size: int, tokens_col: str = "tokens",
+                     doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022, the ExactSubstr
+    edit): every token position covered by ANY n-gram window whose corpus
+    occurrence count ≥ 2 is cut. ``dup_ngram_fraction`` measures the
+    duplication; this operator applies the edit.
+
+    Coverage is an interval union computed with a difference array +
+    cumsum — O(tokens) per block, no per-window loop. Doc boundaries need
+    no special casing: the ``same`` mask admits only windows fully inside
+    one doc, so every +1 written at a window start s is cancelled by its
+    −1 at s+n, which lies at or before that doc's end+1 in the flat
+    layout — the running sum is back to 0 before the next doc's first
+    position.
+
+    Output per doc: (doc_id, n_tok, n_removed, n_kept, kept_tok_sum).
+    ``kept_tok_sum`` is the exact BIGINT sum of SURVIVING token ids — a
+    positional checksum the SQL oracle recomputes independently, proving
+    WHICH positions were cut rather than just how many (CLAUDE.md exact-
+    int parity rule). Same packed-key contract as ``frequent_ngrams`` /
+    ``dup_ngram_fraction``: base-V positional encoding must fit BIGINT in
+    both engines.
+    """
+    V = np.int64(vocab_size)
+    if vocab_size ** n >= 2 ** 63:
+        raise ValueError("base-V packed n-gram key overflows int64; "
+                         "use a rolling hash for this (V, n)")
+    ref = ray.put(np.sort(np.asarray(hot_keys, dtype=np.int64)))
+
+    def block(batch: pa.Table) -> pa.Table:
+        hot = ray.get(ref)
+        doc_idx, values, n_per = _flat_tokens(batch, tokens_col)
+        n_rows = batch.num_rows
+        covered = np.zeros(len(values), dtype=bool)
+        if len(values) >= n and len(hot):
+            key = values[: len(values) - n + 1].copy()
+            row = doc_idx[: len(values) - n + 1]
+            same = row == doc_idx[n - 1:]
+            for j in range(1, n):
+                key = key * V + values[j: len(values) - n + 1 + j]
+            cand = np.flatnonzero(same)
+            k = key[cand]
+            pos = np.searchsorted(hot, k)
+            pos = np.minimum(pos, len(hot) - 1) if len(hot) else pos
+            dup_starts = cand[hot[pos] == k] if len(hot) else cand[:0]
+            if len(dup_starts):
+                diff = np.zeros(len(values) + 1, dtype=np.int64)
+                np.add.at(diff, dup_starts, 1)
+                np.add.at(diff, dup_starts + n, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+        kept_mask = ~covered
+        n_removed = np.bincount(doc_idx[covered],
+                                minlength=n_rows).astype(np.int64)
+        kept_sum = np.zeros(n_rows, dtype=np.int64)
+        # exact-int accumulation (np.add.at on int64; no float round-trip)
+        np.add.at(kept_sum, doc_idx[kept_mask], values[kept_mask])
+        n_tok = n_per.astype(np.int64)
+        return pa.table({
+            doc_id_col: batch[doc_id_col],
+            "n_tok": pa.array(n_tok),
+            "n_removed": pa.array(n_removed),
+            "n_kept": pa.array(n_tok - n_removed),
+            "kept_tok_sum": pa.array(kept_sum)})
+    return ds.map_batches(block, batch_format="pyarrow")

@@ -157,3 +157,49 @@ def test_dsir_weights_favor_target_distribution():
     assert w[[f"t{i}" for i in range(n_each)]].min() > \
         w[[f"r{i}" for i in range(n_each)]].max()
     assert (out["n_pairs"] == 4).all()
+
+
+def test_remove_dup_spans_known_coverage():
+    """Hand-computed ExactSubstr removal at n=3: coverage is the interval
+    UNION of duplicated windows; kept_tok_sum checksums which positions
+    survive; intra-doc repetition also counts toward corpus count."""
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        frequent_ngrams, remove_dup_spans)
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"]),
+        "tokens": pa.array(
+            [[1, 2, 3, 4, 5, 6],        # dup (1,2,3),(2,3,4) -> covers 0..3
+             [9, 1, 2, 3, 4, 8],        # same windows at 1,2 -> covers 1..4
+             [7, 7, 7, 7, 7],           # (7,7,7) x3 intra-doc -> covers all
+             [11, 12]],                 # shorter than n: untouched
+            type=pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    hot = frequent_ngrams(ds, n=3, min_count=2, vocab_size=16)
+    got = (remove_dup_spans(ds, hot, n=3, vocab_size=16)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc["a", "n_removed"] == 4 and got.loc["a", "kept_tok_sum"] == 5 + 6
+    assert got.loc["b", "n_removed"] == 4 and got.loc["b", "kept_tok_sum"] == 9 + 8
+    assert got.loc["c", "n_removed"] == 5 and got.loc["c", "kept_tok_sum"] == 0
+    assert got.loc["d", "n_removed"] == 0 and got.loc["d", "kept_tok_sum"] == 23
+    assert (got["n_kept"] == got["n_tok"] - got["n_removed"]).all()
+
+
+def test_remove_dup_spans_no_cross_doc_bleed():
+    """A duplicated window ending at a doc's last token must not mark the
+    NEXT doc's first token (difference-array decrement lands exactly on
+    the boundary) — both docs in ONE block to exercise the flat layout."""
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        frequent_ngrams, remove_dup_spans)
+    t = pa.table({
+        "doc_id": pa.array(["x", "y"]),
+        # dup 3-gram (5,6,7) sits at the END of x and START of y:
+        "tokens": pa.array([[1, 5, 6, 7], [5, 6, 7, 2]],
+                           type=pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t)  # single block
+    hot = frequent_ngrams(ds, n=3, min_count=2, vocab_size=8)
+    got = (remove_dup_spans(ds, hot, n=3, vocab_size=8)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc["x", "n_removed"] == 3 and got.loc["x", "kept_tok_sum"] == 1
+    assert got.loc["y", "n_removed"] == 3 and got.loc["y", "kept_tok_sum"] == 2
