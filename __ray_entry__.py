@@ -2564,6 +2564,30 @@ def _q_token_budget_mix(sf_dir: str):
     return kept.map_batches(project, batch_format="pandas")
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-based (α=0.5) source mixing: per-source token budgets
+    derived from sqrt-damped corpus shares in all-integer math
+    (isqrt + BIGINT floor division), then the deterministic
+    hash-priority keep — the multilingual-pretraining rebalance rule
+    with bit-exact SQL parity."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.packing import temperature_mix
+    ds = tokenized_documents(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "source": batch["source"],
+                         "n_tok": batch["n_tok"].cast(pa.int64())})
+
+    kept = temperature_mix(ds.map_batches(prep, batch_format="pyarrow"),
+                           key="source", id_col="doc_id",
+                           len_col="n_tok", total=8000)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "source", "n_tok"]]
+    return kept.map_batches(project, batch_format="pandas")
+
+
 def _q_funnel_reach(sf_dir: str):
     """Three-step funnel reach counts (view → click → purchase within
     1 h): k−1 masked reduceat passes per partition, then a tiny
@@ -2816,7 +2840,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship conformance anchors. Rows-only queries stay at the
         # back so the window is 100% value-checked. Late r5:
         # dup_span_removal (new oracle — ExactSubstr removal) displaces
-        # the r2-green mad_per_type re-check (hot path untouched in r5).
+        # the r2-green mad_per_type re-check (hot path untouched in r5);
+        # temperature_mix (new oracle — α=0.5 sqrt-damped source budgets)
+        # displaces the r2-green pivot_routes re-check likewise.
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
@@ -2840,9 +2866,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "dataset_split": _q_dataset_split,
         "token_budget_mix": _q_token_budget_mix,
+        "temperature_mix": _q_temperature_mix,
         "contamination_flags": _q_contamination,
         "retention_cohorts": _q_retention,
-        "pivot_routes": _q_pivot_routes,
         "left_join_counts": _q_left_join_counts,
         "robust_outliers": _q_robust_outliers,
         "weighted_sample": _q_weighted_sample,
@@ -2872,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order; everything below was driver-green in r2-r4 or is
         # rows-only. A meta-test in test_oracle_parity.py pins the count.)
         "transform_chain": _q_transform,
+        "pivot_routes": _q_pivot_routes,
         "mad_per_type": _q_mad_per_type,
         "trend_per_type": _q_trend_per_type,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -3771,6 +3798,32 @@ GROUP BY o_orderkey
   FROM pri
 )
 SELECT doc_id, source, n_tok FROM cum WHERE excl < 5000
+""",
+        # α=0.5 temperature budgets: w = floor(sqrt(per-source token
+        # sum)) matches Python isqrt below 2^50 (guarded engine-side);
+        # budget = (8000·w) // Σw is BIGINT floor division in both
+        # engines; the keep rule is token_budget_mix's cumsum predicate.
+        "temperature_mix": _SQL_TOKENS + r""", st AS (
+  SELECT d.source, CAST(sum(t.n_tok) AS BIGINT) AS stok
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.source
+), w AS (
+  SELECT source, CAST(floor(sqrt(stok)) AS BIGINT) AS w FROM st
+), tw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+b AS (
+  SELECT source, (8000 * w.w) // tw.sw AS budget FROM w CROSS JOIN tw
+), pri AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS doc_id, d.source,
+         CAST(t.n_tok AS BIGINT) AS n_tok,
+         (t.doc_id * 2654435761 + 4242) % 1000003 AS p
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+), cum AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY p, doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS excl
+  FROM pri
+)
+SELECT c.doc_id, c.source, c.n_tok
+FROM cum c JOIN b USING (source) WHERE c.excl < b.budget
 """,
         "pack_sequences": _SQL_TOKENS + r""", packed AS (
   SELECT CAST(t.doc_id AS BIGINT) AS doc_id, d.source,

@@ -9,6 +9,8 @@ model, SQL-oracle-checkable.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -250,3 +252,65 @@ def token_budget_sample(ds: ray.data.Dataset, key: str, id_col: str,
         return df[excl < budget].drop(columns=["_pri"])
 
     return partitioned_apply(ds, [key], kernel, num_partitions=num_partitions)
+
+
+def temperature_budgets(token_sums: dict, total: int) -> dict:
+    """Temperature-scaled (α = 0.5) per-source token budgets — the
+    mC4 / XLM-R rebalancing rule p_s ∝ n_s^α that upweights small
+    sources relative to their raw token mass, in ALL-INTEGER math so a
+    SQL oracle reproduces it bit-exactly:
+
+        w_s = isqrt(n_s)          (= floor(sqrt) — exact in BIGINT)
+        budget_s = (total · w_s) // Σ w     (BIGINT floor division)
+
+    ``isqrt`` matches DuckDB's ``CAST(floor(sqrt(n)) AS BIGINT)`` for
+    every n < 2^50 (a correctly-rounded double sqrt is within 2^-29 of
+    the true root while the nearest non-square root is ≥ ~2^-26 from an
+    integer), guarded here so a corpus past that scale fails loudly
+    instead of as an opaque oracle hash mismatch (CLAUDE.md
+    exact-degeneration rule)."""
+    if total < 0:
+        raise ValueError("temperature_budgets: total must be >= 0")
+    w = {}
+    for k, n in token_sums.items():
+        n = int(n)
+        if n >= 1 << 50:
+            raise ValueError(
+                f"temperature_budgets: token sum {n} for {k!r} >= 2^50; "
+                "floor(sqrt(double)) no longer matches isqrt — switch the "
+                "oracle to an exact integer sqrt before raising scale")
+        w[k] = math.isqrt(max(n, 0))
+    sw = sum(w.values())
+    if sw == 0:
+        return {k: 0 for k in w}
+    return {k: (int(total) * wk) // sw for k, wk in w.items()}
+
+
+def temperature_mix(ds: ray.data.Dataset, key: str, id_col: str,
+                    len_col: str, *, total: int, salt: int = 4242,
+                    num_partitions: int = DEFAULT_TEMPORAL_PARTITIONS
+                    ) -> ray.data.Dataset:
+    """Temperature-based source mixing (α = 0.5): derive each source's
+    token budget from its share of the CORPUS under sqrt damping
+    (``temperature_budgets``), then keep documents per source in
+    deterministic hash-priority order until that budget is spent
+    (``token_budget_sample`` — at-most-one-doc overshoot). This is the
+    self-calibrating variant of ``token_budget_sample``: the caller
+    names one global token ``total`` and the data decides the split,
+    upweighting minority sources exactly as multilingual pretraining
+    mixes do.
+
+    Two passes over the input (a tiny per-source sum, then the keep
+    filter), so the SKINNY (key, id, len) projection is materialized
+    here — pass a pruned table, not the full corpus (same contract as
+    ``write_sorted``). The per-source sum is a bounded-cardinality
+    driver merge; budgets ride into the keep pass as a small dict."""
+    from .aggregate import grouped_aggregate
+    ds = ds.materialize()
+    agg = grouped_aggregate(ds, keys=[key], value_col=len_col,
+                            mode="driver").to_pandas()
+    sums = dict(zip(agg[key].tolist(),
+                    agg["agg_sum"].astype("int64").tolist()))
+    budgets = temperature_budgets(sums, total)
+    return token_budget_sample(ds, key, id_col, len_col, budgets,
+                               salt=salt, num_partitions=num_partitions)

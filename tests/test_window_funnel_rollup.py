@@ -646,6 +646,47 @@ def test_token_budget_sample_per_key_dict_and_overshoot():
     assert sorted(out["doc"]) == sorted(out2["doc"])
 
 
+def test_temperature_budgets_integer_math():
+    """α=0.5 budgets: w = isqrt(sum), budget = (total·w)//Σw — hand
+    numbers, plus the 2^50 loud-failure guard and zero-mass edge."""
+    import pytest
+    from cardinalhq_otel_collector_ray.stages.packing import (
+        temperature_budgets)
+    # sums 100/400 → w 10/20 → S=30; total 30 → 10/20 (sqrt damping:
+    # the 1:4 corpus becomes a 1:2 mix)
+    assert temperature_budgets({"a": 100, "b": 400}, 30) == \
+        {"a": 10, "b": 20}
+    # floor division truncates, never rounds up
+    assert temperature_budgets({"a": 100, "b": 401}, 31) == \
+        {"a": 10, "b": 20}
+    assert temperature_budgets({"a": 0, "b": 0}, 100) == {"a": 0, "b": 0}
+    with pytest.raises(ValueError, match="2\\^50"):
+        temperature_budgets({"a": 1 << 50}, 10)
+
+
+def test_temperature_mix_upweights_minority_source():
+    """End-to-end: a 9:1 two-source corpus mixed at α=0.5 keeps the
+    minority source at its sqrt-damped share (3:1), and the result is
+    blocking-invariant."""
+    from cardinalhq_otel_collector_ray.stages.packing import temperature_mix
+    n_a, n_b = 90, 10
+    df = pd.DataFrame({
+        "src": ["a"] * n_a + ["b"] * n_b,
+        "doc": np.arange(n_a + n_b, dtype=np.int64),
+        "n": np.full(n_a + n_b, 10, dtype=np.int64),
+    })
+    # sums 900/100 → w 30/10 → budgets (400·w)//40 = 300/100
+    out = (temperature_mix(ray.data.from_pandas(df, override_num_blocks=4),
+                           "src", "doc", "n", total=400, num_partitions=3)
+           .to_pandas())
+    by = out.groupby("src")["n"].sum().to_dict()
+    assert by == {"a": 300, "b": 100}
+    out2 = (temperature_mix(ray.data.from_pandas(df, override_num_blocks=9),
+                            "src", "doc", "n", total=400, num_partitions=2)
+            .to_pandas())
+    assert sorted(out["doc"]) == sorted(out2["doc"])
+
+
 def test_mixture_example_spec(sf_dir):
     from cardinalhq_otel_collector_ray.pipelines.spec import (
         compile_pipeline, load_spec)
