@@ -342,6 +342,17 @@ def _s_token_budget(ds, cfg):
                                len_col=cfg["len"], budgets=budgets)
 
 
+def _s_temperature_mix(ds, cfg):
+    """α=0.5 temperature source mixing: one global token ``total``, the
+    per-source budgets derived from sqrt-damped corpus shares. Two
+    passes — the stage materializes its (skinny) input, so place it
+    after column pruning in the spec."""
+    from ..stages.packing import temperature_mix
+    return temperature_mix(ds, key=cfg["key"], id_col=cfg["id"],
+                           len_col=cfg["len"], total=int(cfg["total"]),
+                           salt=int(cfg.get("salt", 4242)))
+
+
 def _s_join_table(ds, cfg):
     """Broadcast join against another parquet table (the k8sattributes /
     dimension-enrich shape for TABLE-shaped dims; use ``enrich`` for
@@ -470,6 +481,7 @@ _STAGES: dict[str, StageFn] = {
     "token_entropy": _s_token_entropy,
     "inverted_index": _s_inverted_index,
     "token_budget": _s_token_budget,
+    "temperature_mix": _s_temperature_mix,
     "join_table": _s_join_table,
     "unroll": _s_unroll,
     "median_mad": _s_median_mad,

@@ -699,6 +699,27 @@ def test_mixture_example_spec(sf_dir):
     assert (g < 20000 + out["n_chars"].max()).all()
 
 
+def test_temperature_mixture_example_spec(sf_dir):
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.packing import (
+        temperature_budgets)
+    out = compile_pipeline(
+        load_spec("/root/repo/examples/temperature_mixture.yaml"),
+        sf_dir).to_pandas()
+    assert {"split", "source", "n_chars"} <= set(out.columns)
+    # each source's kept mass respects ITS sqrt-damped budget (up to the
+    # one-doc overshoot), recomputed here from the raw table
+    docs = read_table(sf_dir, "documents",
+                      columns=["n_chars", "source"]).to_pandas()
+    budgets = temperature_budgets(
+        docs.groupby("source")["n_chars"].sum().to_dict(), 100000)
+    got = out.groupby("source")["n_chars"].sum()
+    for src, tot in got.items():
+        assert tot < budgets[src] + out["n_chars"].max()
+
+
 def test_funnel_steps_three_step_golden():
     from cardinalhq_otel_collector_ray.stages.temporal import funnel_steps
     ds = _events([
