@@ -1305,6 +1305,52 @@ def _q_bigram_logprob(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020,
+    §4.3): per SOURCE, terciles of the bigram-LM log-likelihood — head =
+    most-fluent third. Composition: broadcast-model scoring (source
+    rides through as a passthrough column, no join) → one keyed shuffle
+    for the exact ntile(3). Ordering parity: round6 BEFORE ranking here
+    (ties then broken by integer doc_id) because the two engines sum the
+    ln terms in the same position order but DuckDB's ntile must see the
+    identical sort keys."""
+    from cardinalhq_otel_collector_ray.sources import tokenized_documents
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        bigram_counts, bigram_logprob, corpus_stats)
+    from cardinalhq_otel_collector_ray.stages.window import windowed_rank
+    ds = tokenized_documents(sf_dir)
+    stats = corpus_stats(ds)
+    bi = bigram_counts(ds)
+    vocab_size = stats.num_rows
+    tok = stats["token"].to_numpy(zero_copy_only=False)
+    uni = np.zeros(int(tok.max()) + 1 if len(tok) else 1, dtype=np.int64)
+    uni[tok] = stats["freq"].to_numpy(zero_copy_only=False)
+    scored = bigram_logprob(ds, bi, uni, vocab_size,
+                            passthrough_cols=["source"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lp6 = round6(batch["logprob"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "source": batch["source"],
+                         "logprob": pa.array(lp6),
+                         # negate: windowed_rank sorts ASC, head = HIGHEST
+                         # logprob (float negation is exact)
+                         "_neg": pa.array(-lp6)})
+
+    ranked = windowed_rank(scored.map_batches(prep, batch_format="pyarrow"),
+                           keys=["source"], value_col="_neg",
+                           tiebreak_col="doc_id", ntile=3)
+    names = np.array(["head", "middle", "tail"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["tile"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "source": df["source"],
+                             "logprob": df["logprob"],
+                             "bucket": names[t - 1]})
+    return ranked.map_batches(project, batch_format="pandas")
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance resampling weights (Xie et al. 2023): hashed-bigram
     bucket multinomials for a deterministic target subset (src_num % 7 == 3)
@@ -2842,7 +2888,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dup_span_removal (new oracle — ExactSubstr removal) displaces
         # the r2-green mad_per_type re-check (hot path untouched in r5);
         # temperature_mix (new oracle — α=0.5 sqrt-damped source budgets)
-        # displaces the r2-green pivot_routes re-check likewise.
+        # displaces the r2-green pivot_routes re-check likewise;
+        # ccnet_buckets (new oracle — per-source perplexity terciles)
+        # displaces the r2-green retention_cohorts re-check likewise.
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
@@ -2867,8 +2915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "token_budget_mix": _q_token_budget_mix,
         "temperature_mix": _q_temperature_mix,
+        "ccnet_buckets": _q_ccnet_buckets,
         "contamination_flags": _q_contamination,
-        "retention_cohorts": _q_retention,
         "left_join_counts": _q_left_join_counts,
         "robust_outliers": _q_robust_outliers,
         "weighted_sample": _q_weighted_sample,
@@ -2899,6 +2947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only. A meta-test in test_oracle_parity.py pins the count.)
         "transform_chain": _q_transform,
         "pivot_routes": _q_pivot_routes,
+        "retention_cohorts": _q_retention,
         "mad_per_type": _q_mad_per_type,
         "trend_per_type": _q_trend_per_type,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -4452,6 +4501,42 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round(list_sum(list(t ORDER BY pos)), 6) AS logprob
 FROM terms GROUP BY doc_id
+""",
+        # CCNet terciles: ntile sees the ROUND6ED logprob (both engines
+        # rank the identical doubles; ties broken by integer doc_id);
+        # head = highest log-likelihood = lowest perplexity.
+        "ccnet_buckets": _SQL_TOKENS + r""", seq AS (
+  SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word
+), bi AS (
+  SELECT doc_id, pos, tid AS prev,
+         lead(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+  FROM seq
+), bc AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c FROM bi
+  WHERE cur IS NOT NULL GROUP BY prev, cur
+), uc AS (
+  SELECT tid, CAST(count(*) AS BIGINT) AS c FROM seq GROUP BY tid
+), vs AS (SELECT count(*) AS v FROM vocab),
+terms AS (
+  SELECT b.doc_id, b.pos, ln((bc.c + 1.0) / (uc.c + vs.v)) AS t
+  FROM bi b JOIN bc ON b.prev = bc.prev AND b.cur = bc.cur
+  JOIN uc ON b.prev = uc.tid CROSS JOIN vs
+), lp AS (
+  SELECT doc_id, round(list_sum(list(t ORDER BY pos)), 6) AS logprob
+  FROM terms GROUP BY doc_id
+), j AS (
+  SELECT CAST(l.doc_id AS BIGINT) AS doc_id, d.source, l.logprob
+  FROM lp l JOIN documents d ON l.doc_id = d.doc_id
+), nt AS (
+  SELECT doc_id, source, logprob,
+         ntile(3) OVER (PARTITION BY source
+                        ORDER BY logprob DESC, doc_id) AS tile
+  FROM j
+)
+SELECT doc_id, source, logprob,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nt
 """,
         "dup_ngram_fraction": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid, e.pos FROM exploded e JOIN vocab v ON e.w = v.word

@@ -193,12 +193,19 @@ def bigram_counts(ds: ray.data.Dataset,
 def bigram_logprob(ds: ray.data.Dataset, bigrams: pa.Table,
                    unigram_freq: np.ndarray, vocab_size: int,
                    tokens_col: str = "tokens",
-                   doc_id_col: str = "doc_id") -> ray.data.Dataset:
+                   doc_id_col: str = "doc_id",
+                   passthrough_cols: list[str] | None = None
+                   ) -> ray.data.Dataset:
     """Per-doc add-one-smoothed bigram LM log-likelihood:
     Σ ln((c(prev,cur)+1) / (c(prev)+V)) over consecutive pairs, summed in
     POSITION order (reduceat) so an ordered-list SQL sum reproduces the
     doubles. Bigram table broadcast once (sorted packed keys +
-    searchsorted lookup); docs with <2 tokens are omitted."""
+    searchsorted lookup); docs with <2 tokens are omitted.
+    ``passthrough_cols`` ride through unchanged (e.g. ``source`` for the
+    downstream CCNet per-source perplexity bucketing) — a column gather,
+    not a join, so the scored stream keeps its grouping keys without a
+    shuffle."""
+    extra = list(passthrough_cols or [])
     bkey = ((bigrams["prev"].to_numpy(zero_copy_only=False).astype(np.int64)
              << np.int64(32))
             | bigrams["cur"].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -211,9 +218,12 @@ def bigram_logprob(ds: ray.data.Dataset, bigrams: pa.Table,
         keys, cnts, uni = ray.get(ref)
         doc_idx, values, n_per = _flat_tokens(batch, tokens_col)
         if len(values) == 0:
-            return pa.table({"doc_id": batch[doc_id_col].slice(0, 0),
-                             "n_pairs": pa.array([], pa.int64()),
-                             "logprob": pa.array([], pa.float64())})
+            cols = {"doc_id": batch[doc_id_col].slice(0, 0),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64())}
+            for c in extra:
+                cols[c] = batch[c].slice(0, 0)
+            return pa.table(cols)
         same = doc_idx[:-1] == doc_idx[1:]
         prev, cur, row = values[:-1][same], values[1:][same], doc_idx[:-1][same]
         pk = (prev << np.int64(32)) | cur
@@ -227,10 +237,13 @@ def bigram_logprob(ds: ray.data.Dataset, bigrams: pa.Table,
             else np.empty(0, np.int64)
         lp = np.add.reduceat(term, seg.astype(np.int64)) if len(keep_rows) \
             else np.empty(0, np.float64)
-        return pa.table({
+        cols = {
             "doc_id": batch[doc_id_col].take(pa.array(keep_rows)),
             "n_pairs": pa.array(n_pairs[keep_rows].astype(np.int64)),
-            "logprob": pa.array(lp)})
+            "logprob": pa.array(lp)}
+        for c in extra:
+            cols[c] = batch[c].take(pa.array(keep_rows))
+        return pa.table(cols)
     return ds.map_batches(block, batch_format="pyarrow")
 
 

@@ -203,3 +203,29 @@ def test_remove_dup_spans_no_cross_doc_bleed():
            .to_pandas().set_index("doc_id"))
     assert got.loc["x", "n_removed"] == 3 and got.loc["x", "kept_tok_sum"] == 1
     assert got.loc["y", "n_removed"] == 3 and got.loc["y", "kept_tok_sum"] == 2
+
+
+def test_bigram_logprob_passthrough_cols():
+    """passthrough_cols ride through aligned with the kept (>=2-token)
+    docs — the CCNet bucketing path needs `source` without a join."""
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        bigram_counts, bigram_logprob)
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "tiny"]),
+        "source": pa.array(["s1", "s2", "s3"]),
+        "tokens": pa.array([[1, 2, 3], [2, 3], [7]],
+                           type=pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t)
+    bi = bigram_counts(ds)
+    uni = np.zeros(8, dtype=np.int64)
+    for toks in t["tokens"].to_pylist():
+        for tok in toks:
+            uni[tok] += 1
+    out = (bigram_logprob(ds, bi, uni, vocab_size=8,
+                          passthrough_cols=["source"])
+           .to_pandas().set_index("doc_id"))
+    assert out.loc["a", "source"] == "s1"
+    assert out.loc["b", "source"] == "s2"
+    assert "tiny" not in out.index          # <2 tokens: dropped
+    assert out.loc["a", "n_pairs"] == 2
