@@ -245,7 +245,8 @@ def run_queries(sf_dir: str) -> dict:
              "spec_route_counts", "emit_flat", "kmeans_assign_seeded",
              "incremental_dedup", "incremental_neardup",
              "sq_embedding_error", "chunk_windows", "shuffle_shards",
-             "span_red_metrics", "tail_sampling_policies"]
+             "span_red_metrics", "tail_sampling_policies",
+             "dup_span_removal", "temperature_mix", "ccnet_buckets"]
     qs = entrymod.queries()
     out = {}
     import ray.data

@@ -260,8 +260,11 @@ def frequent_ngrams(ds: ray.data.Dataset, n: int, min_count: int,
     def block(batch: pa.Table) -> pa.Table:
         doc_idx, values, _ = _flat_tokens(batch, tokens_col)
         if len(values) < n:
+            # schema must match the non-empty branch (incl. _part) or the
+            # groupby sort rejects the block mix (caught by the naive fuzz)
             return pa.table({"key": pa.array([], pa.int64()),
-                             "_c": pa.array([], pa.int64())})
+                             "_c": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int32())})
         key = values[: len(values) - n + 1].copy()
         same = doc_idx[: len(values) - n + 1] == doc_idx[n - 1:]
         for j in range(1, n):

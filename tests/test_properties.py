@@ -440,3 +440,50 @@ def test_chunk_batch_matches_naive(docs, size, data):
             w = min(size, n - s)
             want.append((did, c, s, w, doc[s:s + w]))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=7),
+                         min_size=0, max_size=24),
+                min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=3),
+       st.integers(min_value=1, max_value=4))
+def test_remove_dup_spans_matches_naive(ray_session, docs, n, nblocks):
+    """ExactSubstr removal vs a naive per-corpus reference: coverage is
+    the interval union of windows whose CORPUS count >= 2 (intra-doc
+    repeats included), across arbitrary blockings."""
+    from collections import Counter
+
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        frequent_ngrams, remove_dup_spans)
+
+    cnt = Counter()
+    for toks in docs:
+        for i in range(len(toks) - n + 1):
+            cnt[tuple(toks[i:i + n])] += 1
+    expect = {}
+    for d, toks in enumerate(docs):
+        covered = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            if cnt[tuple(toks[i:i + n])] >= 2:
+                for j in range(i, i + n):
+                    covered[j] = True
+        expect[str(d)] = (len(toks), sum(covered),
+                          sum(t for t, c in zip(toks, covered) if not c))
+
+    t = pa.table({
+        "doc_id": pa.array([str(d) for d in range(len(docs))]),
+        "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    hot = frequent_ngrams(ds, n=n, min_count=2, vocab_size=8)
+    got = remove_dup_spans(ds, hot, n=n, vocab_size=8).to_pandas()
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        n_tok, n_rm, kept_sum = expect[r["doc_id"]]
+        assert r["n_tok"] == n_tok
+        assert r["n_removed"] == n_rm
+        assert r["n_kept"] == n_tok - n_rm
+        assert r["kept_tok_sum"] == kept_sum
