@@ -487,3 +487,80 @@ def test_remove_dup_spans_matches_naive(ray_session, docs, n, nblocks):
         assert r["n_removed"] == n_rm
         assert r["n_kept"] == n_tok - n_rm
         assert r["kept_tok_sum"] == kept_sum
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(st.text(alphabet="abcde", min_size=1, max_size=3),
+                       st.integers(min_value=0, max_value=10**12),
+                       min_size=1, max_size=8),
+       st.integers(min_value=0, max_value=10**9))
+def test_temperature_budgets_invariants(sums, total):
+    """α=0.5 budget law: Σ budgets ≤ total (floor division never
+    over-allocates), zero-mass sources get zero, and sqrt damping never
+    inverts the ordering of two sources' budgets."""
+    import math
+
+    from cardinalhq_otel_collector_ray.stages.packing import (
+        temperature_budgets)
+    b = temperature_budgets(sums, total)
+    assert set(b) == set(sums)
+    assert sum(b.values()) <= total
+    for k, n in sums.items():
+        if n == 0:
+            assert b[k] == 0
+        # exact definition check
+        sw = sum(math.isqrt(v) for v in sums.values())
+        if sw:
+            assert b[k] == (total * math.isqrt(n)) // sw
+    ks = list(sums)
+    for i in range(len(ks) - 1):
+        a, c = ks[i], ks[i + 1]
+        if sums[a] <= sums[c]:
+            assert b[a] <= b[c]
+        else:
+            assert b[a] >= b[c]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=1, max_value=50)),
+                min_size=1, max_size=40),
+       st.integers(min_value=0, max_value=800),
+       st.integers(min_value=1, max_value=4))
+def test_temperature_mix_matches_naive(ray_session, rows, total, nblocks):
+    """End-to-end temperature_mix vs a naive single-process reference:
+    derive sqrt-damped budgets, then keep docs per source in mulhash
+    priority order while the exclusive cumsum is under budget —
+    blocking-invariant."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.functions.hashing import mulhash
+    from cardinalhq_otel_collector_ray.stages.packing import temperature_mix
+
+    df = pd.DataFrame({
+        "src": [r[0] for r in rows],
+        "doc": np.arange(len(rows), dtype=np.int64),
+        "n": np.array([r[1] for r in rows], dtype=np.int64),
+    })
+    sums = df.groupby("src")["n"].sum().to_dict()
+    sw = sum(math.isqrt(int(v)) for v in sums.values())
+    budgets = {k: (total * math.isqrt(int(v))) // sw if sw else 0
+               for k, v in sums.items()}
+    nd = df.assign(pri=mulhash(df["doc"].to_numpy(), salt=4242))
+    nd = nd.sort_values(["src", "pri", "doc"], kind="mergesort")
+    keep = []
+    for src, g in nd.groupby("src", sort=False):
+        spent = 0
+        for _, r in g.iterrows():
+            if spent < budgets[src]:
+                keep.append(int(r["doc"]))
+            spent += int(r["n"])
+    got = (temperature_mix(ray.data.from_pandas(df,
+                                                override_num_blocks=nblocks),
+                           "src", "doc", "n", total=total,
+                           num_partitions=2).to_pandas())
+    got_docs = got["doc"].tolist() if len(got) else []
+    assert sorted(got_docs) == sorted(keep)
