@@ -1280,21 +1280,28 @@ def _q_semdedup(sf_dir: str):
                          "n_removed": (n - k).astype("int64")})
 
 
+def _bigram_lm_model(ds):
+    """Shared bigram-LM preamble (train passes + dense unigram array)
+    for the scoring queries: returns (bigram_table, uni, vocab_size)."""
+    from cardinalhq_otel_collector_ray.stages.relevance import (
+        bigram_counts, corpus_stats)
+    stats = corpus_stats(ds)
+    bi = bigram_counts(ds)
+    tok = stats["token"].to_numpy(zero_copy_only=False)
+    uni = np.zeros(int(tok.max()) + 1 if len(tok) else 1, dtype=np.int64)
+    uni[tok] = stats["freq"].to_numpy(zero_copy_only=False)
+    return bi, uni, stats.num_rows
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Per-doc add-one-smoothed bigram LM log-likelihood (language-model
     quality scoring): bigram + unigram tables from distributed passes
     (distinct-bigram-bounded partials), broadcast once, shuffle-free
     position-ordered scoring."""
     from cardinalhq_otel_collector_ray.sources import tokenized_documents
-    from cardinalhq_otel_collector_ray.stages.relevance import (
-        bigram_counts, bigram_logprob, corpus_stats)
+    from cardinalhq_otel_collector_ray.stages.relevance import bigram_logprob
     ds = tokenized_documents(sf_dir)
-    stats = corpus_stats(ds)
-    bi = bigram_counts(ds)
-    vocab_size = stats.num_rows
-    tok = stats["token"].to_numpy(zero_copy_only=False)
-    uni = np.zeros(int(tok.max()) + 1 if len(tok) else 1, dtype=np.int64)
-    uni[tok] = stats["freq"].to_numpy(zero_copy_only=False)
+    bi, uni, vocab_size = _bigram_lm_model(ds)
     out = bigram_logprob(ds, bi, uni, vocab_size)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1315,16 +1322,10 @@ def _q_ccnet_buckets(sf_dir: str):
     ln terms in the same position order but DuckDB's ntile must see the
     identical sort keys."""
     from cardinalhq_otel_collector_ray.sources import tokenized_documents
-    from cardinalhq_otel_collector_ray.stages.relevance import (
-        bigram_counts, bigram_logprob, corpus_stats)
+    from cardinalhq_otel_collector_ray.stages.relevance import bigram_logprob
     from cardinalhq_otel_collector_ray.stages.window import windowed_rank
     ds = tokenized_documents(sf_dir)
-    stats = corpus_stats(ds)
-    bi = bigram_counts(ds)
-    vocab_size = stats.num_rows
-    tok = stats["token"].to_numpy(zero_copy_only=False)
-    uni = np.zeros(int(tok.max()) + 1 if len(tok) else 1, dtype=np.int64)
-    uni[tok] = stats["freq"].to_numpy(zero_copy_only=False)
+    bi, uni, vocab_size = _bigram_lm_model(ds)
     scored = bigram_logprob(ds, bi, uni, vocab_size,
                             passthrough_cols=["source"])
 

@@ -274,12 +274,16 @@ def temperature_budgets(token_sums: dict, total: int) -> dict:
     w = {}
     for k, n in token_sums.items():
         n = int(n)
+        if n < 0:
+            raise ValueError(
+                f"temperature_budgets: negative token sum {n} for {k!r} "
+                "(loud failure: the SQL oracle's sqrt would diverge)")
         if n >= 1 << 50:
             raise ValueError(
                 f"temperature_budgets: token sum {n} for {k!r} >= 2^50; "
                 "floor(sqrt(double)) no longer matches isqrt — switch the "
                 "oracle to an exact integer sqrt before raising scale")
-        w[k] = math.isqrt(max(n, 0))
+        w[k] = math.isqrt(n)
     sw = sum(w.values())
     if sw == 0:
         return {k: 0 for k in w}

@@ -505,13 +505,10 @@ def test_temperature_budgets_invariants(sums, total):
     b = temperature_budgets(sums, total)
     assert set(b) == set(sums)
     assert sum(b.values()) <= total
+    sw = sum(math.isqrt(v) for v in sums.values())
     for k, n in sums.items():
-        if n == 0:
-            assert b[k] == 0
-        # exact definition check
-        sw = sum(math.isqrt(v) for v in sums.values())
-        if sw:
-            assert b[k] == (total * math.isqrt(n)) // sw
+        # exact definition check (covers the zero-mass → zero case)
+        assert b[k] == ((total * math.isqrt(n)) // sw if sw else 0)
     ks = list(sums)
     for i in range(len(ks) - 1):
         a, c = ks[i], ks[i + 1]
