@@ -342,6 +342,17 @@ def _s_token_budget(ds, cfg):
                                len_col=cfg["len"], budgets=budgets)
 
 
+def _s_rank(ds, cfg):
+    """Per-key SQL window ranking (adds rnk / pct / tile columns): the
+    declarative form of ``windowed_rank`` — e.g. quality terciles per
+    source. ``tiebreak`` must make the order total or ntile assignment
+    is blocking-dependent (same contract as a SQL ORDER BY)."""
+    from ..stages.window import windowed_rank
+    return windowed_rank(ds, keys=list(cfg["keys"]), value_col=cfg["value"],
+                         tiebreak_col=cfg["tiebreak"],
+                         ntile=int(cfg.get("ntile", 4)))
+
+
 def _s_temperature_mix(ds, cfg):
     """α=0.5 temperature source mixing: one global token ``total``, the
     per-source budgets derived from sqrt-damped corpus shares. Two
@@ -482,6 +493,7 @@ _STAGES: dict[str, StageFn] = {
     "inverted_index": _s_inverted_index,
     "token_budget": _s_token_budget,
     "temperature_mix": _s_temperature_mix,
+    "rank": _s_rank,
     "join_table": _s_join_table,
     "unroll": _s_unroll,
     "median_mad": _s_median_mad,

@@ -975,3 +975,25 @@ def test_route_column_form_validation():
     with _pt.raises(ValueError, match="route.values"):
         compile_topology({**base, "route": {"column": "x"}},
                          "/root/testdata/sf0.001")
+
+
+def test_quality_buckets_example_spec(sf_dir):
+    """Declarative `rank` kind: per-source tercile assignment matches a
+    pandas recompute of the ntile row-position law."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    out = compile_pipeline(
+        load_spec("/root/repo/examples/quality_buckets.yaml"),
+        sf_dir).to_pandas()
+    assert {"rnk", "pct", "tile"} <= set(out.columns)
+    out = out.sort_values(["source", "n_chars", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+    for _, g in out.groupby("source"):
+        n = len(g)
+        size, rem = divmod(n, 3)
+        pos = np.arange(n)
+        tile = np.where(pos < rem * (size + 1),
+                        pos // (size + 1),
+                        rem + (pos - rem * (size + 1)) // max(size, 1)) + 1
+        assert (g["tile"].to_numpy() == tile).all()
+        assert g["tile"].min() == 1 and g["tile"].max() <= 3
