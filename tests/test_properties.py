@@ -561,3 +561,41 @@ def test_temperature_mix_matches_naive(ray_session, rows, total, nblocks):
                            num_partitions=2).to_pandas())
     got_docs = got["doc"].tolist() if len(got) else []
     assert sorted(got_docs) == sorted(keep)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.integers(min_value=0, max_value=5)),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=3))
+def test_windowed_rank_matches_duckdb(ray_session, rows, k, nblocks):
+    """rank / percent_rank / ntile(k) vs DuckDB on random tied data —
+    the `rank` spec kind's exact-parity contract, across blockings."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.stages.window import windowed_rank
+
+    df = pd.DataFrame({
+        "g": [r[0] for r in rows],
+        "v": np.array([r[1] for r in rows], dtype=np.int64),
+        "i": np.arange(len(rows), dtype=np.int64),
+    })
+    got = (windowed_rank(ray.data.from_pandas(df,
+                                              override_num_blocks=nblocks),
+                         ["g"], "v", "i", ntile=k, num_partitions=2)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    ref = duckdb.connect().execute(f"""
+        SELECT i,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               percent_rank() OVER w AS pct,
+               CAST(ntile({k}) OVER (PARTITION BY g ORDER BY v, i)
+                    AS BIGINT) AS tile
+        FROM df WINDOW w AS (PARTITION BY g ORDER BY v)
+        ORDER BY i
+    """).fetchdf()
+    assert got["rnk"].tolist() == ref["rnk"].tolist()
+    assert got["tile"].tolist() == ref["tile"].tolist()
+    assert np.array_equal(got["pct"].to_numpy(), ref["pct"].to_numpy())
