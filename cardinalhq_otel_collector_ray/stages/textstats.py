@@ -269,6 +269,13 @@ def token_entropy(ds: ray.data.Dataset, tokens_col: str = "tokens",
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_per)
         order = np.lexsort((values, doc_idx))
         dv, tv = doc_idx[order], values[order]
+        if len(tv) == 0:
+            # a block of ONLY empty docs: np.r_[True, ...] below would
+            # still mint one phantom run and index into the empty arrays
+            # (caught by the empty-block smoke grid)
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
         new_run = np.r_[True, (dv[1:] != dv[:-1]) | (tv[1:] != tv[:-1])]
         run_start = np.flatnonzero(new_run)
         c = np.diff(np.append(run_start, len(tv))).astype(np.float64)
@@ -354,6 +361,15 @@ def intradoc_repetition(ds: ray.data.Dataset, n: int = 3,
             row = np.empty(0, np.int64)
         order = np.lexsort((key, row))
         rs, ks = row[order], key[order]
+        if len(ks) == 0:
+            # no window fits in any doc of this block: np.r_[True, ...]
+            # below would mint one phantom run over the empty arrays
+            # (caught by the empty-block smoke grid)
+            return pa.table({
+                id_col: batch[id_col].slice(0, 0),
+                "n_grams": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64()),
+                "dup_ratio": pa.array([], pa.float64())})
         new_run = np.r_[True, (rs[1:] != rs[:-1]) | (ks[1:] != ks[:-1])]
         run_start = np.flatnonzero(new_run)
         c = np.diff(np.append(run_start, len(ks))).astype(np.int64)
