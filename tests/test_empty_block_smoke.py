@@ -122,3 +122,38 @@ def test_chunk_and_entropy_survive_isolated_empty_block():
     assert (out[out["doc_id"] == "empty"]["n_tok_chunk"] == 0).all()
     out = token_entropy(ds).to_pandas()
     assert "empty" not in set(out["doc_id"])  # empty doc dropped
+
+
+def test_bpe_and_drain_survive_isolated_empty_text_block():
+    from cardinalhq_otel_collector_ray.stages.bpe import (bpe_encode_stats,
+                                                          bpe_merges,
+                                                          word_frequencies)
+    from cardinalhq_otel_collector_ray.stages.drain import drain_templates
+    ds = _text_ds()
+    wf = word_frequencies(ds)
+    assert wf.num_rows >= 5
+    merges = bpe_merges(ds, k=2)
+    out = bpe_encode_stats(ds, merges).to_pandas()
+    assert len(out) >= 2                      # non-empty docs encoded
+    out = drain_templates(ds, "text", "doc_id").to_pandas()
+    assert len(out) >= 2
+
+
+def test_multimodal_survives_isolated_empty_payload_block():
+    from cardinalhq_otel_collector_ray.stages.multimodal import (
+        byte_histogram_features, cdc_chunks, decode_stage)
+    tables = [
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([b"\x01\x02\x03" * 50, b"\xff" * 10],
+                                      pa.binary())}),
+        pa.table({"doc_id": pa.array([3], pa.int64()),
+                  "payload": pa.array([b""], pa.binary())}),
+    ]
+    ds = ray.data.from_arrow(tables)
+    out = byte_histogram_features(ds).to_pandas()
+    assert len(out) == 3                      # empty payload still featured
+    out = cdc_chunks(ds).to_pandas()
+    assert set(out["doc_id"]) <= {1, 2, 3}
+    # non-strict decode routes undecodable payloads to the fake path
+    out = decode_stage(ds, concurrency=2).to_pandas()
+    assert len(out) == 3
