@@ -77,12 +77,16 @@ def word_frequencies(ds: ray.data.Dataset, text_col: str = "text",
 def bpe_train_merges(word_freq: pa.Table, k: int) -> pd.DataFrame:
     """Learn the first ``k`` BPE merges from a (word, freq) table.
 
-    Canonical algorithm: words are symbol sequences (characters + a final
-    ``</w>`` marker); each iteration counts adjacent symbol pairs weighted
-    by word frequency (overlapping occurrences all count, as in the
-    reference pseudocode) and merges the best pair leftmost-first
-    non-overlapping. Runs on the driver over the BOUNDED vocab table —
-    flat-array numpy per iteration, no per-word Python.
+    Canonical algorithm: words are symbol sequences (BYTES + a final
+    ``</w>`` marker, GPT-2-style — a base symbol is ``chr(byte)``, so on
+    ASCII corpora this is character-level bit-for-bit, and on non-ASCII
+    corpora it stays consistent with the byte-level encode kernel instead
+    of KeyError-ing on a char the 0–255 base alphabet lacks); each
+    iteration counts adjacent symbol pairs weighted by word frequency
+    (overlapping occurrences all count, as in the reference pseudocode)
+    and merges the best pair leftmost-first non-overlapping. Runs on the
+    driver over the BOUNDED vocab table — flat-array numpy per iteration,
+    no per-word Python.
 
     Returns (rank:int64, left, right, merged:string, pair_count:int64).
     """
@@ -95,13 +99,14 @@ def bpe_train_merges(word_freq: pa.Table, k: int) -> pd.DataFrame:
     flat: list[int] = []
     word_id: list[int] = []
     for wi, w in enumerate(words):
-        for ch in w:
+        wbytes = [chr(b) for b in w.encode("utf-8")]
+        for ch in wbytes:
             i = sym_id.get(ch)
             if i is None:
                 i = sym_id[ch] = len(sym_strs)
                 sym_strs.append(ch)
         # second loop appends after ids exist (keeps dict lookups tight)
-        for ch in w:
+        for ch in wbytes:
             flat.append(sym_id[ch])
             word_id.append(wi)
         i = sym_id.get(END_WORD)

@@ -157,3 +157,29 @@ def test_multimodal_survives_isolated_empty_payload_block():
     # non-strict decode routes undecodable payloads to the fake path
     out = decode_stage(ds, concurrency=2).to_pandas()
     assert len(out) == 3
+
+
+def test_bpe_handles_non_ascii_corpus():
+    """Byte-level BPE (GPT-2 base alphabet): training and encode agree on
+    a non-ASCII corpus — previously training was char-level and encode
+    byte-level, so any merge containing a codepoint > 255 KeyError'd the
+    encode plan."""
+    from cardinalhq_otel_collector_ray.stages.bpe import (bpe_encode_stats,
+                                                          bpe_merges)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["привет мир привет",
+                                    "日本語 の テキスト 日本語",
+                                    "héllo wörld héllo"])})
+    ds = ray.data.from_arrow(t)
+    merges = bpe_merges(ds, k=4)
+    assert len(merges) == 4                   # repeated words → real merges
+    out = (bpe_encode_stats(ds, merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 3
+    # merges never grow the byte+boundary symbol stream, and the learned
+    # merges shrink at least the docs they came from
+    raw_syms = [sum(len(w.encode()) + 1 for w in s.split())
+                for s in t["text"].to_pylist()]
+    assert (out["n_subwords"].to_numpy() <= np.array(raw_syms)).all()
+    assert (out["n_subwords"].to_numpy() < np.array(raw_syms)).any()
+    assert (out["n_subwords"] >= out["n_words"]).all()
