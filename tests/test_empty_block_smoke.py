@@ -183,3 +183,37 @@ def test_bpe_handles_non_ascii_corpus():
     assert (out["n_subwords"].to_numpy() <= np.array(raw_syms)).all()
     assert (out["n_subwords"].to_numpy() < np.array(raw_syms)).any()
     assert (out["n_subwords"] >= out["n_words"]).all()
+
+
+def test_text_family_handles_non_ascii():
+    """Unicode robustness: the text-consuming surface (splitter, quality,
+    langid, winnow, dedup pair finders, drain, PII redaction) accepts
+    multi-byte scripts and emoji without error; redaction edits only the
+    matched ASCII-pattern spans."""
+    from cardinalhq_otel_collector_ray.functions.text import split_words
+    from cardinalhq_otel_collector_ray.stages.dedup import (exact_dedup,
+                                                            simhash_pairs)
+    from cardinalhq_otel_collector_ray.stages.drain import drain_templates
+    from cardinalhq_otel_collector_ray.stages.textstats import (
+        langid_scores, quality_stats, winnow_fingerprints)
+    from cardinalhq_otel_collector_ray.stages.transform import redact_pii
+    texts = ["héllo wörld 🎉 日本語のテキスト user@example.com",
+             "обычный русский текст с цифрами 123",
+             "中文 words with 555-123-4567"]
+    w = split_words(pa.array(texts))
+    assert w.to_pylist()[0][3] == "日本語のテキスト"  # codepoints intact
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+    assert len(quality_stats(ds).to_pandas()) == 3
+    assert len(langid_scores(ds).to_pandas()) == 3
+    winnow_fingerprints(ds).to_pandas()
+    assert len(exact_dedup(ds, "text", "doc_id").to_pandas()) == 3
+    simhash_pairs(ds, "text", "doc_id").to_pandas()
+    assert len(drain_templates(ds, "text", "doc_id").to_pandas()) == 3
+    red = (redact_pii(ds, "text").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert "<EMAIL>" in red.loc[0, "text"]
+    assert "日本語のテキスト" in red.loc[0, "text"]   # unicode untouched
+    assert "<PHONE>" in red.loc[2, "text"]
+    assert "中文" in red.loc[2, "text"]
