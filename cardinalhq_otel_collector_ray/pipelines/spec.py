@@ -505,9 +505,22 @@ _STAGES: dict[str, StageFn] = {
 
 def compile_pipeline(spec: dict[str, Any], sf_dir: str) -> ray.data.Dataset:
     src = spec["source"]
-    if src["kind"] != "parquet":
+    if src["kind"] == "parquet":
+        ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
+    elif src["kind"] in ("jsonl", "text", "csv"):
+        # file sources (filelogreceiver analog, declaratively): `path`
+        # resolves relative to sf_dir so specs stay scale-portable
+        import os
+        from ..sources.textjson import read_csv, read_jsonl, read_text_lines
+        path = src["path"]
+        if not os.path.isabs(path):
+            path = os.path.join(sf_dir, path)
+        ds = {"jsonl": read_jsonl, "text": read_text_lines,
+              "csv": read_csv}[src["kind"]](path)
+        if src.get("columns"):
+            ds = ds.select_columns(src["columns"])
+    else:
         raise ValueError(f"unknown source kind: {src['kind']}")
-    ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
     for i, st in enumerate(spec.get("stages", [])):
         kind = st.get("kind")
         if kind not in _STAGES:

@@ -21,3 +21,11 @@ def read_text_lines(paths, **kwargs) -> ray.data.Dataset:
     """Plain-text files → one row per line, column ``text`` — feed into
     ``stages.parse.parse_stage`` for the regex/grok field extraction."""
     return ray.data.read_text(paths, **kwargs)
+
+
+def read_csv(paths, **kwargs) -> ray.data.Dataset:
+    """Delimited files → columnar rows (Arrow CSV reader under the Ray
+    Data source — schema inferred or passed via ``convert_options``).
+    Rounds out the file-source vocabulary next to parquet/jsonl/text;
+    downstream chains are identical."""
+    return ray.data.read_csv(paths, **kwargs)

@@ -105,3 +105,46 @@ def test_cli_prep_subprocess(sf_dir, tmp_path):
     res2 = json.loads(proc2.stdout.strip().splitlines()[-1])
     assert res2["partitions_written"] == 0
     assert res2["rows"] == res["rows"]
+
+
+def test_read_csv(tmp_path):
+    from cardinalhq_otel_collector_ray.sources.textjson import read_csv
+    p = tmp_path / "rows.csv"
+    with open(p, "w") as f:
+        f.write("doc_id,level,n\n")
+        for i in range(12):
+            f.write(f"{i},{'INFO' if i % 3 else 'ERROR'},{i * 10}\n")
+    df = read_csv(str(p)).to_pandas()
+    assert len(df) == 12
+    assert set(df.columns) == {"doc_id", "level", "n"}
+    assert df["n"].dtype.kind == "i"          # schema inferred as ints
+    assert (df["level"] == "ERROR").sum() == 4
+
+
+def test_spec_file_sources(tmp_path):
+    """Declarative file sources: jsonl/text/csv feed the same stage
+    vocabulary as parquet (filelogreceiver analog)."""
+    from cardinalhq_otel_collector_ray.pipelines.spec import compile_pipeline
+    p = tmp_path / "app.log"
+    with open(p, "w") as f:
+        for i in range(15):
+            lvl = "ERROR" if i % 5 == 0 else "INFO"
+            f.write(f"{lvl} code={i} msg=x\n")
+    out = compile_pipeline({
+        "source": {"kind": "text", "path": "app.log"},
+        "stages": [
+            {"kind": "parse_regex", "column": "text",
+             "pattern": r"^(?P<level>INFO|ERROR) code=(?P<code>\d+)"},
+            {"kind": "drop_where", "column": "level", "equals": "INFO"},
+        ]}, str(tmp_path)).to_pandas()
+    assert len(out) == 3 and (out["level"] == "ERROR").all()
+
+    c = tmp_path / "rows.csv"
+    with open(c, "w") as f:
+        f.write("doc_id,n\n")
+        for i in range(8):
+            f.write(f"{i},{i * 2}\n")
+    out = compile_pipeline({
+        "source": {"kind": "csv", "path": str(c), "columns": ["n"]},
+        "stages": []}, str(tmp_path)).to_pandas()
+    assert out["n"].tolist() == [i * 2 for i in range(8)]
