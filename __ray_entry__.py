@@ -1165,6 +1165,38 @@ def _q_dup_span_removal(sf_dir: str):
     return remove_dup_spans(ds, hot, n=8, vocab_size=vocab_size)
 
 
+def _lined_documents(sf_dir: str):
+    """documents re-wrapped into '\\n'-separated lines of 3+(doc_id%5)
+    words — the deterministic derivation both line-granular queries and
+    their oracles share (the oracle reproduces the split as
+    ``line_idx = (pos-1) // w`` over ``generate_subscripts``; it never
+    rebuilds the lined text)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.lineclean import rewrap_lines
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return rewrap_lines(ds, base=3, mod=5)
+
+
+def _q_c4_line_clean(sf_dir: str):
+    """C4 page cleaning (Raffel et al. 2020 §2.2) stats: per doc, drop
+    lines under 4 words, drop within-doc repeated lines (first line-index
+    occurrence wins), gate on ≥2 surviving lines. Block-local — zero
+    shuffle at any corpus size. kept_idx_sum is the positional checksum
+    (Σ line_idx+1 over survivors): parity proves WHICH lines survived."""
+    from cardinalhq_otel_collector_ray.stages.lineclean import c4_line_clean
+    return c4_line_clean(_lined_documents(sf_dir), min_words=4, min_lines=2)
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph dedup (Dolma / CCNet §4.1) stats: a line
+    survives iff it's the first occurrence of its exact content in the
+    corpus by (doc_id, line_idx). Two bounded-tag skinny shuffles
+    (digest partials, then per-doc finals) — the corpus never moves."""
+    from cardinalhq_otel_collector_ray.stages.lineclean import (
+        paragraph_dedup_stats)
+    return paragraph_dedup_stats(_lined_documents(sf_dir))
+
+
 def _q_kmeans_cluster_sizes(sf_dir: str):
     """Embedding-corpus partitioning: k-means coarse quantizer (driver
     sample fit, broadcast) + distributed matmul-argmax assignment, then
@@ -2901,6 +2933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_delta": _q_cumulative_delta,
         "shuffle_shards": _q_shuffle_shards,
         "dup_span_removal": _q_dup_span_removal,
+        "c4_line_clean": _q_c4_line_clean,
+        "paragraph_dedup": _q_paragraph_dedup,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -3050,6 +3084,25 @@ WITH vocab AS (
          CAST(count(*) AS INTEGER) AS n_tok
   FROM exploded e JOIN vocab v ON e.w = v.word
   GROUP BY e.doc_id
+)
+"""
+
+# deterministic line derivation shared by the line-granular oracles:
+# lines of w = 3 + (doc_id % 5) words, reproduced from word positions
+# (never by rebuilding the '\n'-joined text) — mirrors
+# stages/lineclean.rewrap_lines(base=3, mod=5)
+_SQL_LINES = r"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         CAST((pos - 1) // (3 + (doc_id % 5)) AS BIGINT) AS line_idx,
+         string_agg(w, ' ' ORDER BY pos) AS line,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM words
+  GROUP BY doc_id, line_idx
 )
 """
 
@@ -4566,6 +4619,32 @@ FROM keys k JOIN kc USING (key) GROUP BY k.doc_id
         # position) so window coverage `BETWEEN s.rpos AND s.rpos+7` stays
         # contiguous even if the raw split ever carried empty-word gaps —
         # matching the engine's flat token indices exactly.
+        "c4_line_clean": _SQL_LINES + r"""
+, kept AS (
+  SELECT doc_id, line_idx, line, n_words,
+         row_number() OVER (PARTITION BY doc_id, line
+                            ORDER BY line_idx) AS occ
+  FROM lines WHERE n_words >= 4
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+       CAST(sum(n_words) AS BIGINT) AS kept_words,
+       CAST(sum(line_idx + 1) AS BIGINT) AS kept_idx_sum
+FROM kept WHERE occ = 1
+GROUP BY doc_id HAVING count(*) >= 2
+""",
+        "paragraph_dedup": _SQL_LINES + r"""
+, winners AS (
+  SELECT doc_id, line_idx, n_words,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_idx) AS occ
+  FROM lines
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+       CAST(sum(n_words) AS BIGINT) AS kept_words,
+       CAST(sum(line_idx + 1) AS BIGINT) AS kept_idx_sum
+FROM winners WHERE occ = 1
+GROUP BY doc_id
+""",
         "dup_span_removal": _SQL_TOKENS + r""", seq AS (
   SELECT e.doc_id, v.tid,
          row_number() OVER (PARTITION BY e.doc_id ORDER BY e.pos) AS rpos

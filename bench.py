@@ -246,7 +246,8 @@ def run_queries(sf_dir: str) -> dict:
              "incremental_dedup", "incremental_neardup",
              "sq_embedding_error", "chunk_windows", "shuffle_shards",
              "span_red_metrics", "tail_sampling_policies",
-             "dup_span_removal", "temperature_mix", "ccnet_buckets"]
+             "dup_span_removal", "temperature_mix", "ccnet_buckets",
+             "c4_line_clean", "paragraph_dedup"]
     qs = entrymod.queries()
     out = {}
     import ray.data

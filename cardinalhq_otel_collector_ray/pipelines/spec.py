@@ -325,6 +325,27 @@ def _s_compression_ratio(ds, cfg):
                              id_col=cfg.get("id", "doc_id"))
 
 
+def _s_line_clean(ds, cfg):
+    """C4 line cleaning stats (Raffel et al. 2020 §2.2): per-doc
+    survivors after the min-words / within-doc-repeat / min-lines rules.
+    Block-local — place anywhere; expects '\\n'-separated text (a
+    ``text`` file source is already line-per-row; use this on doc-shaped
+    text)."""
+    from ..stages.lineclean import c4_line_clean
+    return c4_line_clean(ds, text_col=cfg.get("text", "text"),
+                         id_col=cfg.get("id", "doc_id"),
+                         min_words=int(cfg.get("min_words", 4)),
+                         min_lines=int(cfg.get("min_lines", 2)))
+
+
+def _s_paragraph_dedup(ds, cfg):
+    """Corpus-wide first-occurrence paragraph dedup stats (Dolma /
+    CCNet §4.1): skinny digest shuffle, the corpus never moves."""
+    from ..stages.lineclean import paragraph_dedup_stats
+    return paragraph_dedup_stats(ds, text_col=cfg.get("text", "text"),
+                                 id_col=cfg.get("id", "doc_id"))
+
+
 def _s_retention(ds, cfg):
     from ..stages.temporal import retention_cohorts
     return retention_cohorts(ds, user_col=cfg["user"], ts_col=cfg["ts"],
@@ -500,6 +521,8 @@ _STAGES: dict[str, StageFn] = {
     "weighted_sample": _s_weighted_sample,
     "compression_ratio": _s_compression_ratio,
     "retention": _s_retention,
+    "line_clean": _s_line_clean,
+    "paragraph_dedup": _s_paragraph_dedup,
 }
 
 
