@@ -325,6 +325,18 @@ def _s_compression_ratio(ds, cfg):
                              id_col=cfg.get("id", "doc_id"))
 
 
+def _s_rewrap_lines(ds, cfg):
+    """Deterministic fixed-width re-wrap of space-joined text into
+    '\\n'-separated lines of ``base + (id % mod)`` words — line-structure
+    derivation for newline-free corpora (feed into ``line_clean`` /
+    ``paragraph_dedup``)."""
+    from ..stages.lineclean import rewrap_lines
+    return rewrap_lines(ds, text_col=cfg.get("text", "text"),
+                        id_col=cfg.get("id", "doc_id"),
+                        base=int(cfg.get("base", 3)),
+                        mod=int(cfg.get("mod", 5)))
+
+
 def _s_line_clean(ds, cfg):
     """C4 line cleaning stats (Raffel et al. 2020 §2.2): per-doc
     survivors after the min-words / within-doc-repeat / min-lines rules.
@@ -521,6 +533,7 @@ _STAGES: dict[str, StageFn] = {
     "weighted_sample": _s_weighted_sample,
     "compression_ratio": _s_compression_ratio,
     "retention": _s_retention,
+    "rewrap_lines": _s_rewrap_lines,
     "line_clean": _s_line_clean,
     "paragraph_dedup": _s_paragraph_dedup,
 }

@@ -146,6 +146,24 @@ def test_empty_short_unicode_isolated_blocks(ray_session):
     assert rewrap_lines(ds).count() == 4
 
 
+def test_line_cleaning_example_spec(ray_session, sf_dir):
+    """Declarative chain rewrap_lines → line_clean compiles and matches
+    the naive model over the real corpus."""
+    import pyarrow.parquet as pq
+
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    out = compile_pipeline(
+        load_spec("/root/repo/examples/line_cleaning.yaml"), sf_dir)
+    got = _stats_dict(out)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = [(int(d), naive_rewrap(x, int(d)))
+            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+    assert got == naive_c4(docs, min_words=4, min_lines=2)
+    assert len(got) > 0
+
+
 def test_null_text_treated_as_empty(ray_session):
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                   "text": pa.array(["a b c d\ne f g h", None])})
