@@ -483,6 +483,43 @@ def _q_sink_write_files(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_sink_roundtrip_counts(sf_dir: str):
+    """Collector-to-collector loop, driver-checked END-TO-END: the
+    flagship routed stream is physically written through the sink as
+    gzipped OTLP-JSON-lines objects, re-ingested DISTRIBUTED from those
+    objects (``sources/sinkfiles.read_sink_output`` — the
+    ``exporter_test.go:36-40`` round-trip through real files), and the
+    re-ingested rows aggregate to the same per-route counts/token sums
+    the oracle computes from the base table — proving the marshal →
+    object → unmarshal loop is lossless at the row level."""
+    import shutil
+    import tempfile
+
+    from cardinalhq_otel_collector_ray.pipelines import routed_documents
+    from cardinalhq_otel_collector_ray.sinks.partitioned import \
+        PartitionedSink
+    from cardinalhq_otel_collector_ray.sources import read_sink_output
+    from cardinalhq_otel_collector_ray.stages.aggregate import \
+        grouped_aggregate
+    root = tempfile.mkdtemp(prefix="graft_sinkrt_")
+    try:
+        sink = PartitionedSink(root, 1706078400.0, num_partitions=8,
+                               fmt="jsonl", compression="gzip")
+        sink.write(routed_documents(sf_dir), key_col="doc_id",
+                   route_col="route", tokens_len_col="n_tok", resume=False)
+        back = read_sink_output(root, fmt="jsonl")
+        agg = grouped_aggregate(back, keys=["route"], value_col="n_tok",
+                                mode="driver").to_pandas()
+        agg = agg.sort_values("route", kind="mergesort")
+        return pd.DataFrame({
+            "route": agg["route"].to_numpy(),
+            "n_rows": agg["agg_count"].astype(np.int64).to_numpy(),
+            "sum_tokens": agg["agg_sum"].astype(np.int64).to_numpy(),
+        }).reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     """q1-style two-phase grouped aggregate over the biggest table (exact
     BIGINT-cents sums so value-hash parity is exact)."""
@@ -2935,6 +2972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal": _q_dup_span_removal,
         "c4_line_clean": _q_c4_line_clean,
         "paragraph_dedup": _q_paragraph_dedup,
+        "sink_roundtrip_counts": _q_sink_roundtrip_counts,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -3142,6 +3180,12 @@ SELECT CAST(t.doc_id AS VARCHAR) AS doc_id, t.tokens, t.n_tok, d.source
 FROM tok t JOIN documents d ON t.doc_id = d.doc_id
 """,
         "route_counts": _SQL_ROUTED + r"""
+SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM routed GROUP BY route
+""",
+        # round-trip through real sink objects is lossless, so the
+        # re-ingested aggregate equals the base-table aggregate
+        "sink_roundtrip_counts": _SQL_ROUTED + r"""
 SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route
 """,
