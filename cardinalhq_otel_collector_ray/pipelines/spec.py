@@ -555,6 +555,19 @@ def compile_pipeline(spec: dict[str, Any], sf_dir: str) -> ray.data.Dataset:
               "csv": read_csv}[src["kind"]](path)
         if src.get("columns"):
             ds = ds.select_columns(src["columns"])
+    elif src["kind"] == "sink":
+        # re-ingest another pipeline's sink output (the collector-to-
+        # collector receiver shape): path is a sink root or object list
+        import os
+
+        from ..sources.sinkfiles import read_sink_output
+        path = src["path"]
+        if not os.path.isabs(path) and "://" not in path:
+            path = os.path.join(sf_dir, path)
+        ds = read_sink_output(path, fmt=src.get("format", "jsonl"),
+                              compression=src.get("compression", "auto"))
+        if src.get("columns"):
+            ds = ds.select_columns(src["columns"])
     else:
         raise ValueError(f"unknown source kind: {src['kind']}")
     for i, st in enumerate(spec.get("stages", [])):

@@ -125,6 +125,35 @@ def test_distributed_roundtrip_through_partitioned_sink(ray_session,
         sorted(e.path for e in entries)
 
 
+def test_spec_sink_source_reingests(ray_session, tmp_path):
+    """Declarative re-ingest: source kind `sink` reads another run's
+    sink output and feeds a normal stage chain."""
+    import ray.data
+
+    from cardinalhq_otel_collector_ray.pipelines.spec import \
+        compile_pipeline
+    from cardinalhq_otel_collector_ray.sinks.partitioned import \
+        PartitionedSink
+    df = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "route": np.where(np.arange(60) % 2 == 0, "even", "odd"),
+        "body": [f"b{i}" for i in range(60)],
+    })
+    sink = PartitionedSink(str(tmp_path), 1706078400.0, num_partitions=2,
+                           fmt="jsonl", compression="gzip")
+    sink.write(ray.data.from_pandas(df).repartition(2), key_col="doc_id",
+               route_col="route", resume=False)
+    spec = {"source": {"kind": "sink", "path": str(tmp_path),
+                       "format": "jsonl",
+                       "columns": ["doc_id", "route", "body"]},
+            "stages": [{"kind": "drop_where", "column": "route",
+                        "equals": "odd"}]}
+    out = compile_pipeline(spec, str(tmp_path)).to_pandas()
+    assert len(out) == 30
+    assert (out["route"] == "even").all()
+    assert sorted(out["doc_id"]) == list(range(0, 60, 2))
+
+
 def test_distributed_roundtrip_otlp_proto(ray_session, tmp_path):
     """body+attrs through otlp_proto objects and back."""
     import ray.data
