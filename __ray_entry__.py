@@ -483,6 +483,38 @@ def _q_sink_write_files(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_normalize_text(sf_dir: str):
+    """CCNet text canonicalization (Wenzek et al. 2020 §4.1), value-
+    checked string-for-string: the corpus is deterministically mutated
+    (uppercase every 3rd doc, append ' 42' every 7th, double the spaces
+    every 5th) so the normalizer has real work — accents/case/digits/
+    whitespace all fold back — and the oracle recomputes the exact
+    normalized string with DuckDB's strip_accents/lower/regexp chain.
+    Block-local Arrow kernels; zero shuffle."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.transform import \
+        normalize_text
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m3 = pa.array(ids % 3 == 0)
+        col = pc.if_else(m3, pc.utf8_upper(col), col)
+        suffixed = pc.binary_join_element_wise(
+            col, pa.array(np.full(len(ids), "42", dtype=object)), " ")
+        col = pc.if_else(pa.array(ids % 7 == 0), suffixed, col)
+        doubled = pc.replace_substring(col, pattern=" ", replacement="  ")
+        col = pc.if_else(pa.array(ids % 5 == 0), doubled, col)
+        return pa.table({"doc_id": batch["doc_id"], "text": col})
+
+    return normalize_text(ds.map_batches(mutate, batch_format="pyarrow"),
+                          column="text", out="norm_text") \
+        .select_columns(["doc_id", "norm_text"])
+
+
 def _q_sink_roundtrip_counts(sf_dir: str):
     """Collector-to-collector loop, driver-checked END-TO-END: the
     flagship routed stream is physically written through the sink as
@@ -2973,6 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_clean": _q_c4_line_clean,
         "paragraph_dedup": _q_paragraph_dedup,
         "sink_roundtrip_counts": _q_sink_roundtrip_counts,
+        "normalize_text": _q_normalize_text,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -3182,6 +3215,22 @@ FROM tok t JOIN documents d ON t.doc_id = d.doc_id
         "route_counts": _SQL_ROUTED + r"""
 SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route
+""",
+        "normalize_text": r"""
+WITH mut1 AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ' 42' ELSE '' END) AS t
+  FROM documents
+), mut AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN replace(t, ' ', '  ') ELSE t END AS t
+  FROM mut1
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(strip_accents(t)),
+            '[0-9]', '0', 'g'), '\s+', ' ', 'g')) AS norm_text
+FROM mut
 """,
         # round-trip through real sink objects is lossless, so the
         # re-ingested aggregate equals the base-table aggregate

@@ -247,7 +247,8 @@ def run_queries(sf_dir: str) -> dict:
              "sq_embedding_error", "chunk_windows", "shuffle_shards",
              "span_red_metrics", "tail_sampling_policies",
              "dup_span_removal", "temperature_mix", "ccnet_buckets",
-             "c4_line_clean", "paragraph_dedup", "sink_roundtrip_counts"]
+             "c4_line_clean", "paragraph_dedup", "sink_roundtrip_counts",
+             "normalize_text"]
     qs = entrymod.queries()
     out = {}
     import ray.data

@@ -128,3 +128,32 @@ def char_shingles_u64(texts, k: int = 4, max_bytes: int = 4096,
 STOPWORDS_EN = frozenset(
     "the a an and or of to in is are was were be been it this that for on with as at by from".split()
 )
+
+
+def normalize_text_column(col, *, lowercase: bool = True,
+                          strip_accents: bool = True,
+                          digits_to_zero: bool = True,
+                          collapse_whitespace: bool = True) -> pa.Array:
+    """CCNet-style text normalization (Wenzek et al. 2020 §4.1 — the
+    canonical form hashed for paragraph dedup): strip accents (NFKD +
+    remove combining marks), lowercase, map every digit to ``0``,
+    collapse whitespace runs to one space and trim. All Arrow C++
+    kernels; nulls propagate. SQL equivalent (ASCII-safe):
+    ``trim(regexp_replace(regexp_replace(lower(strip_accents(t)),
+    '[0-9]', '0', 'g'), '\\s+', ' ', 'g'))``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if strip_accents:
+        col = pc.replace_substring_regex(
+            pc.utf8_normalize(col, form="NFKD"), pattern=r"\p{Mn}",
+            replacement="")
+    if lowercase:
+        col = pc.utf8_lower(col)
+    if digits_to_zero:
+        col = pc.replace_substring_regex(col, pattern="[0-9]",
+                                         replacement="0")
+    if collapse_whitespace:
+        col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(col, pattern=r"\s+",
+                                       replacement=" "))
+    return col

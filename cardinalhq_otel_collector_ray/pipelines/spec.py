@@ -89,6 +89,17 @@ def _s_replace_pattern(ds, cfg):
                                      cfg["replacement"], out=cfg.get("out"))
 
 
+def _s_normalize_text(ds, cfg):
+    """CCNet canonicalization (accents/case/digits/whitespace) before
+    dedup or hashing."""
+    return transform.normalize_text(
+        ds, column=cfg.get("column", "text"), out=cfg.get("out"),
+        lowercase=bool(cfg.get("lowercase", True)),
+        strip_accents=bool(cfg.get("strip_accents", True)),
+        digits_to_zero=bool(cfg.get("digits_to_zero", True)),
+        collapse_whitespace=bool(cfg.get("collapse_whitespace", True)))
+
+
 def _s_rename(ds, cfg):
     return transform.rename_columns(ds, cfg["mapping"])
 
@@ -493,6 +504,7 @@ _STAGES: dict[str, StageFn] = {
     "sample": _s_sample,
     "drop_where": _s_drop_where,
     "replace_pattern": _s_replace_pattern,
+    "normalize_text": _s_normalize_text,
     "rename": _s_rename,
     "delete": _s_delete,
     "hash": _s_hash,

@@ -53,6 +53,23 @@ def replace_pattern(ds: ray.data.Dataset, column: str, pattern: str,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def normalize_text(ds: ray.data.Dataset, column: str = "text",
+                   out: str | None = None, **opts) -> ray.data.Dataset:
+    """CCNet canonicalization before dedup/hashing (Wenzek et al. 2020
+    §4.1): accents stripped, lowercased, digits→0, whitespace collapsed
+    — see ``functions.text.normalize_text_column`` for the kernel and
+    the exact SQL equivalent. Block-local, all Arrow C++."""
+    from ..functions.text import normalize_text_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        norm = normalize_text_column(batch[column], **opts)
+        target = out or column
+        if target in batch.column_names:
+            batch = batch.drop_columns([target])
+        return batch.append_column(target, norm)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def hash_column(ds: ray.data.Dataset, column: str, out: str,
                 salt: int = 12345, mod: int = 1_000_003) -> ray.data.Dataset:
     """attributesprocessor ``hash`` action on an integer id column, using

@@ -175,3 +175,44 @@ def test_to_cents_round_units_match_duckdb():
         sql = con.execute("SELECT CAST(round(CAST(? AS DOUBLE)) AS BIGINT)",
                           [v]).fetchone()[0]
         assert g == sql, ("units", v, g, sql)
+
+
+def test_normalize_text_column_matches_naive_and_duckdb():
+    """CCNet canonicalization: Arrow kernel chain == a unicodedata naive
+    reference on accents/case/digits/whitespace, and == DuckDB's
+    strip_accents/lower/regexp chain (the oracle form) on every case
+    DuckDB's accent model covers."""
+    import unicodedata
+
+    import duckdb
+    import pyarrow as pa
+
+    from cardinalhq_otel_collector_ray.functions.text import \
+        normalize_text_column
+
+    def naive(t):
+        if t is None:
+            return None
+        t = "".join(c for c in unicodedata.normalize("NFKD", t)
+                    if unicodedata.category(c) != "Mn")
+        t = t.lower()
+        t = "".join("0" if c.isdigit() and ord(c) < 128 else c for c in t)
+        import re
+        return re.sub(r"\s+", " ", t).strip()
+
+    cases = ["Héllo  WORLD 123", "Ångström  über café", "naïve\t\ttabs",
+             "  lead trail  ", "MiXeD CaSe 2024 Q3", "", None,
+             "a1b2c3", "éé ÉÉ ee"]
+    got = normalize_text_column(pa.array(cases)).to_pylist()
+    assert got == [naive(c) for c in cases]
+
+    con = duckdb.connect()
+    for c in cases:
+        if c is None:
+            continue
+        sql = con.execute(
+            "SELECT trim(regexp_replace(regexp_replace(lower("
+            "strip_accents(CAST(? AS VARCHAR))), '[0-9]', '0', 'g'),"
+            " '\\s+', ' ', 'g'))", [c]).fetchone()[0]
+        g = normalize_text_column(pa.array([c])).to_pylist()[0]
+        assert g == sql, (c, g, sql)
