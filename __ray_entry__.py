@@ -483,6 +483,17 @@ def _q_sink_write_files(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_paragraph_dedup_apply(sf_dir: str):
+    """Dolma paragraph dedup, APPLY form: the corpus with every
+    non-first-occurrence line REMOVED, value-checked string-for-string
+    (the oracle re-joins surviving lines with chr(10)). One skinny
+    winner shuffle + one co-partition mark join — full text moves
+    exactly once, no decision set on the driver."""
+    from cardinalhq_otel_collector_ray.stages.lineclean import (
+        paragraph_dedup_apply)
+    return paragraph_dedup_apply(_lined_documents(sf_dir))
+
+
 def _q_normalize_text(sf_dir: str):
     """CCNet text canonicalization (Wenzek et al. 2020 §4.1), value-
     checked string-for-string: the corpus is deterministically mutated
@@ -3006,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "sink_roundtrip_counts": _q_sink_roundtrip_counts,
         "normalize_text": _q_normalize_text,
+        "paragraph_dedup_apply": _q_paragraph_dedup_apply,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -3215,6 +3227,17 @@ FROM tok t JOIN documents d ON t.doc_id = d.doc_id
         "route_counts": _SQL_ROUTED + r"""
 SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route
+""",
+        "paragraph_dedup_apply": _SQL_LINES + r"""
+, winners AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_idx) AS occ
+  FROM lines
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+FROM winners WHERE occ = 1
+GROUP BY doc_id
 """,
         "normalize_text": r"""
 WITH mut1 AS (

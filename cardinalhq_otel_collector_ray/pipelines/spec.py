@@ -362,11 +362,17 @@ def _s_line_clean(ds, cfg):
 
 
 def _s_paragraph_dedup(ds, cfg):
-    """Corpus-wide first-occurrence paragraph dedup stats (Dolma /
-    CCNet §4.1): skinny digest shuffle, the corpus never moves."""
+    """Corpus-wide first-occurrence paragraph dedup (Dolma / CCNet
+    §4.1): skinny digest shuffle for the decision. ``apply: true`` emits
+    the EDITED corpus (duplicated lines removed, one co-partition mark
+    join — full text moves once); default emits per-doc survivor
+    stats."""
+    text, idc = cfg.get("text", "text"), cfg.get("id", "doc_id")
+    if cfg.get("apply"):
+        from ..stages.lineclean import paragraph_dedup_apply
+        return paragraph_dedup_apply(ds, text_col=text, id_col=idc)
     from ..stages.lineclean import paragraph_dedup_stats
-    return paragraph_dedup_stats(ds, text_col=cfg.get("text", "text"),
-                                 id_col=cfg.get("id", "doc_id"))
+    return paragraph_dedup_stats(ds, text_col=text, id_col=idc)
 
 
 def _s_retention(ds, cfg):

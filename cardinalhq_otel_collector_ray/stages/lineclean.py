@@ -204,29 +204,21 @@ def c4_line_clean(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-def paragraph_dedup_stats(ds: ray.data.Dataset, text_col: str = "text",
-                          id_col: str = "doc_id",
-                          num_partitions: int = 64,
-                          doc_partitions: int = 32) -> ray.data.Dataset:
-    """Corpus-wide paragraph/line dedup (Dolma; CCNet §4.1), stats form:
-    a line survives iff it is the FIRST occurrence of its exact content
-    in the whole corpus, ordered by (doc_id, line_idx). Output per doc
-    with ≥1 surviving line: (doc_id, kept_lines, kept_words,
-    kept_idx_sum).
+def paragraph_winners(ds: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", num_partitions: int = 64,
+                      doc_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-wide first-occurrence line decision (Dolma; CCNet §4.1):
+    one row per DISTINCT line content — (doc_id, line_idx, n_words,
+    _dpart) of the occurrence that wins (smallest (doc_id, line_idx)).
 
-    Two skinny shuffles, both on bounded int32 tags:
-
-    1. per-block pre-group: lines → 128-bit digests → block-local min
-      order-key per digest (one lexsort pass) → partials
-      (d1, d2, _pkey, _pw) tagged ``_part = d1 % P`` → per-partition C++
-      ``group_by(d1,d2).min`` picks the corpus-wide first occurrence;
-    2. winners (one row per DISTINCT line) re-tagged ``_dpart = doc % P``
-      → per-partition C++ ``group_by(doc)`` count/sum finals.
-
-    The corpus itself never shuffles; hash collisions require both
-    independent 64-bit families to collide (the ``training_prep.py:66``
-    digest contract). Order keys pack (doc_id << 21 | line_idx) — loud
-    ValueError past 2^21 lines/doc or 2^42 docs.
+    One skinny bounded-tag shuffle: per-block pre-group (lines → 128-bit
+    digests → block-local min order-key per digest in one lexsort pass)
+    → partials (d1, d2, _pkey, _pw) tagged ``_part = d1 % P`` →
+    per-partition C++ ``group_by(d1,d2).min``. The corpus itself never
+    shuffles; hash collisions require both independent 64-bit families
+    to collide (the ``training_prep.py:66`` digest contract). Order keys
+    pack (doc_id << 21 | line_idx) — loud ValueError past 2^21 lines/doc
+    or 2^42 docs.
     """
     P, DP = int(num_partitions), int(doc_partitions)
     _part_schema = pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
@@ -272,6 +264,22 @@ def paragraph_dedup_stats(ds: ray.data.Dataset, text_col: str = "text",
         return out.append_column(
             "_dpart", pa.array((doc % DP).astype(np.int32)))
 
+    partials = ds.map_batches(precombine, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(
+        merge_part, batch_format="pyarrow")
+
+
+def paragraph_dedup_stats(ds: ray.data.Dataset, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          num_partitions: int = 64,
+                          doc_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-wide paragraph/line dedup stats: per doc with ≥1 surviving
+    line, (doc_id, kept_lines, kept_words, kept_idx_sum). The decision is
+    ``paragraph_winners``; the finals are one more bounded-tag C++
+    aggregation over the (skinny) winner rows."""
+    winners = paragraph_winners(ds, text_col, id_col, num_partitions,
+                                doc_partitions)
+
     def per_doc(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
@@ -290,8 +298,78 @@ def paragraph_dedup_stats(ds: ray.data.Dataset, text_col: str = "text",
                          "kept_idx_sum": pa.array(out["kept_idx_sum"],
                                                   type=pa.int64())})
 
-    partials = ds.map_batches(precombine, batch_format="pyarrow")
-    winners = partials.groupby("_part").map_groups(
-        merge_part, batch_format="pyarrow")
     return winners.groupby("_dpart").map_groups(
         per_doc, batch_format="pyarrow")
+
+
+def paragraph_dedup_apply(ds: ray.data.Dataset, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          num_partitions: int = 64,
+                          doc_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-wide paragraph dedup, APPLY form (the Dolma edit): emit
+    each doc's text with every line that is NOT the corpus-wide first
+    occurrence of its content removed; docs whose every line was
+    suppressed are dropped. Output (doc_id, text), lines rejoined with
+    ``'\\n'`` in original order.
+
+    One co-partition mark join (the ``stages/dedup._mark_removed``
+    shape): corpus rows and the skinny winner decisions are both tagged
+    ``_dpart = doc_id % P`` and met per bucket — the full text moves
+    exactly once, the winner side carries only (doc_id, line_idx) packed
+    keys, and no decision set ever lands on the driver, so the path
+    holds at any corpus size."""
+    DP = int(doc_partitions)
+    winners = paragraph_winners(ds, text_col, id_col, num_partitions, DP)
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "text": pc.fill_null(batch[text_col], ""),
+            "_wkey": pa.nulls(batch.num_rows, pa.int64()),
+            "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "_dpart": pa.array((doc % DP).astype(np.int32))})
+
+    def tag_winners(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        li = batch["line_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.nulls(batch.num_rows, pa.string()),
+            "_wkey": pa.array((doc << _LINE_IDX_BITS) | li),
+            "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            "_dpart": batch["_dpart"]})
+
+    def apply_group(g: pa.Table) -> pa.Table:
+        sides = g["_side"].to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(sides == 0))
+        wkey = np.sort(g.filter(pa.array(sides == 1))["_wkey"]
+                       .to_numpy(zero_copy_only=False))
+        n = docs.num_rows
+        if n == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string())]).empty_table()
+        doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        row_idx, line_idx, flat, _ = _lines_of(docs["text"])
+        key = (doc_ids[row_idx] << _LINE_IDX_BITS) | line_idx
+        if len(wkey):
+            pos = np.minimum(np.searchsorted(wkey, key), len(wkey) - 1)
+            keep = wkey[pos] == key
+        else:
+            keep = np.zeros(len(key), dtype=bool)
+        kept_idx = np.flatnonzero(keep)       # row-major → original order
+        counts = np.bincount(row_idx[kept_idx], minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        kept_flat = flat.take(pa.array(kept_idx))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept_flat), "\n")
+        keep_doc = counts > 0
+        return pa.table({"doc_id": pa.array(doc_ids[keep_doc]),
+                         "text": text.filter(pa.array(keep_doc))})
+
+    both = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        winners.map_batches(tag_winners, batch_format="pyarrow"))
+    return both.groupby("_dpart").map_groups(
+        apply_group, batch_format="pyarrow")

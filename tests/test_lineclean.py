@@ -7,7 +7,8 @@ import pyarrow as pa
 import ray.data
 
 from cardinalhq_otel_collector_ray.stages.lineclean import (
-    c4_line_clean, paragraph_dedup_stats, rewrap_lines)
+    c4_line_clean, paragraph_dedup_apply, paragraph_dedup_stats,
+    rewrap_lines)
 
 # ------------------------------------------------------------ naive models
 
@@ -32,6 +33,19 @@ def naive_c4(docs, min_words=4, min_lines=2):
         if len(kept) >= min_lines:
             out[doc_id] = (len(kept), sum(n for _, n in kept),
                            sum(i + 1 for i, _ in kept))
+    return out
+
+
+def naive_paragraph_apply(docs):
+    seen, out = set(), {}
+    for doc_id, text in sorted(docs):
+        kept = []
+        for ln in (text or "").split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        if kept:
+            out[doc_id] = "\n".join(kept)
     return out
 
 
@@ -108,6 +122,30 @@ def test_c4_and_paragraph_match_naive_fuzz(ray_session):
         got = _stats_dict(paragraph_dedup_stats(ds, num_partitions=5,
                                                 doc_partitions=3))
         assert got == naive_paragraph(docs), f"paragraph trial {trial}"
+
+
+def test_paragraph_apply_matches_naive_fuzz(ray_session):
+    rng = np.random.default_rng(515)
+    for trial in range(5):
+        docs = _rand_corpus(rng, n_docs=rng.integers(3, 25), vocab=VOCAB)
+        cuts = sorted(rng.choice(len(docs), size=min(3, len(docs)),
+                                 replace=False))
+        ds = _blocked(docs, cuts)
+        out = paragraph_dedup_apply(ds, num_partitions=5,
+                                    doc_partitions=3).to_pandas()
+        got = {int(r.doc_id): r.text for r in out.itertuples()}
+        assert got == naive_paragraph_apply(docs), f"trial {trial}"
+
+
+def test_paragraph_apply_consistent_with_stats(ray_session):
+    """apply's surviving line counts == the stats form, doc for doc."""
+    rng = np.random.default_rng(77)
+    docs = _rand_corpus(rng, n_docs=15, vocab=VOCAB)
+    applied = paragraph_dedup_apply(_blocked(docs, [5])).to_pandas()
+    stats = _stats_dict(paragraph_dedup_stats(_blocked(docs, [5])))
+    got = {int(r.doc_id): r.text.count("\n") + 1
+           for r in applied.itertuples()}
+    assert got == {d: s[0] for d, s in stats.items()}
 
 
 def test_paragraph_blocking_invariance(ray_session):
