@@ -202,6 +202,26 @@ def test_line_cleaning_example_spec(ray_session, sf_dir):
     assert len(got) > 0
 
 
+def test_paragraph_dedup_example_spec(ray_session, sf_dir):
+    """Declarative normalize → rewrap → paragraph-dedup-apply chain
+    matches the naive model (normalize is identity on this corpus, so
+    the naive side is rewrap → first-occurrence removal)."""
+    import pyarrow.parquet as pq
+
+    from cardinalhq_otel_collector_ray.pipelines.spec import (
+        compile_pipeline, load_spec)
+    out = compile_pipeline(
+        load_spec("/root/repo/examples/paragraph_dedup.yaml"), sf_dir) \
+        .to_pandas()
+    got = {int(r.doc_id): r.text for r in out.itertuples()}
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = [(int(d), naive_rewrap(x, int(d)))
+            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+    assert got == naive_paragraph_apply(docs)
+    assert len(got) > 0
+
+
 def test_null_text_treated_as_empty(ray_session):
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                   "text": pa.array(["a b c d\ne f g h", None])})
