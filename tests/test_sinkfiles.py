@@ -81,6 +81,43 @@ def test_unmarshaler_table_covers_every_marshaler():
     assert set(UNMARSHALERS) == set(ser.MARSHALERS)
 
 
+def test_roundtrip_fuzz_edge_values():
+    """Seeded fuzz: random flat tables (strings incl. unicode/quotes/
+    empties, int64 extremes, doubles, bools) survive marshal→unmarshal
+    for every self-describing format. body-format framing can't carry
+    newlines (one line per record — the reference's contract) so bodies
+    stay newline-free; None bodies round-trip as '' (the marshalers'
+    documented mapping)."""
+    rng = np.random.default_rng(2026)
+    words = np.array(["plain", "uni¢ødé", 'quo"te', "back\\slash",
+                      "tab\there", "", "ünïcode 千字", "{json}?"])
+    for trial in range(5):
+        n = int(rng.integers(1, 9))
+        batch = pa.table({
+            "body": pa.array([str(rng.choice(words)) for _ in range(n)]),
+            "ts": pa.array(rng.integers(0, 2**62, n), pa.int64()),
+            "code": pa.array(
+                rng.choice([0, -1, 7, 2**63 - 1, -2**63, 42], n),
+                pa.int64()),
+            "ratio": pa.array(rng.standard_normal(n), pa.float64()),
+            "ok": pa.array(rng.integers(0, 2, n) == 1),
+        })
+        got = unmarshal_jsonl(ser.marshal_jsonl(batch))
+        assert got.select(batch.column_names).cast(batch.schema) \
+            .equals(batch), f"jsonl trial {trial}"
+        for marshal, unmarshal in (
+                (ser.marshal_otlp_json, unmarshal_otlp_json),
+                (ser.marshal_otlp_proto, unmarshal_otlp_proto)):
+            data = marshal(batch, ts_col="ts",
+                           record_attr_cols=("code", "ratio", "ok"))
+            back = unmarshal(data)
+            assert back["body"].to_pylist() == batch["body"].to_pylist()
+            assert back["ts"].to_pylist() == batch["ts"].to_pylist()
+            assert back["code"].to_pylist() == batch["code"].to_pylist()
+            assert back["ratio"].to_pylist() == batch["ratio"].to_pylist()
+            assert back["ok"].to_pylist() == batch["ok"].to_pylist()
+
+
 def test_distributed_roundtrip_through_partitioned_sink(ray_session,
                                                         tmp_path):
     """Write a routed stream through the real sink (jsonl+gzip), read it
