@@ -483,6 +483,16 @@ def _q_sink_write_files(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_c4_line_clean_apply(sf_dir: str):
+    """C4 page cleaning, APPLY form: the edited pages (short and
+    within-doc-repeated lines removed, under-min_lines pages dropped),
+    value-checked string-for-string. Block-local; zero shuffle."""
+    from cardinalhq_otel_collector_ray.stages.lineclean import (
+        c4_line_clean_apply)
+    return c4_line_clean_apply(_lined_documents(sf_dir), min_words=4,
+                               min_lines=2)
+
+
 def _q_paragraph_dedup_apply(sf_dir: str):
     """Dolma paragraph dedup, APPLY form: the corpus with every
     non-first-occurrence line REMOVED, value-checked string-for-string
@@ -3018,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip_counts": _q_sink_roundtrip_counts,
         "normalize_text": _q_normalize_text,
         "paragraph_dedup_apply": _q_paragraph_dedup_apply,
+        "c4_line_clean_apply": _q_c4_line_clean_apply,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -3227,6 +3238,17 @@ FROM tok t JOIN documents d ON t.doc_id = d.doc_id
         "route_counts": _SQL_ROUTED + r"""
 SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route
+""",
+        "c4_line_clean_apply": _SQL_LINES + r"""
+, kept AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY doc_id, line
+                            ORDER BY line_idx) AS occ
+  FROM lines WHERE n_words >= 4
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+FROM kept WHERE occ = 1
+GROUP BY doc_id HAVING count(*) >= 2
 """,
         "paragraph_dedup_apply": _SQL_LINES + r"""
 , winners AS (

@@ -349,16 +349,20 @@ def _s_rewrap_lines(ds, cfg):
 
 
 def _s_line_clean(ds, cfg):
-    """C4 line cleaning stats (Raffel et al. 2020 §2.2): per-doc
-    survivors after the min-words / within-doc-repeat / min-lines rules.
-    Block-local — place anywhere; expects '\\n'-separated text (a
-    ``text`` file source is already line-per-row; use this on doc-shaped
-    text)."""
+    """C4 line cleaning (Raffel et al. 2020 §2.2): min-words /
+    within-doc-repeat / min-lines rules. ``apply: true`` emits the
+    EDITED pages; default emits per-doc survivor stats. Block-local —
+    place anywhere; expects '\\n'-separated text (a ``text`` file source
+    is already line-per-row; use this on doc-shaped text)."""
+    kw = dict(text_col=cfg.get("text", "text"),
+              id_col=cfg.get("id", "doc_id"),
+              min_words=int(cfg.get("min_words", 4)),
+              min_lines=int(cfg.get("min_lines", 2)))
+    if cfg.get("apply"):
+        from ..stages.lineclean import c4_line_clean_apply
+        return c4_line_clean_apply(ds, **kw)
     from ..stages.lineclean import c4_line_clean
-    return c4_line_clean(ds, text_col=cfg.get("text", "text"),
-                         id_col=cfg.get("id", "doc_id"),
-                         min_words=int(cfg.get("min_words", 4)),
-                         min_lines=int(cfg.get("min_lines", 2)))
+    return c4_line_clean(ds, **kw)
 
 
 def _s_paragraph_dedup(ds, cfg):

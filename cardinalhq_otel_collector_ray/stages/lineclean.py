@@ -204,6 +204,52 @@ def c4_line_clean(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def c4_line_clean_apply(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", min_words: int = 4,
+                        min_lines: int = 2) -> ray.data.Dataset:
+    """C4 page cleaning, APPLY form: emit (doc_id, text) with the short
+    and within-doc-repeated lines REMOVED (first occurrence by line
+    index wins), dropping docs with fewer than ``min_lines`` surviving
+    lines — the edit the stats form only counts. Fully block-local like
+    the stats form; same selection semantics (one lexsort pass on the
+    128-bit line digests), lines rejoined with ``'\\n'`` in original
+    order."""
+    min_w, min_l = int(min_words), int(min_lines)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.schema([("doc_id", pa.int64()),
+                           ("text", pa.string())]).empty_table()
+        if n == 0:
+            return empty
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_idx, line_idx, flat, n_words = _lines_of(batch[text_col])
+        sub = np.flatnonzero(n_words >= min_w)
+        if len(sub) == 0:
+            return empty
+        d1, d2 = _line_digests(flat.take(pa.array(sub)))
+        r, li = row_idx[sub], line_idx[sub]
+        order = np.lexsort((li, d2, d1, r))
+        rs, d1s, d2s = r[order], d1[order], d2[order]
+        head = np.ones(len(order), dtype=bool)
+        head[1:] = ((rs[1:] != rs[:-1]) | (d1s[1:] != d1s[:-1])
+                    | (d2s[1:] != d2s[:-1]))
+        surv = np.sort(sub[order[head]])      # flat indices, original order
+        counts = np.bincount(row_idx[surv], minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        kept_flat = flat.take(pa.array(surv))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept_flat), "\n")
+        keep_doc = counts >= min_l
+        return pa.table({"doc_id": pa.array(doc_ids[keep_doc]),
+                         "text": text.filter(pa.array(keep_doc))})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def paragraph_winners(ds: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_partitions: int = 64,
                       doc_partitions: int = 32) -> ray.data.Dataset:

@@ -36,6 +36,20 @@ def naive_c4(docs, min_words=4, min_lines=2):
     return out
 
 
+def naive_c4_apply(docs, min_words=4, min_lines=2):
+    out = {}
+    for doc_id, text in docs:
+        kept, seen = [], set()
+        for ln in (text or "").split("\n"):
+            if ln.count(" ") + 1 < min_words or ln in seen:
+                continue
+            seen.add(ln)
+            kept.append(ln)
+        if len(kept) >= min_lines:
+            out[doc_id] = "\n".join(kept)
+    return out
+
+
 def naive_paragraph_apply(docs):
     seen, out = set(), {}
     for doc_id, text in sorted(docs):
@@ -122,6 +136,21 @@ def test_c4_and_paragraph_match_naive_fuzz(ray_session):
         got = _stats_dict(paragraph_dedup_stats(ds, num_partitions=5,
                                                 doc_partitions=3))
         assert got == naive_paragraph(docs), f"paragraph trial {trial}"
+
+
+def test_c4_apply_matches_naive_fuzz(ray_session):
+    from cardinalhq_otel_collector_ray.stages.lineclean import (
+        c4_line_clean_apply)
+    rng = np.random.default_rng(808)
+    for trial in range(5):
+        docs = _rand_corpus(rng, n_docs=rng.integers(3, 25), vocab=VOCAB)
+        cuts = sorted(rng.choice(len(docs), size=min(3, len(docs)),
+                                 replace=False))
+        out = c4_line_clean_apply(_blocked(docs, cuts), min_words=3,
+                                  min_lines=2).to_pandas()
+        got = {int(r.doc_id): r.text for r in out.itertuples()}
+        assert got == naive_c4_apply(docs, min_words=3, min_lines=2), \
+            f"trial {trial}"
 
 
 def test_paragraph_apply_matches_naive_fuzz(ray_session):
