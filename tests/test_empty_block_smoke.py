@@ -217,3 +217,43 @@ def test_text_family_handles_non_ascii():
     assert "日本語のテキスト" in red.loc[0, "text"]   # unicode untouched
     assert "<PHONE>" in red.loc[2, "text"]
     assert "中文" in red.loc[2, "text"]
+
+
+def test_lineclean_family_survives_isolated_empty_block():
+    """Grid extension for the line-granular family (CLAUDE.md round-5
+    convention): empty / short / unicode text isolated in its own block
+    through rewrap, both C4 forms, both paragraph-dedup forms, and
+    normalization."""
+    from cardinalhq_otel_collector_ray.stages.lineclean import (
+        c4_line_clean, c4_line_clean_apply, paragraph_dedup_apply,
+        paragraph_dedup_stats, rewrap_lines)
+    from cardinalhq_otel_collector_ray.stages.transform import \
+        normalize_text
+
+    def ds():
+        tables = [
+            pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a b c d\na b c d\nx y z w",
+                                        "p q r s\nt u v w"])}),
+            pa.table({"doc_id": pa.array([3], pa.int64()),
+                      "text": pa.array([""])}),
+            pa.table({"doc_id": pa.array([4], pa.int64()),
+                      "text": pa.array(["héllo 🎉 日本語"])}),
+        ]
+        return ray.data.from_arrow(tables)
+
+    assert rewrap_lines(ds()).count() == 4
+    stats = c4_line_clean(ds(), min_words=4, min_lines=1).to_pandas()
+    assert set(stats["doc_id"]) == {1, 2}     # dup line in 1 collapses
+    assert stats.set_index("doc_id").loc[1, "kept_lines"] == 2
+    applied = c4_line_clean_apply(ds(), min_words=4,
+                                  min_lines=1).to_pandas()
+    assert set(applied["doc_id"]) == {1, 2}
+    pstats = paragraph_dedup_stats(ds()).to_pandas()
+    assert set(pstats["doc_id"]) == {1, 2, 3, 4}
+    papply = paragraph_dedup_apply(ds()).to_pandas()
+    assert set(papply["doc_id"]) == {1, 2, 3, 4}
+    norm = (normalize_text(ds()).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert norm.loc[2, "text"] == ""
+    assert norm.loc[3, "text"] == "hello 🎉 日本語"
