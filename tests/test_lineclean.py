@@ -251,6 +251,50 @@ def test_paragraph_dedup_example_spec(ray_session, sf_dir):
     assert len(got) > 0
 
 
+def test_lineclean_duckdb_differential_fuzz(ray_session, tmp_path):
+    """Differential fuzz of the REGISTERED query+oracle pairs on an
+    adversarial corpus: word counts sit exactly at the wrap boundaries
+    (1, w-1, w, w+1, 2w multiples) where an off-by-one in the
+    `(pos-1) // w` line derivation would diverge from rewrap_lines.
+    Runs the real _q_* callables against the real oracle_sql() strings
+    over a synthetic documents.parquet."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(31415)
+    rows = []
+    words = np.array(["aa", "bb", "cc", "dd", "ee"])
+    for i in range(60):
+        doc_id = int(rng.integers(0, 100000))
+        w = 3 + doc_id % 5
+        n = int(rng.choice([1, w - 1, w, w + 1, 2 * w, 2 * w + 1,
+                            int(rng.integers(1, 40))]))
+        rows.append({"doc_id": doc_id,
+                     "text": " ".join(rng.choice(words, size=n))})
+    df = pd.DataFrame(rows).drop_duplicates("doc_id")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("c4_line_clean", "paragraph_dedup",
+                 "c4_line_clean_apply", "paragraph_dedup_apply"):
+        got = qs[name](str(tmp_path)).to_pandas()
+        want = con.execute(oracles[name]).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        want = want.astype(got.dtypes.to_dict())
+        assert got.columns.sort_values().tolist() == \
+            want.columns.sort_values().tolist(), name
+        assert got[sorted(got.columns)].equals(
+            want[sorted(want.columns)]), name
+
+
 def test_null_text_treated_as_empty(ray_session):
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                   "text": pa.array(["a b c d\ne f g h", None])})
