@@ -504,6 +504,49 @@ def _q_paragraph_dedup_apply(sf_dir: str):
     return paragraph_dedup_apply(_lined_documents(sf_dir))
 
 
+def _q_bpe_fertility_by_source(sf_dir: str):
+    """Tokenizer-fertility audit (subwords per word, per source) — the
+    mixture-design signal for how expensive each source is to tokenize.
+    Two-phase: per-block C++ group_by partials of (Σ subwords, Σ words)
+    → bounded driver merge (≤ sources × blocks partial rows). Fertility
+    is an exact BIGINT/BIGINT division — identical float64 both
+    engines (CLAUDE.md ratio rule)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.textstats import \
+        bpe_ish_token_count
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text",
+                                                  "source"])
+
+    def with_words(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nw = pc.add(pc.count_substring(col, pattern=" "), 1)
+        return batch.append_column("n_words", nw.cast(pa.int64()))
+
+    sub = bpe_ish_token_count(ds.map_batches(with_words,
+                                             batch_format="pyarrow"),
+                              id_cols=("doc_id", "source", "n_words"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["source", "n_bpe_ish", "n_words"]) \
+            .group_by(["source"]).aggregate([("n_bpe_ish", "sum"),
+                                             ("n_words", "sum")])
+        return g.rename_columns(["source", "_ps", "_pw"])
+
+    parts = sub.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("source", sort=True).agg(
+        sum_subwords=("_ps", "sum"), sum_words=("_pw", "sum")) \
+        .reset_index()
+    return pd.DataFrame({
+        "source": agg["source"].to_numpy(),
+        "sum_subwords": agg["sum_subwords"].astype(np.int64).to_numpy(),
+        "sum_words": agg["sum_words"].astype(np.int64).to_numpy(),
+        "fertility": (agg["sum_subwords"].astype(np.int64).to_numpy()
+                      / agg["sum_words"].astype(np.int64).to_numpy()),
+    })
+
+
 def _q_normalize_text(sf_dir: str):
     """CCNet text canonicalization (Wenzek et al. 2020 §4.1), value-
     checked string-for-string: the corpus is deterministically mutated
@@ -3029,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "paragraph_dedup_apply": _q_paragraph_dedup_apply,
         "c4_line_clean_apply": _q_c4_line_clean_apply,
+        "bpe_fertility_by_source": _q_bpe_fertility_by_source,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -3238,6 +3282,25 @@ FROM tok t JOIN documents d ON t.doc_id = d.doc_id
         "route_counts": _SQL_ROUTED + r"""
 SELECT route, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY route
+""",
+        "bpe_fertility_by_source": r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(s) - length(regexp_replace(s, '[^ ]', '', 'g'))
+              AS BIGINT) AS n_sub,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM (SELECT source, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z]+', 'A', 'g'), '[0-9]+', '0', 'g'),
+                 '[^A0 ]+', '#', 'g') AS s
+        FROM documents)
+)
+SELECT source,
+       CAST(sum(n_sub) AS BIGINT) AS sum_subwords,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_sub) AS BIGINT) / CAST(sum(n_words) AS BIGINT)
+         AS fertility
+FROM per_doc GROUP BY source ORDER BY source
 """,
         "c4_line_clean_apply": _SQL_LINES + r"""
 , kept AS (

@@ -248,7 +248,7 @@ def run_queries(sf_dir: str) -> dict:
              "span_red_metrics", "tail_sampling_policies",
              "dup_span_removal", "temperature_mix", "ccnet_buckets",
              "c4_line_clean", "paragraph_dedup", "sink_roundtrip_counts",
-             "normalize_text", "paragraph_dedup_apply", "c4_line_clean_apply"]
+             "normalize_text", "paragraph_dedup_apply", "c4_line_clean_apply", "bpe_fertility_by_source"]
     qs = entrymod.queries()
     out = {}
     import ray.data
