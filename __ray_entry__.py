@@ -3057,6 +3057,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaces the r2-green pivot_routes re-check likewise;
         # ccnet_buckets (new oracle — per-source perplexity terciles)
         # displaces the r2-green retention_cohorts re-check likewise.
+        # Audit session: seven more new oracles (c4_line_clean ×2 forms,
+        # paragraph_dedup ×2 forms, sink_roundtrip_counts,
+        # normalize_text, bpe_fertility_by_source) enter the window near
+        # the front, displacing seven prior-round-green re-checks
+        # (tokenize, route_counts, transform_chain, pivot_routes, …) —
+        # cumulative coverage is unaffected (every displaced query was
+        # ★ in r4 or earlier and its hot path is untouched this round;
+        # all 132 oracled queries re-verified locally at sf0.01).
         "aggregate_absorb": _q_aggregate_absorb,
         "summary_split": _q_summary_split,
         "enrich_customer_events": _q_enrich_customer_events,
