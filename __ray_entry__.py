@@ -1131,6 +1131,73 @@ def _q_streaming_interval_agg(sf_dir: str):
     })
 
 
+_LATE_CHUNK_ROWS = 50           # micro-batch size (oracle constant; small so
+                                # the sparse sf0.001 stream still has enough
+                                # chunk boundaries to produce late rows)
+_LATE_JITTER_MS = 14_400_000    # per-event arrival displacement bound (4 h)
+_LATE_LATENESS_MS = 900_000     # allowed lateness (15 min)
+
+
+def _q_streaming_late_drop(sf_dir: str):
+    """Watermark LATE-DATA DROP semantics over a deterministically
+    OUT-OF-ORDER arrival: each event's arrival position is its ts
+    displaced by a hash jitter (≤4 h), streamed in 50-row micro-batches
+    through actor-per-bucket aggregators with ``late_policy="drop"`` —
+    rows whose interval the per-bucket event-time watermark (max arrival
+    ts − 15 min lateness) already closed are discarded and COUNTED, so
+    every (interval, key) is emitted exactly once (the shape a sink can
+    ingest verbatim; under "absorb" a late row re-opens the interval and
+    re-emits it — ``aggregationprocessor/aggregate.go:193-294`` absorbs
+    forever because its box is wall-clock-flushed, our event-time
+    improvement needs the explicit policy).
+
+    Oracle-expressible because arrival order, chunking, bucket assignment
+    (``ascii(event_type) % 4``) and the per-bucket running watermark are
+    all window functions over the same deterministic sort. Precondition:
+    the jitter must actually produce late rows (asserted) or the query
+    degenerates to the plain aggregate and checks nothing."""
+    import pyarrow.parquet as pq
+    from cardinalhq_otel_collector_ray.stages.streaming import (
+        streaming_interval_aggregate)
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "event_type", "ts", "value"])
+    ts_ms = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    jitter = (eid * 2654435761 + 12345) % _LATE_JITTER_MS
+    arrival = ts_ms + jitter
+    cents = to_cents(t["value"].to_numpy(zero_copy_only=False))
+    # bucket = ascii(first char) % 4 — vectorized via the (tiny) dictionary
+    et = t["event_type"].combine_chunks().dictionary_encode()
+    dict_codes = np.array([ord(s[0]) % 4 for s in et.dictionary.to_pylist()],
+                          dtype=np.int64)
+    bucket = dict_codes[et.indices.to_numpy(zero_copy_only=False)]
+    full = pa.table({"event_type": t["event_type"],
+                     "ts_ms": pa.array(ts_ms), "v": pa.array(cents),
+                     "_bucket": pa.array(bucket)})
+    order = np.lexsort((eid, arrival))     # total order: (arrival_key, id)
+    full = full.take(pa.array(order))
+    chunks = [full.slice(i, _LATE_CHUNK_ROWS)
+              for i in range(0, full.num_rows, _LATE_CHUNK_ROWS)]
+    out, late = streaming_interval_aggregate(
+        chunks, keys=["event_type"], ts_col="ts_ms", value_col="v",
+        interval_ms=3_600_000, key_col_for_bucket="event_type",
+        bucket_col="_bucket", num_buckets=4,
+        allowed_lateness_ms=_LATE_LATENESS_MS, late_policy="drop",
+        return_late_count=True)
+    assert late > 0, (
+        "late-drop precondition: the jittered arrival produced ZERO late "
+        "rows at this scale — the query degenerated to the plain interval "
+        "aggregate; lower _LATE_CHUNK_ROWS or raise _LATE_JITTER_MS")
+    return pa.table({
+        "event_type": out["event_type"],
+        "interval_ms": out["interval_start"].cast(pa.int64()),
+        "n": out["agg_count"].cast(pa.int64()),
+        "sum_cents": out["agg_sum"].cast(pa.int64()),
+        "min_cents": out["agg_min"].cast(pa.int64()),
+        "max_cents": out["agg_max"].cast(pa.int64()),
+    })
+
+
 def _q_groupby_segment(sf_dir: str):
     """groupbyattrsprocessor analog (components.go:128): regroup records by
     an ENRICHED attribute — events → broadcast customer lookup → per-segment
@@ -3081,6 +3148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_apply": _q_paragraph_dedup_apply,
         "c4_line_clean_apply": _q_c4_line_clean_apply,
         "bpe_fertility_by_source": _q_bpe_fertility_by_source,
+        # streaming_late_drop (new r5 oracle — watermark late-data drop
+        # over a jittered out-of-order arrival) displaces the r4-green
+        # compression_ratio_stored re-check (hot path untouched in r5)
+        "streaming_late_drop": _q_streaming_late_drop,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -4650,6 +4721,35 @@ SELECT event_type, (ts_ms // 3600000) * 3600000 AS interval_ms,
        count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
        min(value_cents) AS min_cents, max(value_cents) AS max_cents
 FROM ev GROUP BY event_type, interval_ms
+""",
+        # the watermark is a running max over STRICTLY-EARLIER chunks of
+        # the same bucket (the engine updates it after absorbing a batch),
+        # hence the RANGE ... 1 PRECEDING frame; a row is dropped iff its
+        # interval end <= the closed boundary floor((wm - lateness)/I)*I
+        "streaming_late_drop": _SQL_EVENTS + r"""
+, arr AS (
+  SELECT event_type, ts_ms, value_cents,
+         ts_ms + (event_id * 2654435761 + 12345) % 14400000 AS arrival_key,
+         event_id, ascii(event_type) % 4 AS bucket
+  FROM ev
+), seq AS (
+  SELECT *, (row_number() OVER (ORDER BY arrival_key, event_id) - 1) // 50
+            AS chunk
+  FROM arr
+), wm AS (
+  SELECT *, max(ts_ms) OVER (PARTITION BY bucket ORDER BY chunk
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM seq
+), kept AS (
+  SELECT * FROM wm
+  WHERE prev_max IS NULL OR
+        (ts_ms // 3600000) * 3600000 + 3600000 >
+        ((prev_max - 900000) // 3600000) * 3600000
+)
+SELECT event_type, (ts_ms // 3600000) * 3600000 AS interval_ms,
+       count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+       min(value_cents) AS min_cents, max(value_cents) AS max_cents
+FROM kept GROUP BY event_type, interval_ms
 """,
         "groupby_segment": _SQL_EVENTS + r"""
 SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,

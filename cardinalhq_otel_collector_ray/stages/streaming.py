@@ -34,12 +34,18 @@ class MicroBatchAggregator:
     """
 
     def __init__(self, keys: list[str], ts_col: str, value_col: str,
-                 interval_ms: int, allowed_lateness_ms: int = 0):
+                 interval_ms: int, allowed_lateness_ms: int = 0,
+                 late_policy: str = "absorb"):
+        if late_policy not in ("absorb", "drop"):
+            raise ValueError(f"late_policy must be 'absorb' or 'drop', "
+                             f"got {late_policy!r}")
         self.keys = keys
         self.ts_col = ts_col
         self.value_col = value_col
         self.interval_ms = interval_ms
         self.lateness = allowed_lateness_ms
+        self.late_policy = late_policy
+        self.late_dropped = 0
         self.state: dict = {}
         self.watermark = -(2**62)
 
@@ -47,12 +53,32 @@ class MicroBatchAggregator:
         """Absorb a micro-batch; return rows for every interval the new
         watermark closes (emit shape: ts = interval start, C3).
 
+        Late records — rows whose interval the CURRENT watermark already
+        closed — follow ``late_policy``: ``"absorb"`` re-opens the interval
+        and re-emits it at the next closure (a second row for the same
+        (interval, keys) — downstream must merge), ``"drop"`` discards the
+        row and counts it in ``late_dropped`` (each (interval, keys) is
+        emitted exactly ONCE, the shape a sink can ingest verbatim). The
+        watermark itself always advances over ALL arrivals, including
+        dropped ones (a late row's ts is below the watermark by
+        definition, so this is observably identical — documented for the
+        oracle's benefit).
+
         Per-batch PRE-COMBINE first (one C++ ``group_by`` shrinks the batch
         to ≤G partial rows), then a Python merge over only those partials —
         never a row loop over the raw micro-batch."""
         t = batch.select(self.keys + [self.ts_col, self.value_col])
         ts = t[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wm_advance = int(ts.max()) if len(ts) else None
         iv = (ts // self.interval_ms) * self.interval_ms
+        if self.late_policy == "drop" and len(ts):
+            boundary = (self.watermark // self.interval_ms) * self.interval_ms
+            late = iv + self.interval_ms <= boundary
+            if late.any():
+                self.late_dropped += int(late.sum())
+                keep = ~late
+                t = t.filter(pa.array(keep))
+                iv = iv[keep]
         v = self.value_col
         part = t.append_column("_iv", pa.array(iv)) \
             .group_by(["_iv", *self.keys]) \
@@ -75,8 +101,8 @@ class MicroBatchAggregator:
                     s[2] = mins[i]
                 if maxs[i] > s[3]:
                     s[3] = maxs[i]
-        if len(ts):
-            self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
+        if wm_advance is not None:
+            self.watermark = max(self.watermark, wm_advance - self.lateness)
         return self._emit_closed()
 
     def _emit_closed(self) -> pa.Table:
@@ -110,12 +136,18 @@ class _BucketAggregator:
     def flush(self) -> pa.Table:
         return self.inner.flush()
 
+    def late_count(self) -> int:
+        return self.inner.late_dropped
+
 
 def streaming_interval_aggregate(batches, *, keys: list[str], ts_col: str,
                                  value_col: str, interval_ms: int,
                                  key_col_for_bucket: str, num_buckets: int = 4,
                                  allowed_lateness_ms: int = 0,
-                                 max_pending: int = 64) -> pa.Table:
+                                 late_policy: str = "absorb",
+                                 bucket_col: str | None = None,
+                                 max_pending: int = 64,
+                                 return_late_count: bool = False):
     """Drive an actor-per-bucket incremental aggregation over an iterator of
     Arrow micro-batches (a stream tail / kafka-partition analog). Records
     route to ``hash(key) % num_buckets`` actors; per-bucket arrival order is
@@ -123,18 +155,34 @@ def streaming_interval_aggregate(batches, *, keys: list[str], ts_col: str,
     submission order), so ingestion is fully PIPELINED — no per-batch
     ``ray.get`` barrier; results are collected in ``max_pending`` windows
     (bounds driver memory and applies backpressure). Returns the full
-    emitted table (incremental emissions + final flush)."""
+    emitted table (incremental emissions + final flush).
+
+    ``bucket_col`` names a NUMERIC column used directly as ``value %
+    num_buckets`` instead of hashing ``key_col_for_bucket`` — callers that
+    need a reproducible (e.g. SQL-expressible) actor assignment precompute
+    it; the routing contract is unchanged (every row of a group key MUST
+    map to one bucket, since interval state is per-actor — so
+    ``bucket_col`` must be a function of the group keys). ``late_policy``
+    and the watermark are per ACTOR (per bucket): a bucket only observes
+    its own sub-stream, exactly like a kafka-partition consumer.
+    ``return_late_count=True`` returns ``(table, late_dropped_total)`` —
+    the per-stage metric the north rule asks sinks to emit."""
     actors = [_BucketAggregator.remote(keys=keys, ts_col=ts_col,
                                        value_col=value_col,
                                        interval_ms=interval_ms,
-                                       allowed_lateness_ms=allowed_lateness_ms)
+                                       allowed_lateness_ms=allowed_lateness_ms,
+                                       late_policy=late_policy)
               for _ in range(num_buckets)]
     emitted = []
     pending: list = []
     for batch in batches:
-        h = pd.util.hash_array(
-            np.asarray(batch[key_col_for_bucket].to_pylist(), dtype=object))
-        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        if bucket_col is not None:
+            bucket = (batch[bucket_col].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % num_buckets)
+        else:
+            h = pd.util.hash_array(
+                np.asarray(batch[key_col_for_bucket].to_pylist(), dtype=object))
+            bucket = (h % np.uint64(num_buckets)).astype(np.int64)
         for b in range(num_buckets):
             sub = batch.filter(pa.array(bucket == b))
             if sub.num_rows:
@@ -146,8 +194,13 @@ def streaming_interval_aggregate(batches, *, keys: list[str], ts_col: str,
     emitted.extend(ray.get(pending))
     real = [t for t in emitted if t.num_rows]
     if not real:
-        return emitted[0] if emitted else pa.table({})
-    return pa.concat_tables(real, promote_options="default")
+        out = emitted[0] if emitted else pa.table({})
+    else:
+        out = pa.concat_tables(real, promote_options="default")
+    if return_late_count:
+        late = sum(ray.get([a.late_count.remote() for a in actors]))
+        return out, late
+    return out
 
 
 class StreamingDeduper:

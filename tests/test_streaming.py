@@ -179,3 +179,105 @@ def test_streaming_sessionizer_cross_batch_continuation():
     assert got[got["u"] == "a"]["n_events"].tolist() == [2]
     fin = ss.flush().to_pandas()
     assert fin["session_start"].tolist() == [500]
+
+
+def test_late_policy_drop_discards_and_counts():
+    """A row whose interval the watermark already closed is dropped and
+    counted under late_policy="drop"; under "absorb" it re-opens the
+    interval and re-emits a duplicate row at flush."""
+    mk = lambda policy: MicroBatchAggregator(
+        keys=["name"], ts_col="ts", value_col="v", interval_ms=10,
+        late_policy=policy)
+    drop, absorb = mk("drop"), mk("absorb")
+    first = pa.table({"name": ["a"], "ts": [25], "v": [10]})
+    late = pa.table({"name": ["a"], "ts": [5], "v": [100]})
+    emitted = {}
+    for which, agg in (("drop", drop), ("absorb", absorb)):
+        assert agg.consume(first).num_rows == 0
+        # the late row's interval (0) is already closed (boundary 20);
+        # absorb re-opens it and re-emits it IMMEDIATELY (still closed)
+        parts = [agg.consume(late), agg.flush()]
+        emitted[which] = pa.concat_tables(
+            [p for p in parts if p.num_rows]).to_pylist()
+    d, a = emitted["drop"], emitted["absorb"]
+    # drop: interval 0 never re-opens; absorb: it is re-emitted with v=100
+    assert [r["interval_start"] for r in d] == [20]
+    assert drop.late_dropped == 1
+    assert sorted(r["interval_start"] for r in a) == [0, 20]
+    assert absorb.late_dropped == 0
+    # a late row arriving in the SAME batch as the watermark-advancing row
+    # is not late (boundary is computed before the batch is absorbed)
+    same = mk("drop")
+    out = same.consume(pa.table({"name": ["a", "a"], "ts": [25, 5],
+                                 "v": [1, 2]}))
+    assert same.late_dropped == 0
+    assert {r["interval_start"] for r in out.to_pylist()} == {0}
+
+
+def test_late_policy_drop_matches_naive_simulation():
+    """Seeded out-of-order stream: the vectorized drop path == a naive
+    per-row Python replay of the watermark state machine."""
+    rng = np.random.default_rng(42)
+    n = 2_000
+    ts = np.sort(rng.integers(0, 500_000, n))
+    jitter = rng.integers(0, 20_000, n)
+    arrival = np.argsort(ts + jitter, kind="stable")
+    names = rng.choice(["a", "b", "c"], n)
+    vals = rng.integers(-50, 50, n)
+    interval, lateness, B = 10_000, 3_000, 97
+    # naive replay
+    wm, dropped, kept = -(2**62), 0, []
+    order = list(arrival)
+    for s in range(0, n, B):
+        idx = order[s:s + B]
+        boundary = (wm // interval) * interval
+        for i in idx:
+            if (ts[i] // interval) * interval + interval <= boundary:
+                dropped += 1
+            else:
+                kept.append(i)
+        wm = max(wm, max(ts[i] for i in idx) - lateness)
+    agg = MicroBatchAggregator(keys=["name"], ts_col="ts", value_col="v",
+                               interval_ms=interval,
+                               allowed_lateness_ms=lateness,
+                               late_policy="drop")
+    t = pa.table({"name": names, "ts": ts, "v": vals}).take(pa.array(arrival))
+    parts = [agg.consume(t.slice(s, B)) for s in range(0, n, B)]
+    parts.append(agg.flush())
+    got = pa.concat_tables([p for p in parts if p.num_rows]).to_pandas()
+    assert agg.late_dropped == dropped and dropped > 0
+    exp = (pd.DataFrame({"name": names[kept],
+                         "interval_start": (ts[kept] // interval) * interval,
+                         "v": vals[kept]})
+           .groupby(["interval_start", "name"])["v"]
+           .agg(agg_sum="sum", agg_count="count", agg_min="min",
+                agg_max="max").reset_index())
+    got = got.sort_values(["interval_start", "name"]).reset_index(drop=True)
+    exp = exp.sort_values(["interval_start", "name"]).reset_index(drop=True)
+    # drop policy ⇒ each (interval, key) emitted exactly once
+    assert not got.duplicated(["interval_start", "name"]).any()
+    pd.testing.assert_frame_equal(
+        got[exp.columns].astype({"agg_sum": "int64", "agg_count": "int64",
+                                 "agg_min": "int64", "agg_max": "int64"}),
+        exp.astype({"agg_sum": "int64", "agg_count": "int64",
+                    "agg_min": "int64", "agg_max": "int64"}))
+
+
+def test_streaming_aggregate_bucket_col_and_late_metric():
+    """bucket_col routes by an explicit numeric column; return_late_count
+    surfaces the summed per-actor late metric."""
+    t = pa.table({"k": ["x", "y"] * 4,
+                  "bkt": [0, 1] * 4,
+                  "ts": [25, 25, 5, 5, 30, 30, 40, 40],
+                  "v": [1, 4, 100, 200, 2, 5, 3, 6]})
+    chunks = [t.slice(i, 2) for i in range(0, 8, 2)]
+    out, late = streaming_interval_aggregate(
+        chunks, keys=["k"], ts_col="ts", value_col="v", interval_ms=10,
+        key_col_for_bucket="k", bucket_col="bkt", num_buckets=2,
+        late_policy="drop", return_late_count=True)
+    # per bucket: chunk 0's ts=25 closes interval 0, so chunk 1's ts=5
+    # row (arriving in the NEXT sub-batch of each bucket) is late
+    assert late == 2
+    df = out.to_pandas()
+    assert not df.duplicated(["k", "interval_start"]).any()
+    assert 100 not in df["agg_sum"].values and 200 not in df["agg_sum"].values
