@@ -213,15 +213,27 @@ class StreamingDeduper:
     Per-batch pre-combine: one C++ ``group_by`` reduces the micro-batch
     to ≤G (interval, keys) partials carrying a PACKED (ts, tiebreak)
     min — the Python merge then touches only partials. Emits each closed
-    interval's (keys, interval, first_ts, tiebreak, count)."""
+    interval's (keys, interval, first_ts, tiebreak, count).
+
+    ``late_policy`` mirrors `MicroBatchAggregator`: a late row (its
+    interval already closed by the watermark) under ``"absorb"`` re-opens
+    the interval and re-emits a second suppressed-count row; under
+    ``"drop"`` it is discarded and counted in ``late_dropped``, so each
+    (interval, keys) is emitted exactly once."""
 
     def __init__(self, keys: list[str], ts_col: str, tiebreak_col: str,
-                 interval_ms: int, allowed_lateness_ms: int = 0):
+                 interval_ms: int, allowed_lateness_ms: int = 0,
+                 late_policy: str = "absorb"):
+        if late_policy not in ("absorb", "drop"):
+            raise ValueError(f"late_policy must be 'absorb' or 'drop', "
+                             f"got {late_policy!r}")
         self.keys = keys
         self.ts_col = ts_col
         self.tb_col = tiebreak_col
         self.interval_ms = interval_ms
         self.lateness = allowed_lateness_ms
+        self.late_policy = late_policy
+        self.late_dropped = 0
         self.state: dict = {}          # key → [packed_min, count]
         self.watermark = -(2**62)
         self._B = np.int64(1) << np.int64(31)
@@ -229,9 +241,20 @@ class StreamingDeduper:
     def consume(self, batch: pa.Table) -> pa.Table:
         ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         tb = batch[self.tb_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wm_advance = int(ts.max()) if len(ts) else None
         iv = (ts // self.interval_ms) * self.interval_ms
         packed = ts * self._B + tb     # contract: 0 ≤ tiebreak < 2³¹
-        t = pa.table({**{k: batch[k] for k in self.keys},
+        keycols = {k: batch[k] for k in self.keys}
+        if self.late_policy == "drop" and len(ts):
+            boundary = (self.watermark // self.interval_ms) * self.interval_ms
+            late = iv + self.interval_ms <= boundary
+            if late.any():
+                self.late_dropped += int(late.sum())
+                keep = ~late
+                mask = pa.array(keep)
+                keycols = {k: batch[k].filter(mask) for k in self.keys}
+                iv, packed = iv[keep], packed[keep]
+        t = pa.table({**keycols,
                       "_iv": pa.array(iv), "_p": pa.array(packed)})
         part = t.group_by(["_iv", *self.keys]).aggregate(
             [("_p", "min"), ("_p", "count")])
@@ -248,8 +271,8 @@ class StreamingDeduper:
                 if pmin[i] < s[0]:
                     s[0] = int(pmin[i])
                 s[1] += int(cnt[i])
-        if len(ts):
-            self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
+        if wm_advance is not None:
+            self.watermark = max(self.watermark, wm_advance - self.lateness)
         return self._emit_closed()
 
     def _emit_closed(self) -> pa.Table:

@@ -281,3 +281,30 @@ def test_streaming_aggregate_bucket_col_and_late_metric():
     df = out.to_pandas()
     assert not df.duplicated(["k", "interval_start"]).any()
     assert 100 not in df["agg_sum"].values and 200 not in df["agg_sum"].values
+
+
+def test_streaming_dedup_late_policy_drop():
+    """StreamingDeduper drop policy: a late duplicate neither re-opens its
+    closed interval nor inflates the suppressed count."""
+    from cardinalhq_otel_collector_ray.stages.streaming import StreamingDeduper
+    mk = lambda p: StreamingDeduper(keys=["k"], ts_col="ts",
+                                    tiebreak_col="tb", interval_ms=10,
+                                    late_policy=p)
+    drop, absorb = mk("drop"), mk("absorb")
+    out = {}
+    for which, d in (("drop", drop), ("absorb", absorb)):
+        p1 = d.consume(pa.table({"k": ["a", "a"], "ts": [1, 3],
+                                 "tb": [7, 8]}))
+        p2 = d.consume(pa.table({"k": ["a"], "ts": [25], "tb": [9]}))
+        # interval 0 closed (boundary 20); ts=5 is late
+        p3 = d.consume(pa.table({"k": ["a"], "ts": [5], "tb": [1]}))
+        out[which] = pa.concat_tables(
+            [p for p in (p1, p2, p3, d.flush()) if p.num_rows]).to_pandas()
+    d_iv = out["drop"]["interval_start"].tolist()
+    a_iv = out["absorb"]["interval_start"].tolist()
+    assert sorted(d_iv) == [0, 20] and drop.late_dropped == 1
+    # absorb re-emits interval 0 a second time with the late row as "first"
+    assert sorted(a_iv) == [0, 0, 20] and absorb.late_dropped == 0
+    first_emit = out["drop"][out["drop"]["interval_start"] == 0]
+    assert first_emit["first_ts"].tolist() == [1]
+    assert first_emit["n_dropped_plus_one"].tolist() == [2]
