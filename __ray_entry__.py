@@ -1183,7 +1183,7 @@ def _q_streaming_late_drop(sf_dir: str):
         interval_ms=3_600_000, key_col_for_bucket="event_type",
         bucket_col="_bucket", num_buckets=4,
         allowed_lateness_ms=_LATE_LATENESS_MS, late_policy="drop",
-        return_late_count=True)
+        calls_per_rpc=32, return_late_count=True)
     assert late > 0, (
         "late-drop precondition: the jittered arrival produced ZERO late "
         "rows at this scale — the query degenerated to the plain interval "
