@@ -214,17 +214,23 @@ def test_late_policy_drop_discards_and_counts():
     assert {r["interval_start"] for r in out.to_pylist()} == {0}
 
 
-def test_late_policy_drop_matches_naive_simulation():
+import pytest
+
+
+@pytest.mark.parametrize("seed,lateness,B", [
+    (42, 3_000, 97), (7, 0, 64), (13, 12_000, 251), (99, 3_000, 17)])
+def test_late_policy_drop_matches_naive_simulation(seed, lateness, B):
     """Seeded out-of-order stream: the vectorized drop path == a naive
-    per-row Python replay of the watermark state machine."""
-    rng = np.random.default_rng(42)
+    per-row Python replay of the watermark state machine — across
+    lateness (incl. zero) and chunk-size regimes."""
+    rng = np.random.default_rng(seed)
     n = 2_000
     ts = np.sort(rng.integers(0, 500_000, n))
     jitter = rng.integers(0, 20_000, n)
     arrival = np.argsort(ts + jitter, kind="stable")
     names = rng.choice(["a", "b", "c"], n)
     vals = rng.integers(-50, 50, n)
-    interval, lateness, B = 10_000, 3_000, 97
+    interval = 10_000
     # naive replay
     wm, dropped, kept = -(2**62), 0, []
     order = list(arrival)
@@ -261,6 +267,19 @@ def test_late_policy_drop_matches_naive_simulation():
                                  "agg_min": "int64", "agg_max": "int64"}),
         exp.astype({"agg_sum": "int64", "agg_count": "int64",
                     "agg_min": "int64", "agg_max": "int64"}))
+    # a fresh-instance replay over the same chunking is deterministic
+    agg2 = MicroBatchAggregator(keys=["name"], ts_col="ts", value_col="v",
+                                interval_ms=interval,
+                                allowed_lateness_ms=lateness,
+                                late_policy="drop")
+    outs = [agg2.consume(t.slice(s2, B)) for s2 in range(0, n, B)]
+    outs.append(agg2.flush())
+    again = pa.concat_tables([p for p in outs if p.num_rows]).to_pandas()
+    assert agg2.late_dropped == dropped
+    pd.testing.assert_frame_equal(
+        again.sort_values(["interval_start", "name"]).reset_index(drop=True),
+        pa.concat_tables([p for p in parts if p.num_rows]).to_pandas()
+        .sort_values(["interval_start", "name"]).reset_index(drop=True))
 
 
 def test_streaming_aggregate_bucket_col_and_late_metric():
@@ -308,3 +327,29 @@ def test_streaming_dedup_late_policy_drop():
     first_emit = out["drop"][out["drop"]["interval_start"] == 0]
     assert first_emit["first_ts"].tolist() == [1]
     assert first_emit["n_dropped_plus_one"].tolist() == [2]
+
+
+def test_calls_per_rpc_grouping_is_transparent():
+    """calls_per_rpc only amortizes dispatch: grouped and ungrouped runs
+    produce identical emissions and late counts."""
+    rng = np.random.default_rng(5)
+    n = 1_200
+    t = pa.table({"k": rng.choice(["a", "b", "c", "d"], n),
+                  "bkt": rng.integers(0, 2, n),
+                  "ts": np.sort(rng.integers(0, 80_000, n)),
+                  "v": rng.integers(0, 100, n)})
+    # shuffle arrival deterministically
+    t = t.take(pa.array(np.argsort(rng.permutation(n), kind="stable")))
+    chunks = [t.slice(i, 60) for i in range(0, n, 60)]
+    runs = {}
+    for rpc in (1, 8):
+        out, late = streaming_interval_aggregate(
+            chunks, keys=["k"], ts_col="ts", value_col="v",
+            interval_ms=5_000, key_col_for_bucket="k", bucket_col="bkt",
+            num_buckets=2, allowed_lateness_ms=2_000, late_policy="drop",
+            calls_per_rpc=rpc, return_late_count=True)
+        runs[rpc] = (out.to_pandas()
+                     .sort_values(["k", "interval_start"])
+                     .reset_index(drop=True), late)
+    assert runs[1][1] == runs[8][1] and runs[1][1] > 0
+    pd.testing.assert_frame_equal(runs[1][0], runs[8][0])
