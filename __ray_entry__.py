@@ -1101,26 +1101,25 @@ def _q_emit_flat(sf_dir: str):
     return emitted.map_batches(flatten, batch_format="pyarrow")
 
 
-def _q_streaming_interval_agg(sf_dir: str):
-    """The INCREMENTAL path of C2: events streamed in arrival order through
-    actor-per-bucket MicroBatchAggregators (state kept across consume
-    calls, event-time watermark closure). Deterministic → same oracle as a
-    batch groupby."""
+def _streaming_events_table(sf_dir: str, extra_cols: list[str] = ()):
+    """Shared derivation for the two streaming queries: events parquet →
+    (table with event_type/ts_ms/v BIGINT cents [+extras], ts_ms array).
+    One definition so a dtype/derivation fix cannot silently desync the
+    two oracled emit shapes."""
     import pyarrow.parquet as pq
-    from cardinalhq_otel_collector_ray.stages.streaming import (
-        streaming_interval_aggregate)
     t = pq.read_table(f"{sf_dir}/events.parquet",
-                      columns=["event_type", "ts", "value"])
+                      columns=["event_type", "ts", "value", *extra_cols])
     ts_ms = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
     cents = to_cents(t["value"].to_numpy(zero_copy_only=False))
     full = pa.table({"event_type": t["event_type"],
-                     "ts_ms": pa.array(ts_ms), "v": pa.array(cents)})
-    order = np.argsort(ts_ms, kind="stable")
-    full = full.take(pa.array(order))
-    chunks = [full.slice(i, 2000) for i in range(0, full.num_rows, 2000)]
-    out = streaming_interval_aggregate(
-        chunks, keys=["event_type"], ts_col="ts_ms", value_col="v",
-        interval_ms=3_600_000, key_col_for_bucket="event_type", num_buckets=4)
+                     "ts_ms": pa.array(ts_ms), "v": pa.array(cents),
+                     **{c: t[c] for c in extra_cols}})
+    return full, ts_ms
+
+
+def _streaming_emit_project(out: pa.Table) -> pa.Table:
+    """Shared (event_type, interval_ms, n, sum/min/max cents) projection
+    of the streaming emit shape — column names match both oracles."""
     return pa.table({
         "event_type": out["event_type"],
         "interval_ms": out["interval_start"].cast(pa.int64()),
@@ -1129,6 +1128,23 @@ def _q_streaming_interval_agg(sf_dir: str):
         "min_cents": out["agg_min"].cast(pa.int64()),
         "max_cents": out["agg_max"].cast(pa.int64()),
     })
+
+
+def _q_streaming_interval_agg(sf_dir: str):
+    """The INCREMENTAL path of C2: events streamed in arrival order through
+    actor-per-bucket MicroBatchAggregators (state kept across consume
+    calls, event-time watermark closure). Deterministic → same oracle as a
+    batch groupby."""
+    from cardinalhq_otel_collector_ray.stages.streaming import (
+        streaming_interval_aggregate)
+    full, ts_ms = _streaming_events_table(sf_dir)
+    order = np.argsort(ts_ms, kind="stable")
+    full = full.take(pa.array(order))
+    chunks = [full.slice(i, 2000) for i in range(0, full.num_rows, 2000)]
+    out = streaming_interval_aggregate(
+        chunks, keys=["event_type"], ts_col="ts_ms", value_col="v",
+        interval_ms=3_600_000, key_col_for_bucket="event_type", num_buckets=4)
+    return _streaming_emit_project(out)
 
 
 _LATE_CHUNK_ROWS = 50           # micro-batch size (oracle constant; small so
@@ -1156,24 +1172,27 @@ def _q_streaming_late_drop(sf_dir: str):
     all window functions over the same deterministic sort. Precondition:
     the jitter must actually produce late rows (asserted) or the query
     degenerates to the plain aggregate and checks nothing."""
-    import pyarrow.parquet as pq
     from cardinalhq_otel_collector_ray.stages.streaming import (
         streaming_interval_aggregate)
-    t = pq.read_table(f"{sf_dir}/events.parquet",
-                      columns=["event_id", "event_type", "ts", "value"])
-    ts_ms = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
-    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    full, ts_ms = _streaming_events_table(sf_dir, extra_cols=["event_id"])
+    eid = full["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     jitter = (eid * 2654435761 + 12345) % _LATE_JITTER_MS
     arrival = ts_ms + jitter
-    cents = to_cents(t["value"].to_numpy(zero_copy_only=False))
-    # bucket = ascii(first char) % 4 — vectorized via the (tiny) dictionary
-    et = t["event_type"].combine_chunks().dictionary_encode()
-    dict_codes = np.array([ord(s[0]) % 4 for s in et.dictionary.to_pylist()],
-                          dtype=np.int64)
+    # bucket = ascii(first char) % 4 — vectorized via the (tiny) dictionary.
+    # Loud precondition (not a bare assert — must survive python -O): the
+    # oracle's ascii('') is 0 and ascii(NULL) is NULL; an empty or null
+    # event_type would silently diverge, so reject it by name instead.
+    et = full["event_type"].combine_chunks().dictionary_encode()
+    dict_vals = et.dictionary.to_pylist()
+    if any(s is None or len(s) == 0 for s in dict_vals):
+        raise AssertionError(
+            "streaming_late_drop precondition: event_type contains an "
+            "empty or null value; the ascii(first-char) bucket rule is "
+            "only oracle-exact for non-empty strings")
+    dict_codes = np.array([ord(s[0]) % 4 for s in dict_vals], dtype=np.int64)
     bucket = dict_codes[et.indices.to_numpy(zero_copy_only=False)]
-    full = pa.table({"event_type": t["event_type"],
-                     "ts_ms": pa.array(ts_ms), "v": pa.array(cents),
-                     "_bucket": pa.array(bucket)})
+    full = full.drop_columns(["event_id"]).append_column(
+        "_bucket", pa.array(bucket))
     order = np.lexsort((eid, arrival))     # total order: (arrival_key, id)
     full = full.take(pa.array(order))
     chunks = [full.slice(i, _LATE_CHUNK_ROWS)
@@ -1184,18 +1203,13 @@ def _q_streaming_late_drop(sf_dir: str):
         bucket_col="_bucket", num_buckets=4,
         allowed_lateness_ms=_LATE_LATENESS_MS, late_policy="drop",
         calls_per_rpc=32, return_late_count=True)
-    assert late > 0, (
-        "late-drop precondition: the jittered arrival produced ZERO late "
-        "rows at this scale — the query degenerated to the plain interval "
-        "aggregate; lower _LATE_CHUNK_ROWS or raise _LATE_JITTER_MS")
-    return pa.table({
-        "event_type": out["event_type"],
-        "interval_ms": out["interval_start"].cast(pa.int64()),
-        "n": out["agg_count"].cast(pa.int64()),
-        "sum_cents": out["agg_sum"].cast(pa.int64()),
-        "min_cents": out["agg_min"].cast(pa.int64()),
-        "max_cents": out["agg_max"].cast(pa.int64()),
-    })
+    if late == 0:
+        raise AssertionError(
+            "late-drop precondition: the jittered arrival produced ZERO "
+            "late rows at this scale — the query degenerated to the plain "
+            "interval aggregate; lower _LATE_CHUNK_ROWS or raise "
+            "_LATE_JITTER_MS")
+    return _streaming_emit_project(out)
 
 
 def _q_groupby_segment(sf_dir: str):
