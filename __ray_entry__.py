@@ -934,6 +934,28 @@ def _q_approx_distinct_hll(sf_dir: str):
                          "approx_users": out["approx_distinct"].astype("float64")})
 
 
+def _q_approx_distinct_hll_exact(sf_dir: str):
+    """Oracle-checked sibling of `approx_distinct_hll`: the SAME
+    partial-sketch → register-max merge → estimate pipeline, with the
+    hash swapped for the SQL-replicable LCG31 and the register sum
+    computed as an exact order-free integer — so the ENTIRE sketch
+    machinery (per-block partials, shuffle, merge, both estimator
+    branches) is value-checked against DuckDB, not just row counts
+    (`stages/sketch.py` `approx_distinct_per_key_lcg_exact`). round6 per
+    the float-parity conventions (ln ulp differences in the
+    linear-counting branch)."""
+    from cardinalhq_otel_collector_ray.sources import read_table
+    from cardinalhq_otel_collector_ray.stages.sketch import (
+        approx_distinct_per_key_lcg_exact)
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    out = approx_distinct_per_key_lcg_exact(
+        ds, "event_type", "user_id", p=12).to_pandas()
+    out = out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "approx_users": round6(out["approx_distinct"].to_numpy())})
+
+
 def _assert_ascii(ds, col: str = "text"):
     """Exact-degeneration guard (fused passthrough stage): the BPE
     degeneration oracles count CHARACTERS where the engine walks BYTES —
@@ -3164,8 +3186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility_by_source": _q_bpe_fertility_by_source,
         # streaming_late_drop (new r5 oracle — watermark late-data drop
         # over a jittered out-of-order arrival) displaces the r4-green
-        # compression_ratio_stored re-check (hot path untouched in r5)
+        # compression_ratio_stored re-check (hot path untouched in r5);
+        # approx_distinct_hll_exact (new r5 oracle — the LCG31/exact-int
+        # HLL degeneration, closing the last sketch family without a
+        # value-checked sibling) likewise displaces the r4-green
+        # approx_heavy_hitters re-check
         "streaming_late_drop": _q_streaming_late_drop,
+        "approx_distinct_hll_exact": _q_approx_distinct_hll_exact,
         "sample_events": _q_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
@@ -4764,6 +4791,43 @@ SELECT event_type, (ts_ms // 3600000) * 3600000 AS interval_ms,
        count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
        min(value_cents) AS min_cents, max(value_cents) AS max_cents
 FROM kept GROUP BY event_type, interval_ms
+""",
+        # LCG31 HLL exact degeneration (p=12, m=4096): top 12 hash bits →
+        # register idx, low 19 bits w → rho = 20 - bit_length(w) (w=0 →
+        # 53); Σ 2^(-M) computed as the EXACT integer Σ 2^(64-M) so the
+        # sum is order-free on both engines; the E ≤ 2.5m linear-counting
+        # branch is the same closed form (round6 absorbs ln ulp)
+        "approx_distinct_hll_exact": r"""
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), h AS (
+  SELECT event_type,
+         (user_id * 2654435761 + 12345) % 2147483648 AS h31
+  FROM ev
+), rk AS (
+  SELECT event_type, h31 // 524288 AS idx,
+         CASE WHEN h31 % 524288 = 0 THEN 53
+              ELSE 20 - length(ltrim(bin(h31 % 524288), '0')) END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, idx, max(rho) AS M FROM rk GROUP BY event_type, idx
+), agg AS (
+  SELECT event_type, count(*) AS used,
+         SUM(CAST(pow(2, 64 - M) AS HUGEINT)) AS s_used
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, used,
+         (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 * pow(2.0, 64)
+           / CAST((4096 - used) * CAST(18446744073709551616 AS HUGEINT)
+                  + s_used AS DOUBLE) AS e
+  FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN e <= 10240.0 AND used < 4096
+                  THEN 4096 * ln(4096 / CAST(4096 - used AS DOUBLE))
+                  ELSE e END, 6) AS approx_users
+FROM est ORDER BY event_type
 """,
         "groupby_segment": _SQL_EVENTS + r"""
 SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,

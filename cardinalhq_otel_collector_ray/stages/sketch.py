@@ -274,6 +274,73 @@ def approx_distinct_per_key(ds: ray.data.Dataset, key: str, column: str,
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
 
 
+def approx_distinct_per_key_lcg_exact(ds: ray.data.Dataset, key: str,
+                                      column: str, p: int = 12
+                                      ) -> ray.data.Dataset:
+    """SQL-replicable HLL sibling (exact-degeneration oracle for the
+    sketch machinery): same per-(block, key) partial → register-max merge
+    → estimate pipeline as `approx_distinct_per_key`, but with every
+    non-SQL-expressible piece swapped for an exactly-replicable one:
+
+    - hash: ``(v * 2654435761 + 12345) % 2^31`` (the repo's BIGINT-safe
+      LCG rule) instead of SipHash — weak for production, irrelevant for
+      oracling the register/merge/estimate arithmetic;
+    - rho: top ``p`` bits → register index, remaining ``31-p`` bits w →
+      rank = (32-p) - bit_length(w) (w=0 → 65-p, the empty-suffix
+      sentinel mirroring `HyperLogLog.add_hashed`'s layout) — in SQL,
+      ``length(ltrim(bin(w),'0'))``;
+    - estimate: the register sum Σ 2^(-M) is computed as the EXACT
+      integer Σ 2^(64-M) (order-free on both engines, immune to float
+      summation order), then one double division; the small-range
+      linear-counting branch (E ≤ 2.5m) is the same closed form
+      ``m·ln(m/zeros)`` both sides.
+
+    Production callers keep `approx_distinct_per_key` (strong hash);
+    this path exists so the HLL family is oracle-checked end to end.
+    Output: key, approx_distinct (float64, unrounded — callers round
+    via functions.hashing.round6 AFTER any ranking, per CLAUDE.md)."""
+    m = 1 << p
+    shift = 31 - p
+
+    def sketch(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+        kvals, segs = _key_segments(batch, key, column)
+        blobs = []
+        for v in segs:
+            h31 = (v.astype(np.int64) * 2654435761 + 12345) % (1 << 31)
+            idx = h31 >> shift
+            w = h31 & ((1 << shift) - 1)
+            # bit_length via frexp exponent — exact (w ≤ 2^27 < 2^53)
+            _, exp = np.frexp(w.astype(np.float64))
+            rank = np.where(w == 0, 65 - p, 32 - p - exp).astype(np.uint8)
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, idx, rank)
+            blobs.append(regs.tobytes())
+        return pa.table({key: pa.array(kvals),
+                         "sketch": pa.array(blobs, pa.binary())}).to_pandas()
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for s in g["sketch"]:
+            regs = np.maximum(regs, np.frombuffer(s, dtype=np.uint8))
+        used = int(np.count_nonzero(regs))
+        # exact-integer Σ 2^(64-M): empty registers contribute 2^64 each
+        s64 = (m - used) * (1 << 64) + sum(
+            1 << (64 - int(r)) for r in regs[regs > 0])
+        # op order mirrors the SQL expression term for term so the
+        # doubles are bitwise identical
+        e = (0.7213 / (1 + 1.079 / float(m))) * m * m * (2.0 ** 64) \
+            / float(s64)
+        if e <= 2.5 * m and used < m:
+            import math
+            e = m * math.log(m / float(m - used))   # linear counting
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "approx_distinct": [float(e)]})
+
+    partials = ds.map_batches(sketch, batch_format="pyarrow")
+    return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
 class CountMinSketch:
     """Mergeable Count-Min frequency sketch (Cormode & Muthukrishnan 2005):
     ``d`` rows × ``w`` counters, estimate = min over rows — overestimates

@@ -74,3 +74,52 @@ def test_approx_heavy_hitters_superset_of_exact():
     assert exact_top <= set(approx["token"].tolist())
     assert (approx["approx_count"].to_numpy()[:-1]
             >= approx["approx_count"].to_numpy()[1:]).all()
+
+
+def test_hll_lcg_exact_raw_branch_matches_duckdb():
+    """The raw-HLL estimator branch (E > 2.5m — not reachable at the
+    fixture scales, where linear counting fires) differentially checked
+    against the oracle SQL on a high-cardinality synthetic table; also
+    pins block-split invariance (partial/merge machinery)."""
+    import duckdb
+
+    from cardinalhq_otel_collector_ray.stages.sketch import (
+        approx_distinct_per_key_lcg_exact)
+    rng = np.random.default_rng(3)
+    n = 120_000
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], n),
+                       "v": rng.integers(0, 60_000, n)})
+    got = {}
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(
+            np.array_split(df, blocks) if blocks > 1 else df)
+        out = (approx_distinct_per_key_lcg_exact(ds, "k", "v", p=12)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        got[blocks] = out
+    pd.testing.assert_frame_equal(got[1], got[7])   # block-split invariant
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = """
+WITH h AS (SELECT k, (v * 2654435761 + 12345) % 2147483648 AS h31 FROM t),
+rk AS (SELECT k, h31 // 524288 AS idx,
+         CASE WHEN h31 % 524288 = 0 THEN 53
+              ELSE 20 - length(ltrim(bin(h31 % 524288), '0')) END AS rho
+       FROM h),
+regs AS (SELECT k, idx, max(rho) AS M FROM rk GROUP BY k, idx),
+agg AS (SELECT k, count(*) AS used,
+          SUM(CAST(pow(2, 64 - M) AS HUGEINT)) AS s_used
+        FROM regs GROUP BY k)
+SELECT k, (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 * pow(2.0, 64)
+          / CAST((4096 - used) * CAST(18446744073709551616 AS HUGEINT)
+                 + s_used AS DOUBLE) AS e, used
+FROM agg ORDER BY k
+"""
+    ref = con.execute(sql).fetchdf()
+    # raw branch actually exercised (E > 2.5m). NOTE: no accuracy bound
+    # here — the LCG hash is deliberately weak (structured low bits, ~35%
+    # off at this cardinality); the sibling oracles the ARITHMETIC, the
+    # production path keeps the strong hash and its error-bound tests.
+    assert (ref["e"] > 2.5 * 4096).all()
+    # engine == oracle bitwise (same double op order; no round6 needed
+    # on this branch)
+    assert got[1]["approx_distinct"].tolist() == ref["e"].tolist()
